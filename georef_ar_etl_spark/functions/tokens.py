@@ -1,0 +1,100 @@
+"""Token-array normalization — the engine's payload-cleaning kernel.
+
+Reference analogue: ``clean_string`` (georef_ar_etl/utils.py:190-195 — take
+first line, collapse whitespace) and geometry simplification at export
+(georef_ar_etl/loaders.py:185-230). Here the payload is a pre-tokenized
+training sequence, and normalization means:
+
+1. drop negative token ids (corrupt values),
+2. strip *trailing* zero padding (interior zeros are legitimate tokens),
+3. recompute ``n_tok = len(tokens)`` — incoming ``n_tok`` is untrusted.
+
+Two implementations with identical semantics (property-tested equal):
+
+* ``normalize_tokens_pandas`` — vectorized Arrow/pandas UDF (the north-rule
+  mandated path; zero per-row Python in the driver, numpy per batch).
+* ``normalize_tokens_expr`` — pure Catalyst column expression
+  (``filter`` + ``aggregate`` higher-order functions), fully codegen'd
+  JVM-side; used by the hot path when configured, since it avoids the
+  Arrow round-trip entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf(T.ArrayType(T.IntegerType(), containsNull=False))
+def normalize_tokens_pandas(tokens: pd.Series) -> pd.Series:
+    """Arrow-vectorized normalization: numpy ops per value, no Python loops
+    over scalars. Null input stays null (delete events carry null payloads)."""
+
+    def _norm(arr):
+        if arr is None:
+            return None
+        a = np.asarray(arr, dtype=np.int64)
+        a = a[a >= 0]
+        # strip trailing zeros: keep up to the last non-zero element
+        nz = np.flatnonzero(a)
+        if nz.size == 0:
+            return np.empty(0, dtype=np.int32)
+        return a[: nz[-1] + 1].astype(np.int32)
+
+    return tokens.map(_norm)
+
+
+def normalize_tokens_expr(col: Column) -> Column:
+    """Catalyst-native normalization (whole-stage-codegen friendly).
+
+    ``filter`` drops negatives; ``aggregate`` over ``transform(...,(x,i)->...)``
+    finds the last non-zero position; ``slice`` strips the trailing zeros.
+    """
+    nonneg = F.filter(col, lambda x: x >= F.lit(0))
+    last_nz = F.aggregate(
+        F.zip_with(
+            nonneg,
+            F.sequence(F.lit(1), F.greatest(F.size(nonneg), F.lit(1))),
+            lambda x, i: F.when(x != 0, i).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, p: F.greatest(acc, p),
+    )
+    return F.when(col.isNull(), F.lit(None).cast("array<int>")).otherwise(
+        F.slice(nonneg, 1, last_nz)
+    )
+
+
+def with_normalized_tokens(df: DataFrame, impl: str = "pandas") -> DataFrame:
+    """Replace ``tokens`` with its normalized form and recompute ``n_tok``.
+
+    ``n_tok`` is recomputed from the normalized array — the derived-field
+    invariant (reference analogue: centroid recomputed from geometry,
+    georef_ar_etl/provinces.py:74).
+    """
+    if impl == "pandas":
+        norm = normalize_tokens_pandas(F.col("tokens"))
+    elif impl == "builtin":
+        norm = normalize_tokens_expr(F.col("tokens"))
+    else:
+        raise ValueError(f"unknown normalize impl: {impl}")
+    return df.withColumn("tokens", norm).withColumn(
+        "n_tok",
+        F.when(F.col("tokens").isNull(), F.lit(None).cast("int")).otherwise(
+            F.size("tokens").cast("int")
+        ),
+    )
+
+
+def normalize_tokens_py(arr):
+    """Single-value Python reference implementation (used by the oracle)."""
+    if arr is None:
+        return None
+    out = [int(x) for x in arr if x >= 0]
+    while out and out[-1] == 0:
+        out.pop()
+    return out

@@ -1,0 +1,222 @@
+"""Document deduplication at corpus scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale posture:
+* exact dedup — one hash aggregate on a 32-char digest, shuffle carries only
+  (digest, doc_id): trivially 100 TB-safe.
+* MinHash+LSH — per-doc signatures are computed with higher-order column
+  functions (no Python); candidate generation explodes b band keys per doc
+  and self-joins on the band bucket, so the shuffle is O(docs × bands), never
+  O(docs²); verification runs only on bucket-colliding pairs.
+* SimHash — 64-bit signature via a vectorized Arrow/pandas UDF (numpy
+  bit-twiddling); near-dup candidates = equal signature bands.
+* Jaccard verify — array_intersect/array_union on shingle sets, JVM-side.
+
+All hashing is md5-derived so the DuckDB oracle can reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from georef_ar_etl_spark.operators.text import char_shingles, fingerprint, norm_text
+
+
+# ------------------------------------------------------------------- exact
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    (fp, n_dups, keep_id) for groups with >1 member; keep_id = min id."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint."""
+    w_keep = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_keep.select(id_col), id_col, "left_semi")
+
+
+# ----------------------------------------------------------------- minhash
+def _md5_hash32(col: Column, seed: int) -> Column:
+    """Deterministic 32-bit-ish hash reproducible in DuckDB:
+    first 8 hex chars of md5(value || ':' || seed) as a bigint."""
+    return F.conv(F.substring(F.md5(F.concat_ws(":", col, F.lit(seed))), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column, n_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature: per hash seed, the min over the shingle set of the
+    seeded md5 hash. array<long> of length n_hashes."""
+    sh = char_shingles(text, k)
+
+    def hash_with_seed(i: int):
+        # single-arg lambda on purpose: a 2-arg lambda would be interpreted by
+        # F.transform as (element, index) and the seed would be shadowed
+        return lambda s: _md5_hash32(s, i)
+
+    mins = [F.array_min(F.transform(sh, hash_with_seed(i))) for i in range(n_hashes)]
+    return F.array(*mins)
+
+
+def minhash_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 over each signature slice → array<string> length
+    n_bands. Docs sharing any band key are candidate near-duplicates."""
+    bands = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.element_at(sig, b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)],
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return F.array(*bands)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    min_jaccard: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified with true Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b (the reference's
+    symmetric-pair dedup trick, georef_ar_etl/intersections.py:55).
+    """
+    rows_per_band = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+        minhash_bands(
+            minhash_signature(F.col(text_col), n_hashes, shingle_k), n_bands, rows_per_band
+        ).alias("bands"),
+    )
+    exploded = base.select("id", "sh", F.explode("bands").alias("band"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    min_jaccard: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Blocked all-pairs n-gram Jaccard (exact, within blocking key).
+
+    The blocking column bounds the O(N²) the way the reference bounds its
+    spatial self-join per province (georef_ar_etl/intersections.py:29-40);
+    at scale, combine with LSH instead of a raw blocked self-join.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ----------------------------------------------------------------- simhash
+@pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized, numpy per batch).
+
+    Token hash = first 16 hex chars of md5(token); bit votes weighted by
+    token frequency; sign of each bit-sum forms the signature.
+    """
+    import hashlib
+
+    def one(s):
+        if s is None:
+            return None
+        toks = s.lower().split()
+        if not toks:
+            return 0
+        hs = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(i)
+        return int(sig.astype(np.int64))  # two's complement into LongType
+
+    return text.map(one)
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any of the 64/band_bits SimHash
+    bands (Hamming-proximity search by banding)."""
+    n_bands = 64 // band_bits
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(i),
+                    F.shiftrightunsigned(F.col("sig"), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .cast("string"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

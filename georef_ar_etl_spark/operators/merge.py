@@ -1,0 +1,118 @@
+"""The MERGE kernel: apply a deduplicated change batch to the current state.
+
+This is the Spark-first rewrite of the reference's central operator — the
+snapshot diff-and-upsert (georef_ar_etl/transformers.py:67-151: per-key
+lookup → update-or-insert, then an anti-join delete pass). Instead of
+row-at-a-time lookups, one hash-partitioned ``full_outer`` join on ``doc_id``
+classifies every key as insert / update / delete / carry-over in a single
+shuffle-stage, equivalent to::
+
+    MERGE INTO state t USING batch s ON t.doc_id = s.doc_id
+    WHEN MATCHED AND s.op = 'delete' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
+
+Both sides are unique on ``doc_id`` (state by construction, batch after
+dedup), so the join has no per-key skew; prefix-skewed key *distributions*
+are randomized by the xxhash64 bucket layout chosen by the table
+(see table.py) and any residual partition skew is handled by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ACTION_INSERT = "insert"
+ACTION_UPDATE = "update"
+ACTION_DELETE = "delete"
+ACTION_DELETE_NOOP = "delete_noop"
+ACTION_KEEP = "keep"
+
+
+@dataclass
+class MergeResult:
+    """``tagged`` carries (_key, _action, *payload); persist it to derive both
+    the new state and the action counts from one join execution."""
+
+    tagged: DataFrame
+    key: str = "doc_id"
+
+    @property
+    def new_state(self) -> DataFrame:
+        return self.tagged.filter(
+            ~F.col("_action").isin(ACTION_DELETE, ACTION_DELETE_NOOP)
+        ).drop("_key", "_action")
+
+    @property
+    def actions(self) -> DataFrame:
+        return self.tagged.select(
+            F.col("_key").alias(self.key), F.col("_action").alias("action")
+        )
+
+    def action_counts(self) -> dict[str, int]:
+        rows = self.tagged.groupBy("_action").count().collect()
+        return {r["_action"]: r["count"] for r in rows}
+
+
+def align_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project ``df`` to exactly ``schema``'s columns, adding missing ones as
+    typed nulls — how old snapshots are read after additive schema evolution
+    (missing-column-as-null; reference analogue: Alembic additive adds)."""
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        # cast via the DDL string — ignores containsNull/nullable markers,
+        # which differ between event payloads (nullable) and state (not)
+        ddl = f.dataType.simpleString()
+        if f.name in have:
+            cols.append(F.col(f.name).cast(ddl).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(ddl).alias(f.name))
+    return df.select(*cols)
+
+
+def merge_upsert(
+    state: DataFrame,
+    batch: DataFrame,
+    payload_cols: list[str],
+    key: str = "doc_id",
+) -> MergeResult:
+    """Full-outer MERGE of a per-key-unique batch into per-key-unique state.
+
+    ``batch`` must carry ``op`` plus ``payload_cols``; ``state`` must carry
+    ``payload_cols`` (align first for schema evolution). Upsert semantics:
+    ``insert`` of an existing key updates it, ``update`` of an absent key
+    inserts it, ``delete`` of an absent key is a no-op — matching the
+    oracle's sequential replay semantics exactly.
+    """
+    s = state.select(*payload_cols).alias("t")
+    b = batch.select("op", *payload_cols).alias("s")
+    joined = s.join(b, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+
+    has_t = F.col(f"t.{key}").isNotNull()
+    has_s = F.col(f"s.{key}").isNotNull()
+    is_del = has_s & (F.col("s.op") == "delete")
+
+    action = (
+        F.when(is_del & has_t, F.lit(ACTION_DELETE))
+        .when(is_del, F.lit(ACTION_DELETE_NOOP))
+        .when(has_s & has_t, F.lit(ACTION_UPDATE))
+        .when(has_s, F.lit(ACTION_INSERT))
+        .otherwise(F.lit(ACTION_KEEP))
+    )
+
+    take_batch = has_s & ~is_del
+    out_cols = [
+        F.when(take_batch, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in payload_cols
+    ]
+    tagged = joined.select(
+        F.coalesce(F.col(f"s.{key}"), F.col(f"t.{key}")).alias("_key"),
+        action.alias("_action"),
+        *out_cols,
+    )
+    return MergeResult(tagged=tagged, key=key)

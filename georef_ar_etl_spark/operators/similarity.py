@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k against a query vector, pure
+  higher-order column expressions (zip_with dot product → JVM-side). The
+  correctness baseline; O(N) scan, embarrassingly parallel, no shuffle except
+  the final top-k, so it scales linearly — but reads every vector.
+* ``lsh_bucket_topk`` — random-hyperplane LSH: deterministic seeded
+  hyperplanes, sign-bit bucket key; the query probes only its own bucket.
+  The 100 TB path: bucket keys become the table's partition column, so a
+  probe is a partition-pruned scan of ~N/2^bits vectors.
+* ``knn_join_cosine`` — top-k neighbors for EVERY row of a (small) probe set
+  via broadcast + per-partition numpy matmul in ``mapInPandas`` (Arrow batch;
+  no per-row Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Scores are rounded before ranking (deterministic cross-engine compare);
+    ties broken by id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col).cast("array<double>"), q), round_to).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded; no wall-clock anywhere)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim).astype(np.float64)
+
+
+def lsh_bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket key: for each hyperplane, 1 if dot(v, h) > 0 —
+    concatenated into a string key. Pure column expressions."""
+    bits = []
+    for row in planes:
+        h = F.array(*[F.lit(float(x)) for x in row])
+        bits.append(F.when(dot(vec_col.cast("array<double>"), h) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: rank only vectors in the query's LSH bucket.
+
+    At scale the bucket key is a partition/cluster column → partition-pruned
+    scan instead of full scan (the reference's source-side pruning analogue,
+    georef_ar_etl/streets.py:24-31).
+    """
+    planes = hyperplanes(len(query_vec), n_bits, seed)
+    qkey = "".join("1" if planes[i] @ np.asarray(query_vec) > 0 else "0" for i in range(n_bits))
+    bucketed = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bucket") == qkey)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
+
+
+def knn_join_cosine(
+    corpus: DataFrame,
+    probes_pd: pd.DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k corpus neighbors for each probe vector (probe set fits in
+    memory → shipped to every partition; per-partition numpy matmul via
+    mapInPandas, then a global top-k per probe)."""
+    probe_ids = probes_pd["probe_id"].to_numpy()
+    P = np.stack(probes_pd["vec"].to_numpy()).astype(np.float64)
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+
+    out_schema = T.StructType([
+        T.StructField("probe_id", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Pn @ Cn.T  # (n_probes, n_corpus_batch)
+            n_take = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+            rows = {
+                "probe_id": np.repeat(probe_ids, n_take),
+                id_col: pdf[id_col].to_numpy()[idx].ravel(),
+                "score": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(part, out_schema)
+    w = F.row_number().over(
+        Window.partitionBy("probe_id").orderBy(F.desc("score"), F.col(id_col))
+    )
+    return (
+        partial.withColumn("rn", w)
+        .filter(F.col("rn") <= k)
+        .select("probe_id", id_col, F.round("score", 4).alias("score"), F.col("rn").alias("rank"))
+    )

@@ -1,0 +1,90 @@
+"""Event validation with a quarantine side-output.
+
+The reference validates per row (ID length georef_ar_etl/models.py:69-85,
+non-empty payload models.py:87-102, FK existence departments.py:120-123),
+collects ``(id, message)`` error tuples and *skips* invalid rows — a bad row
+never poisons the batch (transformers.py:96-101,143-149). Same semantics
+here, as a single declarative split: one predicate stack tags each event
+with its first failing rule; valid rows continue, invalid rows flow to a
+quarantine DataFrame carrying the reason.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark.schemas import DOC_ID_LEN, GROUP_PREFIX_LEN, OPS
+
+# quarantine reasons (stable identifiers, used by tests and the oracle)
+BAD_OP = "bad_op"
+BAD_ID = "bad_id"
+EMPTY_TOKENS = "empty_tokens"
+EMPTY_AFTER_NORM = "empty_tokens_after_norm"
+UNKNOWN_GROUP = "unknown_group"
+
+
+@dataclass
+class ValidatedBatch:
+    valid: DataFrame
+    quarantined: DataFrame  # original event columns + ``reason``
+
+
+def tag_invalid(events: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+    """Add a ``reason`` column: null for valid events, else the first failing
+    rule. Pure column expressions → codegen'd, pushdown-friendly.
+
+    ``dim``: optional broadcast dimension (group_id, ...) for FK-existence
+    validation (reference: CachedQuery lookups, context.py:63-146) — events
+    whose doc_id prefix has no dimension row are quarantined, never fatal.
+    """
+    reason = (
+        F.when(~F.col("op").isin(*OPS), F.lit(BAD_OP))
+        .when(F.col("doc_id").isNull() | (F.length("doc_id") != DOC_ID_LEN), F.lit(BAD_ID))
+        .when(
+            (F.col("op") != "delete") & (F.col("tokens").isNull() | (F.size("tokens") == 0)),
+            F.lit(EMPTY_TOKENS),
+        )
+    )
+    tagged = events.withColumn("reason", reason)
+    if dim is not None:
+        # broadcast hash join against the small dimension — the Spark form of
+        # the reference's memoized per-row parent lookups.
+        dim_keys = F.broadcast(dim.select(F.col("group_id")).distinct())
+        tagged = (
+            tagged.withColumn("_grp", F.substring("doc_id", 1, GROUP_PREFIX_LEN))
+            .join(dim_keys, F.col("_grp") == dim_keys.group_id, "left_outer")
+            .withColumn(
+                "reason",
+                F.when(
+                    F.col("reason").isNull()
+                    & (F.col("op") != "delete")
+                    & F.col("group_id").isNull(),
+                    F.lit(UNKNOWN_GROUP),
+                ).otherwise(F.col("reason")),
+            )
+            .drop("_grp", "group_id")
+        )
+    return tagged
+
+
+def split_quarantine(tagged: DataFrame) -> ValidatedBatch:
+    """Split a reason-tagged frame into (valid, quarantined)."""
+    return ValidatedBatch(
+        valid=tagged.filter(F.col("reason").isNull()).drop("reason"),
+        quarantined=tagged.filter(F.col("reason").isNotNull()),
+    )
+
+
+def quarantine_empty_after_norm(normalized: DataFrame) -> ValidatedBatch:
+    """Post-normalization pass: an upsert whose payload normalized away to
+    nothing is quarantined (analogue: empty name after clean_string)."""
+    tagged = normalized.withColumn(
+        "reason",
+        F.when(
+            (F.col("op") != "delete") & (F.size("tokens") == 0), F.lit(EMPTY_AFTER_NORM)
+        ),
+    )
+    return split_quarantine(tagged)

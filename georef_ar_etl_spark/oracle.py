@@ -1,0 +1,86 @@
+"""Pure-Python reference applier — the golden oracle for correctness tests.
+
+Direct analogue of the reference's row-at-a-time extraction loop
+(georef_ar_etl/transformers.py:67-151): a dict keyed by ``doc_id``, events
+applied strictly in ``(batch_id, seq)`` order, with the same validation /
+normalization / quarantine rules as the Spark engine. The pytest gate
+compares the Spark table's final state to this per row, including exact
+token-array equality (FIXTURES.md §F5).
+"""
+
+from __future__ import annotations
+
+from georef_ar_etl_spark.functions.tokens import normalize_tokens_py
+from georef_ar_etl_spark.operators import validate as V
+from georef_ar_etl_spark.schemas import DOC_ID_LEN, GROUP_PREFIX_LEN, OPS
+
+
+def apply_events(
+    state: dict[str, dict],
+    events: list[dict],
+    dim_groups: set[str] | None = None,
+) -> tuple[dict[str, dict], list[dict]]:
+    """Apply ``events`` (each a dict with batch_id/seq/op/doc_id/tokens/n_tok/
+    source and any extra payload columns) to ``state`` in replay order.
+
+    Returns (new_state, quarantined) where quarantined carries the event plus
+    its ``reason``. Sequential per-event apply is equivalent to the engine's
+    per-batch dedup-by-seq + merge (last writer wins either way).
+    """
+    state = dict(state)
+    quarantined: list[dict] = []
+    payload_keys: set[str] = set()
+    for row in state.values():
+        payload_keys.update(row.keys())
+
+    for ev in sorted(events, key=lambda e: (e["batch_id"], e["seq"])):
+        op = ev.get("op")
+        doc_id = ev.get("doc_id")
+        tokens = ev.get("tokens")
+
+        if op not in OPS:
+            quarantined.append({**ev, "reason": V.BAD_OP})
+            continue
+        if doc_id is None or len(doc_id) != DOC_ID_LEN:
+            quarantined.append({**ev, "reason": V.BAD_ID})
+            continue
+        if op != "delete" and (tokens is None or len(tokens) == 0):
+            quarantined.append({**ev, "reason": V.EMPTY_TOKENS})
+            continue
+        if (
+            dim_groups is not None
+            and op != "delete"
+            and doc_id[:GROUP_PREFIX_LEN] not in dim_groups
+        ):
+            quarantined.append({**ev, "reason": V.UNKNOWN_GROUP})
+            continue
+
+        if op == "delete":
+            state.pop(doc_id, None)
+            continue
+
+        norm = normalize_tokens_py(tokens)
+        if not norm:
+            quarantined.append({**ev, "reason": V.EMPTY_AFTER_NORM})
+            continue
+
+        row = {
+            k: v
+            for k, v in ev.items()
+            if k not in ("batch_id", "seq", "op")
+        }
+        row["doc_id"] = doc_id
+        row["tokens"] = norm
+        row["n_tok"] = len(norm)
+        payload_keys.update(row.keys())
+        state[doc_id] = row
+
+    # additive schema evolution: older rows read the new columns as null
+    for row in state.values():
+        for k in payload_keys:
+            row.setdefault(k, None)
+    return state, quarantined
+
+
+def state_as_sorted_rows(state: dict[str, dict]) -> list[dict]:
+    return [state[k] for k in sorted(state)]

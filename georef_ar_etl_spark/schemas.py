@@ -1,0 +1,119 @@
+"""Canonical schemas and the schema contract validator.
+
+The reference enforces an exact column-set/type contract on every staging
+table before extraction (reference: georef_ar_etl/utils.py:62-91,
+``ValidateTableSchemaStep``) and evolves target schemas additively via
+Alembic (reference: migrations/versions/7cedddd7547a_.py). Here:
+
+* ``STATE_SCHEMA`` — the north-rule target table
+  ``(doc_id string, tokens array<int>, n_tok int, source string)``.
+* ``EVENT_SCHEMA`` — the change-event log replayed in ``(batch_id, seq)``.
+* ``validate_contract`` — asserts required columns exist with exact types and
+  classifies extra columns as additive (nullable → accepted, schema evolves)
+  or breaking (rejected), mirroring the reference's fail-on-mismatch step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+DOC_ID_LEN = 13  # fixed-length hierarchical IDs, like the reference's street
+# IDs (reference: georef_ar_etl/constants.py:123-130 — street=13 chars).
+GROUP_PREFIX_LEN = 2  # chars 1-2 = coarse group (province analogue)
+
+STATE_FIELDS = [
+    T.StructField("doc_id", T.StringType(), nullable=False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType(), containsNull=False), nullable=False),
+    T.StructField("n_tok", T.IntegerType(), nullable=False),
+    T.StructField("source", T.StringType(), nullable=False),
+]
+STATE_SCHEMA = T.StructType(STATE_FIELDS)
+
+EVENT_FIELDS = [
+    T.StructField("batch_id", T.LongType(), nullable=False),
+    T.StructField("seq", T.LongType(), nullable=False),
+    T.StructField("op", T.StringType(), nullable=False),
+    T.StructField("doc_id", T.StringType(), nullable=True),
+    T.StructField("tokens", T.ArrayType(T.IntegerType(), containsNull=True), nullable=True),
+    T.StructField("n_tok", T.IntegerType(), nullable=True),
+    T.StructField("source", T.StringType(), nullable=True),
+]
+EVENT_SCHEMA = T.StructType(EVENT_FIELDS)
+
+# columns the merge carries into state (everything except CDC bookkeeping)
+EVENT_META_COLS = ("batch_id", "seq", "op")
+
+OPS = ("insert", "update", "delete")
+
+
+class SchemaContractError(ValueError):
+    """Raised when an incoming batch violates the schema contract."""
+
+
+@dataclass
+class ContractResult:
+    ok: bool
+    added_columns: list[str] = field(default_factory=list)
+    errors: list[str] = field(default_factory=list)
+
+
+def _base_type_ok(actual: T.DataType, expected: T.DataType) -> bool:
+    return actual.simpleString() == expected.simpleString()
+
+
+def validate_contract(
+    batch_schema: T.StructType,
+    state_schema: T.StructType,
+    allow_additive: bool = True,
+) -> ContractResult:
+    """Check an event batch's payload columns against the current state schema.
+
+    Required: every state column (beyond CDC meta) present with the exact type
+    — except that nullability of event payload columns is relaxed (deletes
+    carry nulls). Extra payload columns must be additive (new, any type) when
+    ``allow_additive``; otherwise they are contract errors.
+    """
+    errors: list[str] = []
+    added: list[str] = []
+    batch_fields = {f.name: f for f in batch_schema.fields}
+
+    for meta in EVENT_META_COLS:
+        if meta not in batch_fields:
+            errors.append(f"missing CDC column: {meta}")
+
+    state_fields = {f.name: f for f in state_schema.fields}
+    for name, f in state_fields.items():
+        if name not in batch_fields:
+            errors.append(f"missing payload column: {name}")
+        elif not _base_type_ok(batch_fields[name].dataType, f.dataType):
+            errors.append(
+                f"type mismatch for {name}: "
+                f"{batch_fields[name].dataType.simpleString()} != {f.dataType.simpleString()}"
+            )
+
+    for name in batch_fields:
+        if name in state_fields or name in EVENT_META_COLS:
+            continue
+        if allow_additive:
+            added.append(name)
+        else:
+            errors.append(f"unexpected column: {name}")
+
+    return ContractResult(ok=not errors, added_columns=sorted(added), errors=errors)
+
+
+def evolved_state_schema(state_schema: T.StructType, batch_schema: T.StructType) -> T.StructType:
+    """State schema after additively absorbing a batch's new payload columns.
+
+    New columns arrive nullable (old rows read as null) — the Spark analogue
+    of an additive ``ALTER TABLE ADD COLUMN`` migration.
+    """
+    existing = {f.name for f in state_schema.fields}
+    fields = list(state_schema.fields)
+    for f in batch_schema.fields:
+        if f.name in existing or f.name in EVENT_META_COLS:
+            continue
+        fields.append(T.StructField(f.name, f.dataType, nullable=True))
+    return T.StructType(fields)

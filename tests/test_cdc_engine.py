@@ -1,0 +1,174 @@
+"""End-to-end CDC correctness: Spark engine vs the pure-Python oracle.
+
+The gate required by BASELINE.json: final-state per-row token-array equality
+after replaying a change-event log, plus the reference-derived semantic tests
+(update-not-insert, quarantine-not-fatal, in-batch dedup, idempotent
+re-apply, resume, schema evolution).
+"""
+
+import pytest
+
+from georef_ar_etl_spark import datagen
+from georef_ar_etl_spark.engine import CdcEngine
+from georef_ar_etl_spark.oracle import apply_events, state_as_sorted_rows
+from georef_ar_etl_spark.sinks.snapshot_table import ConflictError
+
+
+def collect_state(engine):
+    df = engine.state()
+    cols = sorted(df.columns)
+    rows = [r.asDict(recursive=True) for r in df.orderBy("doc_id").collect()]
+    return cols, rows
+
+
+def assert_state_equals_oracle(engine, oracle_state):
+    cols, rows = collect_state(engine)
+    expected = state_as_sorted_rows(oracle_state)
+    assert len(rows) == len(expected), f"row count {len(rows)} != {len(expected)}"
+    for got, want in zip(rows, expected):
+        assert set(got) == set(want), (got, want)
+        assert got["doc_id"] == want["doc_id"]
+        assert list(got["tokens"]) == list(want["tokens"]), got["doc_id"]
+        assert got["n_tok"] == want["n_tok"] == len(want["tokens"])
+        for k in want:
+            if k not in ("tokens",):
+                assert got[k] == want[k], (got["doc_id"], k, got[k], want[k])
+
+
+@pytest.fixture(scope="module")
+def smoke_data():
+    initial = datagen.gen_initial_state(300, seed=42, max_len=48)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=1500, n_batches=5, seed=43, max_len=48
+    )
+    return initial, events
+
+
+def test_bootstrap_roundtrip(spark, tmp_path, smoke_data):
+    initial, _ = smoke_data
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    m = eng.bootstrap(datagen.state_to_df(spark, initial))
+    assert m["epoch"] == 0
+    assert m["total_rows"] == len(initial)
+    oracle_state = {r["doc_id"]: dict(r) for r in initial}
+    assert_state_equals_oracle(eng, oracle_state)
+
+
+def test_replay_matches_oracle(spark, tmp_path, smoke_data):
+    initial, events = smoke_data
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    manifests = eng.replay(datagen.events_to_df(spark, events))
+    assert len(manifests) == 5
+
+    oracle_state, quarantined = apply_events(
+        {r["doc_id"]: dict(r) for r in initial}, events
+    )
+    assert_state_equals_oracle(eng, oracle_state)
+
+    # quarantine counts must match the oracle's, batch by batch in total
+    q_total = sum(m["quarantine_rows"] for m in manifests)
+    assert q_total == len(quarantined)
+
+
+def test_replay_with_dimension_validation(spark, tmp_path, smoke_data):
+    initial, events = smoke_data
+    dim_rows = datagen.gen_dim()
+    dim_df = spark.createDataFrame(dim_rows)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8, dim=dim_df)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    eng.replay(datagen.events_to_df(spark, events))
+
+    oracle_state, quarantined = apply_events(
+        {r["doc_id"]: dict(r) for r in initial},
+        events,
+        dim_groups={r["group_id"] for r in dim_rows},
+    )
+    assert_state_equals_oracle(eng, oracle_state)
+    # generator mints some ids in groups 25/26/99 → must be quarantined
+    assert any(q["reason"] == "unknown_group" for q in quarantined)
+
+
+def test_idempotent_reapply_is_noop(spark, tmp_path, smoke_data):
+    initial, events = smoke_data
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    edf = datagen.events_to_df(spark, events)
+    first = eng.replay(edf)
+    _, rows_before = collect_state(eng)
+    # re-deliver every batch (FIXTURES.md F2(e)) — all must be skipped
+    second = eng.replay(edf)
+    assert [m["epoch"] for m in first] == [m["epoch"] for m in second]
+    _, rows_after = collect_state(eng)
+    assert rows_before == rows_after
+
+
+def test_conflicting_redelivery_rejected(spark, tmp_path, smoke_data):
+    initial, events = smoke_data
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    batch0 = [e for e in events if e["batch_id"] == 0]
+    eng.apply_batch(datagen.events_to_df(spark, batch0), 0)
+    tampered = [dict(e) for e in batch0]
+    tampered[0]["source"] = "tampered"
+    with pytest.raises(ConflictError):
+        eng.apply_batch(datagen.events_to_df(spark, tampered), 0)
+
+
+def test_resume_from_checkpoint(spark, tmp_path, smoke_data):
+    """Kill/resume equivalence: a fresh engine over the same table root picks
+    up from the latest committed manifest and replays only uncommitted
+    batches — final state identical to an uninterrupted run."""
+    initial, events = smoke_data
+    root = str(tmp_path / "t")
+    eng = CdcEngine(spark, root, n_buckets=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    # run only the first two batches, then "crash"
+    for b in (0, 1):
+        eng.apply_batch(
+            datagen.events_to_df(spark, [e for e in events if e["batch_id"] == b]), b
+        )
+
+    resumed = CdcEngine(spark, root, n_buckets=8)  # new process, same root
+    manifests = resumed.replay(datagen.events_to_df(spark, events))
+    assert len(manifests) == 5  # 2 skipped as committed + 3 applied
+
+    oracle_state, _ = apply_events({r["doc_id"]: dict(r) for r in initial}, events)
+    assert_state_equals_oracle(resumed, oracle_state)
+
+
+def test_update_is_update_not_insert(spark, tmp_path):
+    """Reference semantics: changing a field updates the row in place —
+    added/deleted sets empty (tests/test_provinces_extraction_step.py:32-49)."""
+    initial = datagen.gen_initial_state(50, seed=7, max_len=16)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    target = initial[0]["doc_id"]
+    ev = [{
+        "batch_id": 0, "seq": 1, "op": "update", "doc_id": target,
+        "tokens": [1, 2, 3], "n_tok": 3, "source": "wal",
+    }]
+    m = eng.apply_batch(datagen.events_to_df(spark, ev), 0)
+    actions = m["metrics"]["actions"]
+    assert actions.get("update") == 1
+    assert "insert" not in actions and "delete" not in actions
+    # bucket pruning: only the touched bucket is read, so "keep" counts that
+    # bucket's other rows, not the whole table
+    assert m["metrics"]["touched_buckets"] == 1
+    assert m["total_rows"] == len(initial)
+
+
+def test_delete_and_delete_noop(spark, tmp_path):
+    initial = datagen.gen_initial_state(50, seed=8, max_len=16)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    ev = [
+        {"batch_id": 0, "seq": 1, "op": "delete", "doc_id": initial[0]["doc_id"],
+         "tokens": None, "n_tok": None, "source": "wal"},
+        {"batch_id": 0, "seq": 2, "op": "delete", "doc_id": "9999999999999",
+         "tokens": None, "n_tok": None, "source": "wal"},
+    ]
+    m = eng.apply_batch(datagen.events_to_df(spark, ev), 0)
+    assert m["metrics"]["actions"].get("delete") == 1
+    assert m["metrics"]["actions"].get("delete_noop") == 1
+    assert m["total_rows"] == len(initial) - 1

@@ -1,0 +1,131 @@
+"""Training-data operators over the driver's documents/embeddings tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark.operators import doc_dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text", text.token_count(F.col("text")).alias("n")).collect()
+    for r in rows[:50]:
+        assert r["n"] == len(r["text"].lower().split()), r["doc_id"]
+
+
+def test_language_id_deterministic_and_covering(spark, docs):
+    out = docs.select(text.language_id(F.col("text")).alias("pred"))
+    preds = {r["pred"] for r in out.collect()}
+    assert preds <= {"en", "es", "fr", "de", "und"}
+
+
+def test_fingerprint_is_md5_of_normalized(spark, docs):
+    import hashlib
+
+    r = docs.select("text", text.fingerprint(F.col("text")).alias("fp")).first()
+    norm = " ".join(r["text"].lower().split())
+    assert r["fp"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_exact_dedup_keeps_distinct_fingerprints(spark, docs):
+    kept = doc_dedup.dedup_exact(docs)
+    n_fp = docs.select(text.fingerprint(F.col("text")).alias("f")).distinct().count()
+    assert kept.count() == n_fp
+
+
+def test_minhash_lsh_finds_planted_near_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, base + "tail"),          # near-dup of 1
+        (3, "completely different words about spark shuffle partitions " * 5),
+        (4, base.replace("quick", "rapid")),  # near-dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = doc_dedup.minhash_lsh_pairs(df, n_hashes=16, n_bands=8, min_jaccard=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 4) in found
+    assert all(3 not in p for p in found)
+
+
+def test_ngram_jaccard_symmetric_pairs(spark):
+    rows = [(1, "aaab", "s"), (2, "aaab", "s"), (3, "zzzz", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = doc_dedup.ngram_jaccard_pairs(df, min_jaccard=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs_collide(spark):
+    rows = [(1, "same text here"), (2, "same text here"), (3, "other material entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {(r["id_a"], r["id_b"]) for r in doc_dedup.simhash_candidates(df).collect()}
+    assert (1, 2) in cands
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    q = list(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0])
+    got = similarity.cosine_topk(emb, q, k=5).collect()
+
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    qv = np.asarray(q, dtype=np.float64)
+    sims = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(np.round(sims, 4), -pdf["vec_id"].to_numpy()), reverse=True)[:5]
+    expect_ids = [int(-x[1]) for x in order]
+    assert [r["vec_id"] for r in got] == expect_ids
+    assert got[0]["vec_id"] == 0 and got[0]["score"] == 1.0
+
+
+def test_lsh_bucket_topk_subset_of_bucket(spark, emb):
+    pdf = emb.toPandas()
+    q = list(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0])
+    approx = similarity.lsh_bucket_topk(emb, q, k=5, n_bits=2)
+    rows = approx.collect()
+    assert rows[0]["vec_id"] == 0  # query's own vector is in its own bucket
+    assert len(rows) <= 5
+
+
+def test_knn_join_topk_per_probe(spark, emb):
+    pdf = emb.limit(3).toPandas()
+    probes = pd.DataFrame({
+        "probe_id": pdf["vec_id"].astype("int64"),
+        "vec": pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)),
+    })
+    out = similarity.knn_join_cosine(emb, probes, k=3).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rows in by_probe.items():
+        assert len(rows) == 3
+        assert rows[0]["vec_id"] == pid  # self is nearest
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_multimodal_pipeline_stub(spark, docs):
+    media = multimodal.attach_media(docs.limit(20))
+    feats = multimodal.extract_features(media, fake=True).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    assert len(feats) == 20
+    for r in feats:
+        raw = src[r["doc_id"]].encode()
+        assert r["n_bytes"] == len(raw)
+        assert r["first_byte"] == raw[0]
+        assert r["media_type"] == "text/plain"
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"abc", fake=False)

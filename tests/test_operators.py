@@ -1,0 +1,177 @@
+"""Unit tests for the CDC building blocks (SURVEY.md §5 strategy: one test
+module per operator, plus property-style equivalence checks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark import datagen
+from georef_ar_etl_spark.functions.scalar import clean_string, doc_group, zero_pad
+from georef_ar_etl_spark.functions.tokens import (
+    normalize_tokens_py,
+    with_normalized_tokens,
+)
+from georef_ar_etl_spark.operators.dedup_events import (
+    DuplicateKeyError,
+    latest_per_key,
+    latest_per_key_salted,
+)
+from georef_ar_etl_spark.operators.merge import align_columns
+from georef_ar_etl_spark.operators.validate import split_quarantine, tag_invalid
+from georef_ar_etl_spark.schemas import (
+    STATE_SCHEMA,
+    evolved_state_schema,
+    validate_contract,
+)
+
+
+# ---------------------------------------------------------------- normalize
+CASES = [
+    [1, 2, 3],
+    [1, 2, 3, 0, 0],          # trailing padding stripped
+    [0, 1, 0, 2, 0, 0],       # interior zeros kept, trailing stripped
+    [0, 0, 0],                # all padding → empty
+    [-5, 1, -1, 2, 0],        # negatives dropped, then trailing zero stripped
+    [7],
+    [-1],                     # → empty
+]
+
+
+@pytest.mark.parametrize("impl", ["pandas", "builtin"])
+def test_normalize_impls_match_python(spark, impl):
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CASES)], "id int, tokens array<int>"
+    ).withColumn("op", F.lit("update")).withColumn("n_tok", F.lit(0))
+    out = {
+        r["id"]: list(r["tokens"])
+        for r in with_normalized_tokens(df, impl=impl).collect()
+    }
+    for i, case in enumerate(CASES):
+        assert out[i] == normalize_tokens_py(case), (impl, case)
+
+
+def test_normalize_recomputes_n_tok(spark):
+    df = spark.createDataFrame(
+        [("x", [1, 2, 0, 0], 99, "update")], "doc_id string, tokens array<int>, n_tok int, op string"
+    )
+    row = with_normalized_tokens(df).collect()[0]
+    assert row["n_tok"] == 2  # stale incoming 99 ignored
+
+
+def test_normalize_null_passthrough(spark):
+    df = spark.createDataFrame(
+        [("x", None, None, "delete")], "doc_id string, tokens array<int>, n_tok int, op string"
+    )
+    row = with_normalized_tokens(df).collect()[0]
+    assert row["tokens"] is None and row["n_tok"] is None
+
+
+# -------------------------------------------------------------------- dedup
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "batch_id long, seq long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_latest_per_key_last_writer_wins(spark):
+    df = _events_df(spark, [
+        (0, 1, "insert", "a", [1], 1, "s"),
+        (0, 3, "update", "a", [3], 1, "s"),
+        (0, 2, "update", "a", [2], 1, "s"),
+        (0, 4, "insert", "b", [4], 1, "s"),
+    ])
+    got = {r["doc_id"]: r["tokens"][0] for r in latest_per_key(df).collect()}
+    assert got == {"a": 3, "b": 4}
+
+
+def test_salted_dedup_equals_plain(spark):
+    events = datagen.gen_events(
+        [r["doc_id"] for r in datagen.gen_initial_state(100, seed=1, max_len=16)],
+        n_events=2000, n_batches=1, seed=2, max_len=16,
+    )
+    df = datagen.events_to_df(spark, events)
+    plain = {r["doc_id"]: r["seq"] for r in latest_per_key(df).collect()}
+    salted = {r["doc_id"]: r["seq"] for r in latest_per_key_salted(df, n_salt=8).collect()}
+    assert plain == salted  # salting must not change results (north rule)
+
+
+def test_strict_mode_raises_on_duplicate(spark):
+    df = _events_df(spark, [
+        (0, 1, "insert", "a", [1], 1, "s"),
+        (0, 2, "update", "a", [2], 1, "s"),
+    ])
+    with pytest.raises(DuplicateKeyError):
+        latest_per_key(df, strict=True)
+
+
+# ----------------------------------------------------------------- validate
+def test_validation_reasons(spark):
+    df = _events_df(spark, [
+        (0, 1, "upsert", "0101234567890", [1], 1, "s"),   # bad op
+        (0, 2, "insert", "short", [1], 1, "s"),            # bad id length
+        (0, 3, "insert", None, [1], 1, "s"),               # null id
+        (0, 4, "insert", "0101234567890", [], 0, "s"),     # empty tokens
+        (0, 5, "insert", "0101234567890", None, None, "s"),# null tokens
+        (0, 6, "delete", "0101234567890", None, None, "s"),# valid delete
+        (0, 7, "insert", "0101234567890", [1], 1, "s"),    # valid insert
+    ])
+    vb = split_quarantine(tag_invalid(df))
+    reasons = {r["seq"]: r["reason"] for r in vb.quarantined.collect()}
+    assert reasons == {1: "bad_op", 2: "bad_id", 3: "bad_id", 4: "empty_tokens", 5: "empty_tokens"}
+    assert sorted(r["seq"] for r in vb.valid.collect()) == [6, 7]
+
+
+def test_dim_validation_quarantines_unknown_group(spark):
+    dim = spark.createDataFrame(datagen.gen_dim())
+    df = _events_df(spark, [
+        (0, 1, "insert", "0112345678901", [1], 1, "s"),  # group 01 known
+        (0, 2, "insert", "9912345678901", [1], 1, "s"),  # group 99 unknown
+        (0, 3, "delete", "9912345678901", None, None, "s"),  # deletes skip dim check
+    ])
+    vb = split_quarantine(tag_invalid(df, dim=dim))
+    assert {r["seq"]: r["reason"] for r in vb.quarantined.collect()} == {2: "unknown_group"}
+    assert sorted(r["seq"] for r in vb.valid.collect()) == [1, 3]
+
+
+# ------------------------------------------------------------------- schema
+def test_contract_accepts_additive_and_rejects_breaking(spark):
+    ok = validate_contract(
+        datagen.events_to_df(
+            spark, [{"batch_id": 0, "seq": 1, "op": "insert", "doc_id": "x",
+                     "tokens": [1], "n_tok": 1, "source": "s", "src_meta": "m"}]
+        ).schema,
+        STATE_SCHEMA,
+    )
+    assert ok.ok and ok.added_columns == ["src_meta"]
+
+    bad = validate_contract(
+        spark.createDataFrame([], "batch_id long, seq long, op string, doc_id string").schema,
+        STATE_SCHEMA,
+    )
+    assert not bad.ok and any("tokens" in e for e in bad.errors)
+
+
+def test_evolved_schema_and_align(spark):
+    batch_schema = datagen.events_to_df(
+        spark, [{"batch_id": 0, "seq": 1, "op": "insert", "doc_id": "x",
+                 "tokens": [1], "n_tok": 1, "source": "s", "src_meta": "m"}]
+    ).schema
+    evolved = evolved_state_schema(STATE_SCHEMA, batch_schema)
+    assert [f.name for f in evolved.fields] == ["doc_id", "tokens", "n_tok", "source", "src_meta"]
+    old = spark.createDataFrame([("d", [1], 1, "s")], STATE_SCHEMA)
+    aligned = align_columns(old, evolved)
+    row = aligned.collect()[0]
+    assert row["src_meta"] is None  # missing-column-as-null read
+
+
+# ------------------------------------------------------------------ scalars
+def test_clean_string(spark):
+    df = spark.createDataFrame([("  a   b \t c\nsecond line",)], "s string")
+    assert df.select(clean_string(F.col("s")).alias("c")).collect()[0]["c"] == "a b c"
+
+
+def test_doc_group_and_zero_pad(spark):
+    df = spark.createDataFrame([("0612345678901", 7)], "doc_id string, x int")
+    row = df.select(
+        doc_group(F.col("doc_id")).alias("g"), zero_pad(F.col("x"), 5).alias("p")
+    ).collect()[0]
+    assert row["g"] == "06" and row["p"] == "00007"
