@@ -1,0 +1,113 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the CDC
+change-apply replay (the north-rule metric). Prints ONE JSON line.
+
+Usage: python bench.py            # sf dir from env, cores from env
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default all cores)
+       BENCH_CDC_SCALE    (events count override for the CDC replay)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from georef_ar_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_latest_event_per_user",
+    "q03_cdc_merge_state",
+    "q04_broadcast_enrich",
+    "q05_anti_join_deletes",
+    "q08_union_append",
+    "q10_group_minmax",
+    "q12_token_count",
+    "q14_lang_id",
+    "q15_fingerprint_groups",
+    "q16_exact_dedup",
+    "q17_minhash_lsh_pairs",
+    "q18_cosine_topk",
+    "q21_normalize_tokens",
+    "q22_knn_join",
+]
+
+
+def run_cdc_replay(spark, n_initial: int, n_events: int, n_batches: int) -> dict:
+    """The north-rule workload: bootstrap a token-sequence table, replay a
+    change-event log, measure end-to-end change-events/sec applied."""
+    from georef_ar_etl_spark.benchgen import gen_bench_workload
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/cdc_bench_cache")
+    ipath, epath = gen_bench_workload(cache, n_initial, n_events, n_batches)
+    initial = spark.read.parquet(ipath)
+    events = spark.read.parquet(epath)
+
+    root = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        eng = CdcEngine(spark, root, n_buckets=64, normalize_impl="pandas")
+        t0 = time.time()
+        eng.bootstrap(initial)
+        t_boot = time.time() - t0
+        t1 = time.time()
+        eng.replay(events)
+        t_replay = time.time() - t1
+        return {
+            "cdc_initial_rows": n_initial,
+            "cdc_events": n_events,
+            "cdc_batches": n_batches,
+            "cdc_bootstrap_sec": round(t_boot, 3),
+            "cdc_replay_sec": round(t_replay, 3),
+            "cdc_events_per_sec": round(n_events / t_replay, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(app_name="bench", cores=cores)
+
+    from georef_ar_etl_spark.plans.queries import QUERY_FNS
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERY_FNS[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {times[name]}s", file=sys.stderr)
+
+    try:
+        sf_f = float(sf)
+    except ValueError:
+        sf_f = 0.1
+    n_events = int(os.environ.get("BENCH_CDC_SCALE", int(2_000_000 * sf_f / 0.1)))
+    cdc = run_cdc_replay(
+        spark, n_initial=max(n_events // 4, 1000), n_events=n_events, n_batches=8
+    )
+    times["cdc_replay"] = cdc["cdc_replay_sec"]
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_f,
+        "cores": cores,
+        **cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

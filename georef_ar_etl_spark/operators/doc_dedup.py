@@ -99,31 +99,45 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b (the reference's
     symmetric-pair dedup trick, georef_ar_etl/intersections.py:55).
+
+    Scale shape: shingles are EXPLODED once and all n_hashes seeded hashes are
+    computed per shingle row in a single projection, then min-aggregated per
+    doc (hash aggregate with map-side combine). This is one pass over
+    O(docs × shingles) rows — NOT n_hashes nested array traversals, which
+    re-evaluate the shingle expression per seed and collapse at scale.
     """
     rows_per_band = n_hashes // n_bands
     base = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_k).alias("sh"),
-        minhash_bands(
-            minhash_signature(F.col(text_col), n_hashes, shingle_k), n_bands, rows_per_band
-        ).alias("bands"),
+        F.col(id_col).alias("id"), char_shingles(F.col(text_col), shingle_k).alias("sh")
     )
-    exploded = base.select("id", "sh", F.explode("bands").alias("band"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    ex = base.select("id", F.explode("sh").alias("s"))
+    hashed = ex.select(
+        "id", *[_md5_hash32(F.col("s"), i).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",", F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select("id", F.explode(F.array(*band_keys)).alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1,0 +1,673 @@
+"""Driver-facing query catalog: every operator family from SURVEY.md §2,
+expressed over the driver's testdata tables, each with a DuckDB oracle.
+
+Conventions for cross-engine value equality:
+* money aggregates go through exact decimal arithmetic, are rounded in the
+  decimal domain, and only then cast to double — bit-identical across
+  engines regardless of summation order;
+* no raw timestamps in outputs (cast to string);
+* every computed column is aliased identically in the Spark plan and the SQL;
+* similarity scores are rounded before ranking so ties break identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark.functions.scalar import zero_pad
+from georef_ar_etl_spark.functions.tokens import with_normalized_tokens
+from georef_ar_etl_spark.operators import doc_dedup, multimodal, similarity, text
+from georef_ar_etl_spark.operators.dedup_events import latest_per_key
+from georef_ar_etl_spark.operators.merge import merge_upsert
+
+QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERY_FNS[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=18, s=2):
+    return col.cast(f"decimal({p},{s})")
+
+
+def _money(col):
+    """Exact decimal sum → round(2) → double (order-insensitive)."""
+    return F.round(F.sum(_dec(col)), 2).cast("double")
+
+
+# ============================================================ aggregations
+# Reference kernel: blocks→streets GROUP BY with min/max/sum aggregates
+# (georef_ar_etl/streets.py:162-179).
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(round(sum(cast(l_quantity AS decimal(18,2))), 2) AS double) AS sum_qty,
+           cast(round(sum(cast(l_extendedprice AS decimal(18,2))), 2) AS double) AS sum_base_price,
+           cast(round(sum(cast(l_extendedprice AS decimal(18,2))
+                          * (1 - cast(l_discount AS decimal(9,6)))), 2) AS double) AS sum_disc_price,
+           count(*) AS count_order,
+           cast(round(sum(cast(l_quantity AS decimal(18,2))), 2) AS double) / count(*) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1995-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    sum_qty = F.round(F.sum(_dec(F.col("l_quantity"))), 2).cast("double")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        _money(F.col("l_extendedprice")).alias("sum_base_price"),
+        F.round(
+            F.sum(_dec(F.col("l_extendedprice")) * (F.lit(1) - F.col("l_discount").cast("decimal(9,6)"))),
+            2,
+        ).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+        (sum_qty / F.count(F.lit(1))).alias("avg_qty"),
+    )
+
+
+# Reference kernel: street door-number min/max over blocks
+# (georef_ar_etl/streets.py:162-179, tested tests/test_streets_extraction_step.py:90-119).
+@query(
+    "q10_group_minmax",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           min(o_orderpriority) AS first_priority
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q10(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderpriority").alias("first_priority"),
+    )
+
+
+# ===================================================== CDC kernel queries
+# The in-batch dedup window: latest event per key, last-writer-wins
+# (engine operator dedup_events.latest_per_key; reference analogue:
+# duplicate-PK handling, georef_ar_etl/transformers.py:89-94).
+@query(
+    "q02_latest_event_per_user",
+    """
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           cast(ts AS varchar) AS last_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q02(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("ts").cast("string").alias("ts_str"),
+    )
+    latest = latest_per_key(e, key="user_id", order="seq")
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts_str").alias("last_ts"),
+    )
+
+
+# The MERGE kernel itself (engine operator merge.merge_upsert), driven by a
+# CDC stream derived from `events`: error→delete, signup→insert, else update.
+# Reference: snapshot diff-and-upsert, georef_ar_etl/transformers.py:67-151.
+@query(
+    "q03_cdc_merge_state",
+    """
+    WITH b AS (
+      SELECT user_id AS k, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  WHEN event_type = 'signup' THEN 'insert'
+                  ELSE 'update' END AS op,
+             value AS balance, 'evt' AS segment,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events),
+    latest AS (SELECT k, op, balance, segment FROM b WHERE rn = 1),
+    t AS (SELECT c_custkey AS k, c_acctbal AS balance, c_mktsegment AS segment
+          FROM customer)
+    SELECT coalesce(l.k, t.k) AS k,
+           CASE WHEN l.k IS NOT NULL THEN l.balance ELSE t.balance END AS balance,
+           CASE WHEN l.k IS NOT NULL THEN l.segment ELSE t.segment END AS segment
+    FROM t FULL OUTER JOIN latest l ON t.k = l.k
+    WHERE NOT (l.k IS NOT NULL AND l.op = 'delete')
+    """,
+)
+def q03(spark, sf_dir):
+    state = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+        .alias("op"),
+        F.col("value").alias("balance"),
+        F.lit("evt").alias("segment"),
+    )
+    latest = latest_per_key(batch, key="k", order="seq").drop("seq")
+    merged = merge_upsert(state, latest, ["k", "balance", "segment"], key="k")
+    return merged.new_state
+
+
+# The quarantine split (engine operator validate.tag_invalid's shape):
+# classify every event by its first failing rule; invalid rows are counted,
+# never fatal (reference: georef_ar_etl/transformers.py:96-101,145-149).
+@query(
+    "q09_quarantine_split",
+    """
+    SELECT reason, count(*) AS n FROM (
+      SELECT CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+                    THEN 'bad_op'
+                  WHEN value IS NULL OR value < 1 THEN 'bad_value'
+                  ELSE 'valid' END AS reason
+      FROM events)
+    GROUP BY reason
+    """,
+)
+def q09(spark, sf_dir):
+    reason = (
+        F.when(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup"),
+            F.lit("bad_op"),
+        )
+        .when(F.col("value").isNull() | (F.col("value") < 1), F.lit("bad_value"))
+        .otherwise(F.lit("valid"))
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("reason", reason)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Token normalization — THE payload kernel (Arrow pandas UDF) — applied to
+# token arrays derived from documents; oracle replicates the semantics in SQL.
+@query(
+    "q21_normalize_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> (length(w) - 3)::int) AS raw
+      FROM documents),
+    f AS (SELECT doc_id, list_filter(raw, x -> x >= 0) AS nn FROM t),
+    l AS (SELECT doc_id, nn,
+                 coalesce(list_max(list_transform(
+                     generate_series(1, greatest(len(nn), 1)),
+                     i -> CASE WHEN nn[i::int] <> 0 THEN i ELSE 0 END)), 0) AS lastnz
+          FROM f)
+    SELECT doc_id, nn[1:lastnz::int] AS tokens, lastnz::int AS n_tok FROM l
+    """,
+)
+def q21(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(text.norm_text(F.col("text")), " "),
+            lambda w: (F.length(w) - 3).cast("int"),
+        ).alias("tokens"),
+        F.lit("update").alias("op"),
+        F.lit(0).alias("n_tok"),
+    )
+    return with_normalized_tokens(raw, impl="pandas").select("doc_id", "tokens", "n_tok")
+
+
+# ==================================================================== joins
+# Broadcast dimension-lookup join (reference: memoized province/dept lookups,
+# georef_ar_etl/context.py:63-146 → broadcast hash join).
+@query(
+    "q04_broadcast_enrich",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           cast(round(sum(cast(c_acctbal AS decimal(18,2))), 2) AS double) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q04(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _money(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+# Left-anti join — the delete-set computation
+# (reference: georef_ar_etl/transformers.py:120-136).
+@query(
+    "q05_anti_join_deletes",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# Theta self-join with anti-symmetric dedup (a.id < b.id) — the intersections
+# pattern (georef_ar_etl/intersections.py:42-63, dedup trick at :55).
+@query(
+    "q07_selfjoin_pairs",
+    """
+    SELECT a.n_regionkey AS region_key, a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def q07(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_regionkey").alias("region_key"),
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+    )
+
+
+# ============================================================== set ops
+# Multi-file append union (reference: 24 per-province CSV appends,
+# georef_ar_etl/streets.py:33-41 → unionByName).
+@query(
+    "q08_union_append",
+    """
+    SELECT l_returnflag, count(*) AS n_rows,
+           cast(round(sum(cast(l_quantity AS decimal(18,2))), 2) AS double) AS sum_qty
+    FROM (SELECT * FROM lineitem WHERE l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00')
+    GROUP BY l_returnflag
+    """,
+)
+def q08(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    u = l.filter(F.col("l_shipdate") < cut).unionByName(
+        l.filter(F.col("l_shipdate") >= cut)
+    )
+    return u.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(_dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+    )
+
+
+# ===================================================== scalar function kernel
+# Prefix predicates, lpad, CASE enum decode, coalesce/nullif
+# (reference: SURVEY.md §2.7 — constants.py maps, street_blocks.py:57-58).
+@query(
+    "q06_scalar_kernel",
+    """
+    SELECT p_partkey,
+           substr(p_name, 1, 4) AS name_prefix,
+           lpad(cast(p_size AS varchar), 5, '0') AS size_pad,
+           CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'mid'
+                ELSE 'large' END AS size_class,
+           coalesce(nullif(p_brand, ''), 'unknown') AS brand
+    FROM part
+    WHERE p_name IS NOT NULL AND p_name LIKE '%widget%' AND p_retailprice > 900.5
+    """,
+)
+def q06(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").isNotNull()
+        & F.col("p_name").like("%widget%")
+        & (F.col("p_retailprice") > 900.5)
+    )
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        zero_pad(F.col("p_size"), 5).alias("size_pad"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "mid")
+        .otherwise("large")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("")), F.lit("unknown")).alias("brand"),
+    )
+
+
+# ================================================================= windows
+# Sequence numbering within a partition (reference: intersection point
+# numbering idx+1 zero-padded, georef_ar_etl/intersections.py:81-95).
+@query(
+    "q11_window_sequence",
+    """
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq_in_user,
+           lpad(cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                     AS varchar), 4, '0') AS seq_pad
+    FROM events
+    """,
+)
+def q11(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    rn = F.row_number().over(w)
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", rn.alias("seq_in_user"), zero_pad(rn, 4).alias("seq_pad")
+    )
+
+
+# ======================================================== text analysis
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "q12_token_count",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length({_NORM}) = 0 THEN 0
+                ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+    FROM documents
+    """,
+)
+def q12(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+@query(
+    "q13_quality_score",
+    rf"""
+    SELECT doc_id,
+           length(text) AS q_n_chars,
+           n_tok AS q_n_tokens,
+           round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 6)
+             AS q_punct_ratio,
+           round(len(regexp_extract_all({_NORM},
+                 '\b(the|a|of|and|to|in|is|it)\b')) / greatest(n_tok, 1), 6)
+             AS q_stopword_ratio,
+           round(length(replace({_NORM}, ' ', '')) / greatest(n_tok, 1), 6)
+             AS q_mean_word_len
+    FROM (SELECT *, CASE WHEN length({_NORM}) = 0 THEN 0
+                         ELSE len(string_split({_NORM}, ' ')) END AS n_tok
+          FROM documents)
+    """,
+)
+def q13(spark, sf_dir):
+    out = text.quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("q_n_chars").cast("long"),
+        F.col("q_n_tokens").cast("long"),
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        "q_mean_word_len",
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = ", ".join(
+        rf"len(regexp_extract_all({_NORM}, '\b({'|'.join(ws)})\b')) AS s_{lang}"
+        for lang, ws in text.LANG_MARKERS.items()
+    )
+    langs = list(text.LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + x for x in langs)})"
+    case = " ".join(
+        f"WHEN {best} > 0 AND s_{x} = {best} THEN '{x}'" for x in langs
+    )
+    return f"""
+    SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred
+    FROM (SELECT doc_id, text, {score_cols} FROM documents)
+    """
+
+
+@query("q14_lang_id", _lang_sql())
+def q14(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "q15_fingerprint_groups",
+    f"""
+    SELECT md5({_NORM}) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY fp
+    """,
+)
+def q15(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(text.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+# ===================================================== dedup (documents)
+@query(
+    "q16_exact_dedup",
+    f"""
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM
+            (SELECT doc_id, md5({_NORM}) AS fp FROM documents) GROUP BY fp) k
+      ON d.doc_id = k.doc_id
+    """,
+)
+def q16(spark, sf_dir):
+    return doc_dedup.dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id", "source")
+
+
+def _minhash_sql(n_hashes=8, n_bands=4, k=8, min_j=0.35) -> str:
+    rows = n_hashes // n_bands
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> (('0x' || substr(md5(x || ':' || {i}), 1, 8))::UBIGINT)::BIGINT))"
+        for i in range(n_hashes)
+    )
+    bands = ", ".join(
+        "md5(concat_ws(',', '%d', %s))"
+        % (b, ", ".join(f"sig[{b * rows + r + 1}]::varchar" for r in range(rows)))
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, greatest(length(t) - {k - 1}, 1)),
+                    i -> substr(t, i::int, {k}))) AS s
+           FROM norm),
+    sig AS (SELECT doc_id, s, [{mins}] AS sig FROM sh),
+    bands AS (SELECT doc_id, s, unnest([{bands}]) AS band FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.s, sb.s)) * 1.0
+                   / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+      FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {min_j}
+    """
+
+
+@query("q17_minhash_lsh_pairs", _minhash_sql())
+def q17(spark, sf_dir):
+    return doc_dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=8, n_bands=4, min_jaccard=0.35, shingle_k=8,
+    )
+
+
+# ================================================== similarity (embeddings)
+@query(
+    "q18_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q18(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(emb, qv, k=10)
+
+
+def _lsh_ann_sql(n_bits=4, seed=7, dim=64, k=10) -> str:
+    planes = similarity.hyperplanes(dim, n_bits, seed)
+    lits = [("[" + ", ".join(repr(float(x)) for x in row) + "]") for row in planes]
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 THEN '1' ELSE '0' END)"
+        for lit in lits
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings),
+    q AS (SELECT bucket AS qb, embedding::DOUBLE[] AS qv FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+    FROM b, q
+    WHERE b.bucket = q.qb
+    ORDER BY score DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("q19_lsh_ann_topk", _lsh_ann_sql())
+def q19(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_bucket_topk(emb, qv, k=10, n_bits=4, seed=7)
+
+
+# =================================================== multimodal plumbing
+@query(
+    "q20_multimodal_features",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           strlen(text) AS n_bytes, ascii(substr(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+)
+def q20(spark, sf_dir):
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("first_byte").cast("int").alias("first_byte"),
+    )
+
+
+# kNN join: top-3 corpus neighbors for each of 3 probe vectors (mapInPandas
+# batch matmul + global top-k per probe).
+@query(
+    "q22_knn_join",
+    """
+    WITH probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+                    FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], p.pv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(p.pv, p.pv))), 4) AS score
+      FROM embeddings e CROSS JOIN probes p),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY score DESC, vec_id) AS rank
+               FROM scored)
+    SELECT probe_id, vec_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q22(spark, sf_dir):
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes_rows = emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    probes = pd.DataFrame({
+        "probe_id": [r["vec_id"] for r in probes_rows],
+        "vec": [np.asarray(r["embedding"], dtype=np.float64) for r in probes_rows],
+    })
+    return similarity.knn_join_cosine(emb, probes, k=3)
+
+
+# ============================== rows-only checks (non-SQL-expressible ops)
+# SimHash uses 64-bit md5-derived bit votes — impractical to replicate in
+# SQL; the driver records a rows-only check.
+def q23(spark, sf_dir):
+    return doc_dedup.simhash_candidates(
+        _t(spark, sf_dir, "documents").limit(500), band_bits=16
+    )
+
+
+QUERY_FNS["q23_simhash_candidates"] = q23
+
+
+# Full CDC engine replay (side-effectful: writes a snapshot table under a
+# temp dir) — returns the final state; rows-only check.
+def q24(spark, sf_dir):
+    import tempfile
+
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial = datagen.gen_initial_state(500, seed=42, max_len=64)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], 2000, 4, seed=43, max_len=64
+    )
+    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    eng.replay(datagen.events_to_df(spark, events))
+    return eng.state()
+
+
+QUERY_FNS["q24_cdc_replay_state"] = q24
