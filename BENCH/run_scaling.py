@@ -1,0 +1,136 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule requires change-apply throughput scaling efficiency ≥ 0.8 between N
+and 4N executors. No real cluster exists in this sandbox, so (per the driver
+instruction) the SAME job runs on the SAME input at two parallelism levels —
+local[N] and local[4N] — and efficiency = (tput_4N / tput_N) / 4.
+
+Each level runs in a fresh JVM via spark-submit --py-files (the production
+launch mode). Results → BENCH/BASELINE.md.
+
+Usage: python BENCH/run_scaling.py [N] [events] [mean_tokens]
+(default N=2 → local[2] vs local[8]; SCALING_TRIALS env, default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # run from anywhere
+
+
+def make_zip(path: str) -> str:
+    pkg = os.path.join(REPO, "georef_ar_etl_spark")
+    with zipfile.ZipFile(path, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def run_level(zip_path: str, cores: int, n_initial: int, n_events: int,
+              n_batches: int, cache: str, mean_tokens: float) -> dict:
+    cmd = [
+        "spark-submit",
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        # must be set at JVM launch (session-time config is too late under
+        # spark-submit); see session.py for why ParallelGC
+        "--conf", "spark.driver.extraJavaOptions="
+        + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        "--py-files", zip_path,
+        os.path.join(REPO, "BENCH", "replay_job.py"),
+        str(cores), str(n_initial), str(n_events), str(n_batches), cache,
+        str(mean_tokens),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    # realistic training-sequence payloads (mean 256 tokens ≈ 1 KiB/row):
+    # the north-rule workload is compute/IO-dominated, not scheduler-dominated
+    mean_tokens = float(sys.argv[3]) if len(sys.argv) > 3 else 256.0
+    n_initial = n_events // 2
+    n_batches = 4
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/cdc_bench_cache")
+    zip_path = make_zip("/tmp/engine_scaling.zip")
+
+    # warm the workload cache once so generation cost is outside the timing
+    from georef_ar_etl_spark.benchgen import gen_bench_workload
+
+    gen_bench_workload(cache, n_initial, n_events, n_batches, mean_tokens=mean_tokens)
+
+    # single-box wall-clock is noisy (shared VM: ±2× run-to-run observed);
+    # alternate levels and keep the best trial per level
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    results = {}
+    for t in range(trials):
+        for cores in (n, 4 * n):
+            r = run_level(zip_path, cores, n_initial, n_events, n_batches, cache, mean_tokens)
+            print(json.dumps({"trial": t, **r}))
+            if cores not in results or r["events_per_sec"] > results[cores]["events_per_sec"]:
+                results[cores] = r
+
+    t_n = results[n]["events_per_sec"]
+    t_4n = results[4 * n]["events_per_sec"]
+    eff = (t_4n / t_n) / 4
+    summary = {
+        "N_cores": n,
+        "4N_cores": 4 * n,
+        "events": n_events,
+        "throughput_N": t_n,
+        "throughput_4N": t_4n,
+        "speedup": round(t_4n / t_n, 3),
+        "scaling_efficiency": round(eff, 3),
+        "pass_ge_0.8": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+
+North rule: change-apply throughput scaling efficiency ≥ 0.8 between N and
+4N executors. In-sandbox evidence (driver instruction): the same replay job,
+same input, at two parallelism levels, each in a fresh JVM via
+`spark-submit --py-files`.
+
+Workload: {n_events:,} change events over {n_initial:,} initial rows,
+{n_batches} micro-batches, mean {mean_tokens:.0f} tokens per sequence
+(realistic pre-tokenized training payloads, ≈1 KiB/row), seeded generator
+(benchgen.py), identical input files for both levels.
+
+Best of {trials} alternating trials per level (single shared-VM box:
+±2× run-to-run noise observed, best-of controls for it):
+
+| parallelism | replay wall (s) | throughput (events/sec) |
+|---|---|---|
+| local[{n}] (N) | {results[n]["replay_sec"]} | {t_n:,.0f} |
+| local[{4 * n}] (4N) | {results[4 * n]["replay_sec"]} | {t_4n:,.0f} |
+
+- speedup 4N/N: **{t_4n / t_n:.2f}×**
+- scaling efficiency (tput_4N / tput_N) / 4: **{eff:.3f}**
+- final table rows (both levels, identical): {results[n]["final_rows"]:,} /
+  {results[4 * n]["final_rows"]:,}
+
+Caveat: both levels share one machine (single JVM local mode, common memory
+bandwidth and page cache); on a real multi-executor cluster the 4N level
+adds network shuffle but also 4× memory bandwidth, so single-node numbers
+are a conservative stand-in for CPU-bound stages and an optimistic one for
+shuffle-bound stages.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,11 +74,14 @@ def gen_bench_workload(
     rng.shuffle(ids)
     tokens, lens = _token_lists(rng, len(ids), mean_tokens)
     sources = rng.choice(SOURCES, size=len(ids))
+    # bounded row groups: one-table-sized groups defeat Spark's split-by-
+    # range scan parallelism and overflow its vectored-IO fetch window
     pq.write_table(
         pa.Table.from_arrays(
             [pa.array(ids), tokens, pa.array(lens), pa.array(sources)], schema=_STATE_PA
         ),
         ipath,
+        row_group_size=32768,
     )
 
     # events: 60% update / 30% insert / 10% delete; updates+deletes hit the
@@ -108,5 +111,6 @@ def gen_bench_workload(
             schema=_EVENT_PA,
         ),
         epath,
+        row_group_size=32768,
     )
     return ipath, epath

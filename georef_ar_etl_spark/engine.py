@@ -17,20 +17,19 @@ Python on the data path is the Arrow-batched normalization UDF.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from georef_ar_etl_spark.functions.tokens import with_normalized_tokens
 from georef_ar_etl_spark.operators.dedup_events import latest_per_key
-from georef_ar_etl_spark.operators.merge import align_columns, merge_upsert
-from georef_ar_etl_spark.operators.validate import (
-    quarantine_empty_after_norm,
-    split_quarantine,
-    tag_invalid,
-)
+from georef_ar_etl_spark.operators.copart_merge import merge_copartitioned
+from georef_ar_etl_spark.operators.merge import ACTIONS, align_columns, merge_upsert
+from georef_ar_etl_spark.operators.validate import QUARANTINE_REASONS, tag_invalid
 from georef_ar_etl_spark.schemas import (
     EVENT_META_COLS,
     STATE_SCHEMA,
@@ -65,12 +64,20 @@ class CdcEngine:
         dim: DataFrame | None = None,
         strict_dup: bool = False,
         normalize_impl: str = "pandas",
+        merge_impl: str = "copartitioned",
     ):
+        """``merge_impl``:
+        * ``copartitioned`` (default) — storage-partitioned merge (Iceberg
+          SPJ emulation, operators/copart_merge.py): state never shuffles.
+        * ``join`` — full-outer DataFrame join (operators/merge.py): simplest
+          Catalyst plan; shuffles the touched state every batch.
+        Both are tested equal against the oracle."""
         self.spark = spark
         self.table = SnapshotTable(spark, table_root, n_buckets)
         self.dim = dim
         self.strict_dup = strict_dup
         self.normalize_impl = normalize_impl
+        self.merge_impl = merge_impl
 
     # ------------------------------------------------------------- bootstrap
     def bootstrap(self, initial: DataFrame) -> dict:
@@ -103,68 +110,142 @@ class CdcEngine:
         if latest is None:
             raise RuntimeError("bootstrap() the table before applying batches")
 
-        # idempotent re-apply: a committed batch_id is a verified no-op
-        digest = content_digest(events)
+        # idempotent re-apply: a committed batch_id is a verified no-op.
+        # The digest, the quarantine-reason histogram, and the touched-bucket
+        # set are all computed in ONE aggregate pass over the batch (driver
+        # round-trips per micro-batch are the serial cost that caps scaling
+        # efficiency — this pipeline runs exactly 2 Spark jobs per batch:
+        # this pre-pass and the merge+write, plus a quarantine write only
+        # when something was actually quarantined).
         committed = self.table.committed_batches()
+
+        # 1. schema contract + additive evolution
+        latest_schema = T.StructType.fromJson(latest["schema"])
+        contract = validate_contract(events.schema, STATE_SCHEMA)
+        if not contract.ok:
+            raise SchemaContractError("; ".join(contract.errors))
+        new_schema = evolved_state_schema(latest_schema, events.schema)
+        state_schema = latest_schema
+        payload_cols = [f.name for f in new_schema.fields]
+
+        # digest covers the batch's ORIGINAL columns — alignment below adds
+        # evolution columns as nulls, and a legit redelivery of an old-shape
+        # batch after evolution must still digest identically
+        orig_cols = sorted(events.columns)
+        # make older-shape batches mergeable after evolution (missing → null)
+        events = align_columns(events, T.StructType(
+            [f for f in new_schema.fields if f.name not in EVENT_META_COLS]
+        ).add("batch_id", "long").add("seq", "long").add("op", "string"))
+
+        nb = self.table.n_buckets
+        tagged = tag_invalid(events, self.dim)
+        event_cols = [F.col(c) for c in orig_cols]
+        pre = tagged.select(
+            F.col("reason"),
+            F.xxhash64(*event_cols).alias("_h"),
+            F.when(
+                F.col("reason").isNull(), bucket_expr(F.col("doc_id"), nb)
+            ).alias("_b"),
+        ).agg(
+            F.expr("bit_xor(_h)").alias("_x"),
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_set("_b").alias("_buckets"),
+            *[
+                F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
+                for r in QUARANTINE_REASONS
+            ],
+        ).collect()[0]
+        digest = f"{pre['_x']}:{pre['_n']}"
         if batch_id in committed:
             if committed[batch_id]["batch_digest"] != digest:
                 raise ConflictError(
                     f"batch {batch_id} re-delivered with different content"
                 )
             return committed[batch_id]
+        events_in = pre["_n"]
+        touched = sorted(pre["_buckets"])
+        q_counts = {r: int(pre[r]) for r in QUARANTINE_REASONS if pre[r]}
+        q_rows = sum(q_counts.values())
+        t_pre_done = time.time()
 
-        # 1. schema contract + additive evolution
-        state_schema = T.StructType.fromJson(latest["schema"])
-        contract = validate_contract(events.schema, STATE_SCHEMA)
-        if not contract.ok:
-            raise SchemaContractError("; ".join(contract.errors))
-        new_schema = evolved_state_schema(state_schema, events.schema)
-        payload_cols = [f.name for f in new_schema.fields]
+        # 2-3. quarantine side-output (written only when non-empty; all rules
+        # are cheap JVM predicates incl. empty-after-normalization, see
+        # validate.tag_invalid)
+        epoch = latest["epoch"] + 1
+        q_path = None
+        if q_rows:
+            q_path = self.table.write_quarantine(
+                tagged.filter(F.col("reason").isNotNull()), epoch
+            )
+        valid = tagged.filter(F.col("reason").isNull()).drop("reason")
+        t_quar_done = time.time()
 
-        # make older-shape batches mergeable after evolution (missing → null)
-        events = align_columns(events, T.StructType(
-            [f for f in new_schema.fields if f.name not in EVENT_META_COLS]
-        ).add("batch_id", "long").add("seq", "long").add("op", "string"))
+        # 4-5. dedup → normalize (Arrow UDF sees only the winning event per
+        # key) → bucket-pruned MERGE → single write job with observed counts
+        deduped = latest_per_key(valid, strict=self.strict_dup)
+        t_plan_done = time.time()
 
-        # 2-3. validate → quarantine; normalize (Arrow); re-validate
-        vb = split_quarantine(tag_invalid(events, self.dim))
-        norm = with_normalized_tokens(vb.valid, impl=self.normalize_impl)
-        vb2 = quarantine_empty_after_norm(norm)
-        norm_valid = vb2.valid.persist()
-        quarantine = vb.quarantined.unionByName(vb2.quarantined)
-
-        # 4. in-batch dedup (last-writer-wins by seq; strict = reference mode)
-        deduped = latest_per_key(norm_valid, strict=self.strict_dup)
-
-        # 5. bucket pruning: read/merge/rewrite ONLY buckets the batch touches
-        nb = self.table.n_buckets
-        touched = [
-            r["b"]
-            for r in deduped.select(
-                bucket_expr(F.col("doc_id"), nb).alias("b")
-            ).distinct().collect()
-        ]
-        state_touched = align_columns(
-            self.table.read_state(buckets=touched, manifest=latest), new_schema
-        )
-        merged = merge_upsert(state_touched, deduped, payload_cols)
-        merged.tagged.persist()
-        action_counts = merged.action_counts()
-        new_buckets_df = merged.new_state.withColumn(
-            "bucket", bucket_expr(F.col("doc_id"), nb)
-        )
-
-        # quarantine reason histogram (lineage)
-        q_counts = {
-            r["reason"]: r["count"]
-            for r in quarantine.groupBy("reason").count().collect()
-        }
-        events_in = digest.rsplit(":", 1)[1]
+        if self.merge_impl == "copartitioned":
+            # normalization happens inside the merge tasks (post-shuffle, full
+            # parallelism) — same vectorized kernel as the pandas UDF
+            batch_b = deduped.select(
+                "op", bucket_expr(F.col("doc_id"), nb).alias("bucket"), *payload_cols
+            )
+            bucket_files = self.table.bucket_file_paths(touched, manifest=latest)
+            epoch_dir = self.table.epoch_dir(epoch)
+            results = merge_copartitioned(
+                batch_b,
+                bucket_files,
+                payload_cols,
+                json.dumps(new_schema.jsonValue()),
+                epoch_dir,
+            ).collect()
+            written = {
+                int(r["bucket"]): os.path.relpath(os.path.dirname(r["path"]), self.table.root)
+                for r in results
+            }
+            written_counts = {int(r["bucket"]): int(r["rows"]) for r in results}
+            total_after = sum(written_counts.values())
+            action_counts = {
+                a: s
+                for a, s in (
+                    ("insert", sum(int(r["inserted"]) for r in results)),
+                    ("update", sum(int(r["updated"]) for r in results)),
+                    ("delete", sum(int(r["deleted"]) for r in results)),
+                    ("delete_noop", sum(int(r["delete_noop"]) for r in results)),
+                )
+                if s
+            }
+            keep = total_after - action_counts.get("insert", 0) - action_counts.get("update", 0)
+            if keep:
+                action_counts["keep"] = keep
+        else:
+            normalized = with_normalized_tokens(deduped, impl=self.normalize_impl)
+            state_touched = align_columns(
+                self.table.read_state(buckets=touched, manifest=latest), new_schema
+            )
+            merged = merge_upsert(state_touched, normalized, payload_cols)
+            m_obs = Observation(f"merge-{batch_id}")
+            m_aggs = [
+                F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
+                for a in ACTIONS
+            ]
+            observed = merged.tagged.observe(m_obs, *m_aggs)
+            new_buckets_df = observed.filter(
+                ~F.col("_action").isin("delete", "delete_noop")
+            ).drop("_key", "_action").withColumn(
+                "bucket", bucket_expr(F.col("doc_id"), nb)
+            )
+            written = self.table.write_data(epoch, new_buckets_df)
+            written_counts = None
+            m_got = m_obs.get
+            action_counts = {a: int(m_got[a]) for a in ACTIONS if m_got[a]}
+        t_write_done = time.time()
 
         wall = time.time() - t0
         metrics = {
             "kind": "apply",
-            "events_in": int(events_in),
+            "events_in": events_in,
             "quarantined": q_counts,
             "actions": action_counts,
             "touched_buckets": len(touched),
@@ -173,23 +254,26 @@ class CdcEngine:
                 if f.name not in {x.name for x in state_schema.fields}
             ],
             "wall_sec": wall,
-            "events_per_sec": int(events_in) / wall if wall > 0 else None,
+            "events_per_sec": events_in / wall if wall > 0 else None,
+            "phase_sec": {
+                "prepass": round(t_pre_done - t0, 2),
+                "quarantine_write": round(t_quar_done - t_pre_done, 2),
+                "plan": round(t_plan_done - t_quar_done, 2),
+                "merge_write": round(t_write_done - t_plan_done, 2),
+            },
         }
-        epoch = latest["epoch"] + 1
-        try:
-            manifest = self.table.commit(
-                epoch=epoch,
-                schema=new_schema,
-                new_buckets_df=new_buckets_df,
-                touched_buckets=touched,
-                batch_id=batch_id,
-                batch_digest=digest,
-                metrics=metrics,
-                quarantine_df=quarantine,
-            )
-        finally:
-            merged.tagged.unpersist()
-            norm_valid.unpersist()
+        manifest = self.table.write_manifest(
+            epoch=epoch,
+            schema=new_schema,
+            written=written,
+            touched_buckets=touched,
+            batch_id=batch_id,
+            batch_digest=digest,
+            metrics=metrics,
+            quarantine_path=q_path,
+            quarantine_rows=q_rows,
+            written_counts=written_counts,
+        )
         return manifest
 
     # ---------------------------------------------------------------- replay

@@ -29,23 +29,58 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def normalize_series(tokens: pd.Series) -> pd.Series:
+    """Numpy-vectorized normalization core shared by the pandas UDF and the
+    storage-partitioned merge (operators/copart_merge.py).
+
+    Works on the flattened value buffer with numpy segment operations
+    (repeat/reduceat) — no per-row Python function calls; the only O(rows)
+    Python object creation is the final split back into per-row arrays.
+    """
+    n = len(tokens)
+    notnull = tokens.notna().to_numpy()
+    vals_list = [np.asarray(v, dtype=np.int64) for v in tokens[notnull]]
+    if not vals_list:
+        return pd.Series([None if not nn else [] for nn in notnull], dtype=object)
+
+    lens = np.fromiter((len(v) for v in vals_list), dtype=np.int64, count=len(vals_list))
+    flat = np.concatenate(vals_list) if lens.sum() else np.empty(0, dtype=np.int64)
+    row_ids = np.repeat(np.arange(len(vals_list)), lens)
+
+    # 1. drop negatives
+    keep = flat >= 0
+    fv, fr = flat[keep], row_ids[keep]
+    flens = np.bincount(fr, minlength=len(vals_list)).astype(np.int64)
+    offsets = np.zeros(len(vals_list) + 1, dtype=np.int64)
+    np.cumsum(flens, out=offsets[1:])
+
+    # 2. last non-zero position per row: maximum.reduceat over (pos+1)*(v!=0)
+    pos_in_row = np.arange(len(fv)) - offsets[:-1][fr]
+    score = np.where(fv != 0, pos_in_row + 1, 0)
+    lastnz = np.zeros(len(vals_list), dtype=np.int64)
+    nonempty = flens > 0
+    if nonempty.any():
+        starts = offsets[:-1][nonempty]
+        lastnz[nonempty] = np.maximum.reduceat(score, starts)
+
+    # 3. keep the first lastnz elements per row
+    out_keep = pos_in_row < lastnz[fr]
+    out_vals = fv[out_keep].astype(np.int32)
+    out_offsets = np.zeros(len(vals_list) + 1, dtype=np.int64)
+    np.cumsum(lastnz, out=out_offsets[1:])
+    pieces = np.split(out_vals, out_offsets[1:-1])
+
+    pieces_arr = np.empty(len(pieces), dtype=object)
+    pieces_arr[:] = pieces
+    out = np.empty(n, dtype=object)
+    out[~notnull] = None
+    out[notnull] = pieces_arr
+    return pd.Series(out, dtype=object, index=tokens.index)
+
+
 @pandas_udf(T.ArrayType(T.IntegerType(), containsNull=False))
 def normalize_tokens_pandas(tokens: pd.Series) -> pd.Series:
-    """Arrow-vectorized normalization: numpy ops per value, no Python loops
-    over scalars. Null input stays null (delete events carry null payloads)."""
-
-    def _norm(arr):
-        if arr is None:
-            return None
-        a = np.asarray(arr, dtype=np.int64)
-        a = a[a >= 0]
-        # strip trailing zeros: keep up to the last non-zero element
-        nz = np.flatnonzero(a)
-        if nz.size == 0:
-            return np.empty(0, dtype=np.int32)
-        return a[: nz[-1] + 1].astype(np.int32)
-
-    return tokens.map(_norm)
+    return normalize_series(tokens)
 
 
 def normalize_tokens_expr(col: Column) -> Column:

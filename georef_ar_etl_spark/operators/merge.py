@@ -32,6 +32,8 @@ ACTION_DELETE = "delete"
 ACTION_DELETE_NOOP = "delete_noop"
 ACTION_KEEP = "keep"
 
+ACTIONS = (ACTION_INSERT, ACTION_UPDATE, ACTION_DELETE, ACTION_DELETE_NOOP, ACTION_KEEP)
+
 
 @dataclass
 class MergeResult:

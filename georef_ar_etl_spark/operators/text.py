@@ -80,11 +80,16 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm_text(col))
 
 
-def char_shingles(col: Column, k: int = 3) -> Column:
+def char_shingles(col: Column, k: int = 3, pre_normalized: bool = False) -> Column:
     """Distinct character k-gram shingle set of the normalized text —
     input to MinHash / Jaccard dedup. Pure higher-order functions:
-    transform over a position sequence, then distinct."""
-    t = norm_text(col)
+    transform over a position sequence, then distinct.
+
+    PERF: expressions referenced inside a ``transform`` lambda are evaluated
+    PER ELEMENT — normalize the text into a real column first (and pass
+    ``pre_normalized=True``), otherwise the regexp in norm_text runs once per
+    shingle position."""
+    t = col if pre_normalized else norm_text(col)
     n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
     return F.array_distinct(grams)

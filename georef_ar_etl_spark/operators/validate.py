@@ -25,6 +25,8 @@ EMPTY_TOKENS = "empty_tokens"
 EMPTY_AFTER_NORM = "empty_tokens_after_norm"
 UNKNOWN_GROUP = "unknown_group"
 
+QUARANTINE_REASONS = (BAD_OP, BAD_ID, EMPTY_TOKENS, EMPTY_AFTER_NORM, UNKNOWN_GROUP)
+
 
 @dataclass
 class ValidatedBatch:
@@ -40,12 +42,21 @@ def tag_invalid(events: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     validation (reference: CachedQuery lookups, context.py:63-146) — events
     whose doc_id prefix has no dimension row are quarantined, never fatal.
     """
+    is_upsert = F.col("op") != "delete"
     reason = (
         F.when(~F.col("op").isin(*OPS), F.lit(BAD_OP))
         .when(F.col("doc_id").isNull() | (F.length("doc_id") != DOC_ID_LEN), F.lit(BAD_ID))
         .when(
-            (F.col("op") != "delete") & (F.col("tokens").isNull() | (F.size("tokens") == 0)),
+            is_upsert & (F.col("tokens").isNull() | (F.size("tokens") == 0)),
             F.lit(EMPTY_TOKENS),
+        )
+        # normalization (drop negatives, strip trailing zeros) yields an empty
+        # array iff no element is > 0 — so the post-normalization emptiness
+        # check is a cheap JVM predicate here, and the normalization UDF never
+        # has to run on the quarantine path
+        .when(
+            is_upsert & ~F.exists("tokens", lambda x: x > F.lit(0)),
+            F.lit(EMPTY_AFTER_NORM),
         )
     )
     tagged = events.withColumn("reason", reason)

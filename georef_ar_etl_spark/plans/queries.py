@@ -503,8 +503,11 @@ def q16(spark, sf_dir):
 
 def _minhash_sql(n_hashes=8, n_bands=4, k=8, min_j=0.35) -> str:
     rows = n_hashes // n_bands
+    # seed-group scheme: hash i uses hex chars [1+8*(i%4), 8] of
+    # md5(shingle || ':' || i//4) — mirrors doc_dedup._md5_hash32_batch
     mins = ", ".join(
-        f"list_min(list_transform(s, x -> (('0x' || substr(md5(x || ':' || {i}), 1, 8))::UBIGINT)::BIGINT))"
+        f"list_min(list_transform(s, x -> (('0x' || substr(md5(x || ':' || {i // 4}),"
+        f" {1 + 8 * (i % 4)}, 8))::UBIGINT)::BIGINT))"
         for i in range(n_hashes)
     )
     bands = ", ".join(

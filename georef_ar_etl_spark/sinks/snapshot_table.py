@@ -67,6 +67,7 @@ class SnapshotTable:
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
+        self._manifest_cache: dict[str, dict] = {}
         os.makedirs(os.path.join(self.root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
 
@@ -75,12 +76,19 @@ class SnapshotTable:
         return os.path.join(self.root, MANIFEST_DIR, f"epoch-{epoch:010d}.json")
 
     def manifests(self) -> list[dict]:
+        """All committed manifests, oldest first. Parsed manifests are cached
+        by filename — commit history is immutable, so a per-batch re-read is
+        pure overhead (it showed up in replay profiles as O(epochs²) IO)."""
         mdir = os.path.join(self.root, MANIFEST_DIR)
         out = []
         for name in sorted(os.listdir(mdir)):
             if name.startswith("epoch-") and name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    out.append(json.load(f))
+                m = self._manifest_cache.get(name)
+                if m is None:
+                    with open(os.path.join(mdir, name)) as f:
+                        m = json.load(f)
+                    self._manifest_cache[name] = m
+                out.append(m)
         return out
 
     def latest_manifest(self) -> dict | None:
@@ -124,6 +132,28 @@ class SnapshotTable:
         )
         return df
 
+    def bucket_file_paths(
+        self, buckets: list[int], manifest: dict | None = None
+    ) -> dict[int, list[str]]:
+        """bucket → absolute parquet file paths (for the copartitioned merge)."""
+        m = manifest or self.latest_manifest()
+        out: dict[int, list[str]] = {}
+        for b in buckets:
+            d = m["buckets"].get(str(b))
+            if d is None:
+                out[b] = []
+                continue
+            full = os.path.join(self.root, d)
+            out[b] = sorted(
+                os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
+            )
+        return out
+
+    def epoch_dir(self, epoch: int) -> str:
+        d = os.path.join(self.root, DATA_DIR, f"epoch={epoch}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
     # ----------------------------------------------------------------- write
     def _write_buckets(self, df: DataFrame, epoch: int) -> dict[int, str]:
         """Write (payload + bucket) rows under data/epoch=K, one directory per
@@ -163,18 +193,32 @@ class SnapshotTable:
         return counts
 
     # ---------------------------------------------------------------- commit
-    def commit(
+    def write_data(self, epoch: int, new_buckets_df: DataFrame | None) -> dict[int, str]:
+        """Write the epoch's touched-bucket data files (NOT yet committed —
+        an orphan epoch dir without a manifest is invisible and harmless)."""
+        if new_buckets_df is None:
+            return {}
+        return self._write_buckets(new_buckets_df, epoch)
+
+    def write_manifest(
         self,
         epoch: int,
         schema: T.StructType,
-        new_buckets_df: DataFrame | None,
+        written: dict[int, str],
         touched_buckets: list[int],
         batch_id: int | None,
         batch_digest: str | None,
         metrics: dict,
-        quarantine_df: DataFrame | None = None,
+        quarantine_path: str | None = None,
+        quarantine_rows: int = 0,
+        written_counts: dict[int, int] | None = None,
     ) -> dict:
-        """Write touched buckets + manifest; atomic; idempotent per digest."""
+        """Atomically publish the manifest — THE commit point. Idempotent:
+        same epoch + same digest returns the existing manifest.
+
+        ``written_counts``: per-bucket row counts if the writer already knows
+        them (the copartitioned merge returns them from the tasks); otherwise
+        they are read from the parquet footers."""
         path = self._manifest_path(epoch)
         if os.path.exists(path):
             with open(path) as f:
@@ -192,20 +236,10 @@ class SnapshotTable:
         bucket_counts: dict[str, int] = (
             dict(parent["bucket_counts"]) if parent else {str(b): 0 for b in range(self.n_buckets)}
         )
-
-        written: dict[int, str] = {}
-        if new_buckets_df is not None:
-            written = self._write_buckets(new_buckets_df, epoch)
-        new_counts = self._bucket_counts(written)
+        new_counts = written_counts if written_counts is not None else self._bucket_counts(written)
         for b in touched_buckets:
             buckets[str(b)] = written.get(b)  # None → bucket emptied out
             bucket_counts[str(b)] = new_counts.get(b, 0)
-
-        q_path, q_count = None, 0
-        if quarantine_df is not None:
-            q_count = quarantine_df.count()
-            if q_count:
-                q_path = self.write_quarantine(quarantine_df, epoch)
 
         manifest = {
             "epoch": epoch,
@@ -218,8 +252,8 @@ class SnapshotTable:
             "bucket_counts": bucket_counts,
             "total_rows": sum(bucket_counts.values()),
             "touched_buckets": sorted(touched_buckets),
-            "quarantine_path": q_path,
-            "quarantine_rows": q_count,
+            "quarantine_path": quarantine_path if quarantine_rows else None,
+            "quarantine_rows": quarantine_rows,
             "metrics": metrics,
             "committed_unix": time.time(),
         }
@@ -229,6 +263,7 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)  # ← the commit point
+        self._manifest_cache[os.path.basename(path)] = manifest
 
         with open(os.path.join(self.root, METRICS_LOG), "a") as f:
             f.write(
@@ -237,7 +272,7 @@ class SnapshotTable:
                         "epoch": epoch,
                         "batch_id": batch_id,
                         "total_rows": manifest["total_rows"],
-                        "quarantine_rows": q_count,
+                        "quarantine_rows": quarantine_rows,
                         **metrics,
                     },
                     sort_keys=True,
@@ -245,3 +280,31 @@ class SnapshotTable:
                 + "\n"
             )
         return manifest
+
+    def commit(
+        self,
+        epoch: int,
+        schema: T.StructType,
+        new_buckets_df: DataFrame | None,
+        touched_buckets: list[int],
+        batch_id: int | None,
+        batch_digest: str | None,
+        metrics: dict,
+        quarantine_path: str | None = None,
+        quarantine_rows: int = 0,
+    ) -> dict:
+        """Convenience: write data then atomically publish the manifest."""
+        path = self._manifest_path(epoch)
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+            if existing.get("batch_digest") == batch_digest:
+                return existing
+            raise ConflictError(
+                f"epoch {epoch} already committed with a different digest"
+            )
+        written = self.write_data(epoch, new_buckets_df)
+        return self.write_manifest(
+            epoch, schema, written, touched_buckets, batch_id, batch_digest,
+            metrics, quarantine_path, quarantine_rows,
+        )
