@@ -24,11 +24,10 @@ def main() -> None:
     from georef_ar_etl_spark.session import get_spark
 
     spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
-    ipath, epath = gen_bench_workload(
+    ipath, edir = gen_bench_workload(
         cache_dir, n_initial, n_events, n_batches, mean_tokens=mean_tokens
     )
     initial = spark.read.parquet(ipath)
-    events = spark.read.parquet(epath)
 
     # table root on tmpfs: the scaling evidence isolates CPU scaling — on a
     # real cluster the sink is distributed storage whose bandwidth scales
@@ -40,7 +39,7 @@ def main() -> None:
         eng = CdcEngine(spark, root, n_buckets=max(64, cores * 2))
         eng.bootstrap(initial)
         t0 = time.time()
-        eng.replay(events)
+        eng.replay_segments(edir)
         wall = time.time() - t0
         final_rows = eng.table.latest_manifest()["total_rows"]
         print(json.dumps({

@@ -44,18 +44,23 @@ def run_cdc_replay(spark, n_initial: int, n_events: int, n_batches: int) -> dict
     from georef_ar_etl_spark.engine import CdcEngine
 
     cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/cdc_bench_cache")
-    ipath, epath = gen_bench_workload(cache, n_initial, n_events, n_batches)
+    mean_tokens = float(os.environ.get("BENCH_CDC_MEAN_TOKENS", "64"))
+    ipath, edir = gen_bench_workload(
+        cache, n_initial, n_events, n_batches, mean_tokens=mean_tokens
+    )
     initial = spark.read.parquet(ipath)
-    events = spark.read.parquet(epath)
 
-    root = tempfile.mkdtemp(prefix="cdc_bench_")
+    root = tempfile.mkdtemp(
+        prefix="cdc_bench_",
+        dir=os.environ.get("BENCH_TABLE_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None),
+    )
     try:
         eng = CdcEngine(spark, root, n_buckets=64, normalize_impl="pandas")
         t0 = time.time()
         eng.bootstrap(initial)
         t_boot = time.time() - t0
         t1 = time.time()
-        eng.replay(events)
+        eng.replay_segments(edir)
         t_replay = time.time() - t1
         return {
             "cdc_initial_rows": n_initial,

@@ -64,10 +64,11 @@ def gen_bench_workload(
     tag = f"i{n_initial}_e{n_events}_b{n_batches}_s{seed}_t{int(mean_tokens)}"
     root = os.path.join(out_dir, tag)
     ipath = os.path.join(root, "initial.parquet")
-    epath = os.path.join(root, "events.parquet")
-    if os.path.exists(ipath) and os.path.exists(epath):
-        return ipath, epath
-    os.makedirs(root, exist_ok=True)
+    edir = os.path.join(root, "events")
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(ipath) and os.path.exists(done):
+        return ipath, edir
+    os.makedirs(edir, exist_ok=True)
     rng = np.random.RandomState(seed)
 
     ids = np.unique(_doc_ids(rng, int(n_initial * 1.1)))[:n_initial]
@@ -104,13 +105,20 @@ def gen_bench_workload(
     src = np.where(rng.rand(n_events) < 0.7, "wal", rng.choice(SOURCES, size=n_events))
     batch = np.sort(rng.randint(0, n_batches, size=n_events).astype(np.int64))
     seq = np.arange(1, n_events + 1, dtype=np.int64)
-    pq.write_table(
-        pa.Table.from_arrays(
-            [pa.array(batch), pa.array(seq), pa.array(ops), pa.array(ev_ids),
-             tokens_col, lens_col, pa.array(src)],
-            schema=_EVENT_PA,
-        ),
-        epath,
-        row_group_size=32768,
+    table = pa.Table.from_arrays(
+        [pa.array(batch), pa.array(seq), pa.array(ops), pa.array(ev_ids),
+         tokens_col, lens_col, pa.array(src)],
+        schema=_EVENT_PA,
     )
-    return ipath, epath
+    # one WAL-segment file per batch_id (the natural CDC landing layout;
+    # engine.replay_segments applies them without any batch-discovery scan)
+    bounds = np.searchsorted(batch, np.arange(n_batches + 1))
+    for k in range(n_batches):
+        pq.write_table(
+            table.slice(bounds[k], bounds[k + 1] - bounds[k]),
+            os.path.join(edir, f"batch-{k:06d}.parquet"),
+            row_group_size=32768,
+        )
+    with open(done, "w") as f:
+        f.write("ok")
+    return ipath, edir

@@ -182,14 +182,17 @@ class CdcEngine:
 
         # 4-5. dedup → normalize (Arrow UDF sees only the winning event per
         # key) → bucket-pruned MERGE → single write job with observed counts
-        deduped = latest_per_key(valid, strict=self.strict_dup)
         t_plan_done = time.time()
 
         if self.merge_impl == "copartitioned":
-            # normalization happens inside the merge tasks (post-shuffle, full
-            # parallelism) — same vectorized kernel as the pandas UDF
-            batch_b = deduped.select(
-                "op", bucket_expr(F.col("doc_id"), nb).alias("bucket"), *payload_cols
+            if self.strict_dup:
+                latest_per_key(valid, strict=True)  # raises on duplicates
+            # dedup AND normalization happen inside the merge tasks (post-
+            # shuffle, full parallelism, no winners broadcast) — see
+            # copart_merge.merge_copartitioned
+            batch_b = valid.select(
+                "op", "seq", bucket_expr(F.col("doc_id"), nb).alias("bucket"),
+                *payload_cols
             )
             bucket_files = self.table.bucket_file_paths(touched, manifest=latest)
             epoch_dir = self.table.epoch_dir(epoch)
@@ -220,6 +223,7 @@ class CdcEngine:
             if keep:
                 action_counts["keep"] = keep
         else:
+            deduped = latest_per_key(valid, strict=self.strict_dup)
             normalized = with_normalized_tokens(deduped, impl=self.normalize_impl)
             state_touched = align_columns(
                 self.table.read_state(buckets=touched, manifest=latest), new_schema
@@ -277,14 +281,33 @@ class CdcEngine:
         return manifest
 
     # ---------------------------------------------------------------- replay
-    def replay(self, events: DataFrame) -> list[dict]:
+    def replay(self, events: DataFrame, batch_ids: list[int] | None = None) -> list[dict]:
         """Apply every batch in ``events`` in batch_id order, skipping batches
-        already committed (resume-from-checkpoint)."""
-        batch_ids = [
-            r["batch_id"]
-            for r in events.select("batch_id").distinct().orderBy("batch_id").collect()
-        ]
+        already committed (resume-from-checkpoint). Pass ``batch_ids`` when
+        the caller already knows them — saves a full discovery scan."""
+        if batch_ids is None:
+            batch_ids = [
+                r["batch_id"]
+                for r in events.select("batch_id").distinct().orderBy("batch_id").collect()
+            ]
         out = []
-        for b in batch_ids:
+        for b in sorted(batch_ids):
             out.append(self.apply_batch(events.filter(F.col("batch_id") == b), b))
+        return out
+
+    def replay_segments(self, segment_dir: str) -> list[dict]:
+        """Replay WAL-segment files named ``batch-<id>.parquet`` (one file per
+        batch_id — the layout streaming/apply.py documents and benchgen
+        writes). Each batch reads ONLY its own file: no discovery scan, no
+        row-group pruning over the whole log."""
+        import os as _os
+
+        segs = sorted(
+            (int(n.split("-")[1].split(".")[0]), _os.path.join(segment_dir, n))
+            for n in _os.listdir(segment_dir)
+            if n.startswith("batch-") and n.endswith(".parquet")
+        )
+        out = []
+        for batch_id, path in segs:
+            out.append(self.apply_batch(self.spark.read.parquet(path), batch_id))
         return out

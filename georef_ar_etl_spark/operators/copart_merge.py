@@ -56,10 +56,20 @@ def merge_copartitioned(
     epoch_dir: str,
     key: str = "doc_id",
     normalize: bool = True,
+    dedup_order: str | None = "seq",
 ) -> DataFrame:
-    """``batch``: deduped+normalized change rows with ``op`` and ``bucket``
-    columns. ``bucket_files``: bucket → current data file paths (absolute).
-    Returns the per-bucket result frame (one row per touched bucket).
+    """``batch``: validated change rows with ``op``, ``bucket`` and (when
+    ``dedup_order``) the event-order column. ``bucket_files``: bucket →
+    current data file paths (absolute). Returns the per-bucket result frame
+    (one row per touched bucket).
+
+    In-task dedup (``dedup_order="seq"``): last-writer-wins runs as a pandas
+    ``drop_duplicates(keep="last")`` AFTER the bucket shuffle — all events of
+    a key land in its bucket's task, so no winners aggregation, no
+    driver-built broadcast, no semi-join. The whole apply is one shuffle and
+    one stage pair. (A key's in-batch burst concentrates in one task —
+    bounded by batch size; for pathological single-key batches use the join
+    merge path whose dedup pre-aggregates map-side.)
     """
     n_buckets = max(bucket_files.keys(), default=0) + 1 if bucket_files else 1
     arrow_schema = pa.schema(
@@ -75,6 +85,10 @@ def merge_copartitioned(
             return  # empty partition (bucket-hash collision left it bare)
         pdf = pd.concat(chunks, ignore_index=True)
         out = []
+        if dedup_order is not None:
+            pdf = pdf.sort_values(dedup_order, kind="stable").drop_duplicates(
+                key, keep="last"
+            )
         for bucket, grp in pdf.groupby("bucket", sort=True):
             bucket = int(bucket)
             files = bucket_files.get(bucket, [])

@@ -89,13 +89,6 @@ def split_quarantine(tagged: DataFrame) -> ValidatedBatch:
     )
 
 
-def quarantine_empty_after_norm(normalized: DataFrame) -> ValidatedBatch:
-    """Post-normalization pass: an upsert whose payload normalized away to
-    nothing is quarantined (analogue: empty name after clean_string)."""
-    tagged = normalized.withColumn(
-        "reason",
-        F.when(
-            (F.col("op") != "delete") & (F.size("tokens") == 0), F.lit(EMPTY_AFTER_NORM)
-        ),
-    )
-    return split_quarantine(tagged)
+# NOTE: the empty-after-normalization rule lives in tag_invalid as a cheap
+# JVM predicate (exists(tokens, x>0) decides it without running the UDF) —
+# there is deliberately no separate post-normalization validation pass.

@@ -1,0 +1,145 @@
+"""Export sinks mirroring the reference's publication formats (SURVEY.md §2.1).
+
+* ``export_json`` — single JSON document with an envelope
+  ``{cantidad, total, inicio, parametros, <name>: [...]}``
+  (reference: CreateJSONFileStep, georef_ar_etl/loaders.py:127-155).
+* ``export_ndjson`` — NDJSON whose FIRST line is a metadata header
+  ``{fecha_creacion, timestamp, version, cantidad}``
+  (reference: CreateNDJSONFileStep, georef_ar_etl/loaders.py:158-182).
+* ``export_csv`` — nested struct columns flattened depth≤3 with ``_``-joined
+  names, sorted columns, non-numeric quoting
+  (reference: flatten_dict + CreateCSVFileStep, georef_ar_etl/loaders.py:233-289).
+* ``publish`` — atomic move into the destination (reference: CopyFileStep,
+  georef_ar_etl/utils.py:138-170) — the final step of the exactly-once story.
+
+Scale note: these are *publication* sinks for result sets that fit a file
+(the reference publishes per-entity datasets of ≤1.1M rows). Rows stream
+through ``toLocalIterator`` so the driver never holds the full dataset;
+truly large exports use ``df.write.json/csv`` directly.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def flatten_struct_columns(df: DataFrame, max_depth: int = 3, sep: str = "_") -> DataFrame:
+    """Flatten nested struct columns into ``parent_child`` columns, depth ≤ 3,
+    sorted by name (reference: flatten_dict, loaders.py:233-260)."""
+
+    def expand(prefix: str, dtype: T.DataType, depth: int):
+        if isinstance(dtype, T.StructType) and depth < max_depth:
+            out = []
+            for f in dtype.fields:
+                out.extend(expand(f"{prefix}.{f.name}", f.dataType, depth + 1))
+            return out
+        alias = prefix.replace(".", sep)
+        return [(prefix, alias)]
+
+    cols = []
+    for f in df.schema.fields:
+        cols.extend(expand(f.name, f.dataType, 1))
+    return df.select(*[F.col(p).alias(a) for p, a in sorted(cols, key=lambda x: x[1])])
+
+
+def _atomic_text_writer(path: str):
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    return tmp, open(tmp, "w", encoding="utf-8", newline="")
+
+
+def export_json(
+    df: DataFrame,
+    path: str,
+    name: str = "datos",
+    parameters: dict[str, Any] | None = None,
+    start: int = 0,
+) -> int:
+    """Envelope JSON: {cantidad, total, inicio, parametros, <name>: [rows]}."""
+    total = df.count()
+    tmp, f = _atomic_text_writer(path)
+    with f:
+        f.write(
+            '{"cantidad": %d, "total": %d, "inicio": %d, "parametros": %s, "%s": ['
+            % (total, total, start, json.dumps(parameters or {}), name)
+        )
+        first = True
+        for row in df.toJSON().toLocalIterator():
+            f.write(("" if first else ",\n") + row)
+            first = False
+        f.write("]}")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return total
+
+
+def export_ndjson(df: DataFrame, path: str, version: str, created: str) -> int:
+    """NDJSON with a first-line metadata header (the reference's format);
+    timestamps are caller-provided for determinism."""
+    total = df.count()
+    tmp, f = _atomic_text_writer(path)
+    with f:
+        f.write(
+            json.dumps(
+                {
+                    "fecha_creacion": created,
+                    "timestamp": created,
+                    "version": version,
+                    "cantidad": total,
+                },
+                sort_keys=True,
+            )
+            + "\n"
+        )
+        for row in df.toJSON().toLocalIterator():
+            f.write(row + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return total
+
+
+def export_csv(df: DataFrame, path: str) -> int:
+    """Flattened CSV, sorted columns, QUOTE_NONNUMERIC (reference parity)."""
+    flat = flatten_struct_columns(df)
+    numeric = {
+        f.name
+        for f in flat.schema.fields
+        if isinstance(f.dataType, (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.DecimalType))
+    }
+    cols = flat.columns
+    tmp, f = _atomic_text_writer(path)
+    n = 0
+    with f:
+        w = csv.writer(f, quoting=csv.QUOTE_NONNUMERIC)
+        w.writerow(cols)
+        for row in flat.toLocalIterator():
+            w.writerow(
+                [row[c] if c in numeric else ("" if row[c] is None else str(row[c])) for c in cols]
+            )
+            n += 1
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return n
+
+
+def publish(src: str, dest_dir: str) -> str:
+    """Atomic publish of a finished artifact into the destination directory
+    (reference: CopyFileStep). Same-filesystem rename; copy+rename otherwise."""
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, os.path.basename(src))
+    tmp = dest + ".publishing"
+    import shutil
+
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dest)
+    return dest

@@ -1,0 +1,67 @@
+"""Export sinks: envelope JSON, NDJSON-with-header, flattened CSV, publish
+(reference behaviors: loaders.py:127-289, utils.py:138-170)."""
+
+import csv
+import json
+
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark.sinks import export
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [("a1", 3, 1.5, ("x", 1)), ("b2", 7, 2.5, ("y", 2))],
+        "id string, n int, v double, meta struct<tag:string, k:int>",
+    )
+
+
+def test_export_json_envelope(spark, tmp_path):
+    p = str(tmp_path / "out.json")
+    total = export.export_json(_df(spark), p, name="docs", parameters={"q": 1})
+    doc = json.load(open(p))
+    assert total == 2
+    assert doc["cantidad"] == doc["total"] == 2
+    assert doc["inicio"] == 0 and doc["parametros"] == {"q": 1}
+    assert {r["id"] for r in doc["docs"]} == {"a1", "b2"}
+
+
+def test_export_ndjson_header_first_line(spark, tmp_path):
+    p = str(tmp_path / "out.ndjson")
+    export.export_ndjson(_df(spark), p, version="9.9.9", created="2024-01-01")
+    lines = open(p).read().splitlines()
+    head = json.loads(lines[0])
+    assert head == {
+        "cantidad": 2, "fecha_creacion": "2024-01-01",
+        "timestamp": "2024-01-01", "version": "9.9.9",
+    }
+    assert len(lines) == 3
+    assert {json.loads(l)["id"] for l in lines[1:]} == {"a1", "b2"}
+
+
+def test_export_csv_flattened_sorted_quoted(spark, tmp_path):
+    p = str(tmp_path / "out.csv")
+    n = export.export_csv(_df(spark), p)
+    assert n == 2
+    rows = list(csv.reader(open(p)))
+    assert rows[0] == ["id", "meta_k", "meta_tag", "n", "v"]  # sorted, flattened
+    raw = open(p).read()
+    assert '"a1"' in raw and '"x"' in raw  # non-numeric quoted
+    assert '"3"' not in raw  # numeric unquoted
+
+
+def test_flatten_depth_limit(spark):
+    df = spark.createDataFrame(
+        [((("deep",),),)], "a struct<b: struct<c: struct<d: string>>>"
+    )
+    flat = export.flatten_struct_columns(df, max_depth=3)
+    # depth 3 reached at a.b.c — the struct<d> below is kept as a struct
+    assert flat.columns == ["a_b_c"]
+    assert flat.select(F.col("a_b_c.d")).first()[0] == "deep"
+
+
+def test_publish_atomic(spark, tmp_path):
+    src = tmp_path / "artifact.json"
+    src.write_text('{"ok": true}')
+    dest = export.publish(str(src), str(tmp_path / "published"))
+    assert json.load(open(dest)) == {"ok": True}
