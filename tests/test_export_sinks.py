@@ -52,7 +52,7 @@ def test_export_csv_flattened_sorted_quoted(spark, tmp_path):
 
 def test_flatten_depth_limit(spark):
     df = spark.createDataFrame(
-        [((("deep",),),)], "a struct<b: struct<c: struct<d: string>>>"
+        [(((("deep",),),),)], "a struct<b: struct<c: struct<d: string>>>"
     )
     flat = export.flatten_struct_columns(df, max_depth=3)
     # depth 3 reached at a.b.c — the struct<d> below is kept as a struct
