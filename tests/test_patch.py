@@ -1,0 +1,54 @@
+"""Patch operators: predicate-scoped updates/deletes as change batches
+(reference: georef_ar_etl/patch.py re-expressed for CDC)."""
+
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark import datagen
+from georef_ar_etl_spark.engine import CdcEngine
+from georef_ar_etl_spark.operators.patch import apply_patch
+
+
+def test_patch_update_and_delete(spark, tmp_path):
+    initial = datagen.gen_initial_state(120, seed=51, max_len=16)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    # like the reference's prefix patches: retag group-01 rows, drop group-02
+    n_01 = sum(r["doc_id"].startswith("01") for r in initial)
+    n_02 = sum(r["doc_id"].startswith("02") for r in initial)
+    assert n_01 and n_02, "fixture must cover both groups"
+
+    m = apply_patch(
+        eng,
+        batch_id=0,
+        updates=[(F.col("doc_id").startswith("01"), {"source": F.lit("patched")})],
+        deletes=[F.col("doc_id").startswith("02")],
+    )
+    assert m["metrics"]["actions"].get("update") == n_01
+    assert m["metrics"]["actions"].get("delete") == n_02
+
+    state = eng.state()
+    assert state.count() == len(initial) - n_02
+    assert state.filter(F.col("doc_id").startswith("02")).count() == 0
+    patched = state.filter(F.col("doc_id").startswith("01"))
+    assert patched.filter(F.col("source") != "patched").count() == 0
+    # payloads untouched by the update patch
+    want = {r["doc_id"]: r["tokens"] for r in initial if r["doc_id"].startswith("01")}
+    for r in patched.collect():
+        assert list(r["tokens"]) == want[r["doc_id"]]
+
+
+def test_overlapping_patches_later_part_wins(spark, tmp_path):
+    initial = datagen.gen_initial_state(50, seed=52, max_len=8)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    target = initial[0]["doc_id"]
+    # update then delete the same key: the later part (delete) must win
+    m = apply_patch(
+        eng,
+        batch_id=0,
+        updates=[(F.col("doc_id") == target, {"source": F.lit("x")})],
+        deletes=[F.col("doc_id") == target],
+    )
+    assert m["metrics"]["actions"].get("delete") == 1
+    assert eng.state().filter(F.col("doc_id") == target).count() == 0
