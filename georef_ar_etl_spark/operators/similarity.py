@@ -140,3 +140,113 @@ def knn_join_cosine(
         .filter(F.col("rn") <= k)
         .select("probe_id", id_col, F.round("score", 4).alias("score"), F.col("rn").alias("rank"))
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    n_bits: int = 6,
+    min_cosine: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors with
+    seeded hyperplanes, verify cosine only within buckets, dedup symmetric
+    pairs with id_a < id_b (the intersections trick again).
+
+    O(pairs-per-bucket), never O(N²): at 100 TB the bucket key doubles as the
+    storage partition so each verify task reads one bucket.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bits, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
+    )
+    score = F.round(
+        dot(F.col("l.v"), F.col("r.v"))
+        / (l2norm(F.col("l.v")) * l2norm(F.col("r.v"))),
+        round_to,
+    )
+    return (
+        pairs.select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), score.alias("cosine")
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def ivf_index(
+    df,
+    n_clusters: int = 16,
+    n_iter: int = 10,
+    sample_size: int = 4096,
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """Deterministic k-means centroids from a seeded sample (numpy Lloyd's).
+
+    IVF at scale: centroids are tiny (k×dim) and train on a driver-side
+    sample; ASSIGNMENT is distributed. Returns np.ndarray (k, dim).
+    """
+    sample = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in df.select(vec_col).limit(sample_size).collect()]
+    )
+    rng = np.random.RandomState(seed)
+    C = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for k in range(len(C)):
+            members = sample[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+    return C
+
+
+def ivf_assign(df, centroids, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed nearest-centroid assignment (mapInPandas batch matmul)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Csq = (C ** 2).sum(axis=1)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (X ** 2).sum(axis=1)[:, None] - 2 * (X @ C.T) + Csq[None, :]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cluster": d.argmin(axis=1).astype("int32")})
+
+    return df.select(id_col, vec_col).mapInPandas(part, out_schema)
+
+
+def ivf_topk(
+    df,
+    query_vec: list[float],
+    centroids,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+):
+    """IVF probe: rank only vectors assigned to the query's nprobe nearest
+    clusters. At scale ``cluster`` is the table's partition column → the
+    probe is a partition-pruned scan of ~nprobe/k of the data."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((C - q) ** 2).sum(axis=1))[:nprobe].tolist()
+    assigned = ivf_assign(df, C, vec_col, id_col)
+    cand = df.join(assigned, id_col).filter(F.col("cluster").isin([int(p) for p in probe]))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)

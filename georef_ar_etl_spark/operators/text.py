@@ -8,8 +8,12 @@ reference's ``clean_string`` (georef_ar_etl/utils.py:190-195).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # Deterministic marker-word sets for the language-ID heuristic. Word-boundary
 # regex counts per language; argmax wins, ties broken by list order.
@@ -93,3 +97,40 @@ def char_shingles(col: Column, k: int = 3, pre_normalized: bool = False) -> Colu
     n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
     return F.array_distinct(grams)
+
+
+def winnow_fingerprints_udf(k: int = 8, window: int = 4):
+    """Factory for a winnowing document-fingerprint UDF (rolling hash).
+
+    Classic winnowing (Schleimer et al., MOSS): polynomial rolling hash over
+    all k-grams, then the minimum hash of every ``window`` consecutive grams,
+    deduplicated — a position-robust fingerprint set for near-dup detection.
+    Vectorized numpy per Arrow batch (sliding windows, no per-char Python).
+    """
+    B = np.uint64(257)
+    MASK = np.uint64((1 << 61) - 1)
+
+    def one(s: str):
+        if s is None:
+            return None
+        b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < k:
+            return np.zeros(0, dtype=np.int64)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[k - 1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            powers[j] = (powers[j + 1] * B) & MASK
+        win = np.lib.stride_tricks.sliding_window_view(b, k)
+        hashes = (win * powers[None, :]).sum(axis=1) & MASK
+        if len(hashes) < window:
+            sel = np.array([hashes.min()])
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+            sel = np.unique(mins)
+        return sel.astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(text: pd.Series) -> pd.Series:
+        return text.map(one)
+
+    return winnow

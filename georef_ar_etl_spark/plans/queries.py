@@ -674,3 +674,58 @@ def q24(spark, sf_dir):
 
 
 QUERY_FNS["q24_cdc_replay_state"] = q24
+
+
+def _neardup_sql(n_bits=5, seed=7, dim=64, min_cos=0.25) -> str:
+    planes = similarity.hyperplanes(dim, n_bits, seed)
+    lits = [("[" + ", ".join(repr(float(x)) for x in row) + "]") for row in planes]
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 THEN '1' ELSE '0' END)"
+        for lit in lits
+    )
+    return f"""
+    WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, {bits} AS bucket
+               FROM embeddings)
+    SELECT l.id AS id_a, r.id AS id_b,
+           round(list_dot_product(l.v, r.v)
+                 / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+                 4) AS cosine
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+    WHERE round(list_dot_product(l.v, r.v)
+                / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+                4) >= {min_cos}
+    """
+
+
+# embedding-cosine near-dup (dedup family, LSH-bucketed verification)
+@query("q25_embedding_neardup", _neardup_sql())
+def q25(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), n_bits=5, min_cosine=0.25, seed=7
+    )
+
+
+# IVF approximate nearest neighbors (kmeans index + partition-pruned probe);
+# the index is trained driver-side on a seeded sample → rows-only check.
+def q26(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_index(emb, n_clusters=8, n_iter=5, seed=7)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(emb, qv, centroids, k=10, nprobe=3)
+
+
+QUERY_FNS["q26_ivf_ann_topk"] = q26
+
+
+# winnowing rolling-hash fingerprints (MOSS-style) → rows-only check
+def q27(spark, sf_dir):
+    winnow = text.winnow_fingerprints_udf(k=8, window=4)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        winnow(F.col("text")).alias("fingerprints"),
+        F.size(winnow(F.col("text"))).alias("n_fp"),
+    )
+
+
+QUERY_FNS["q27_winnow_fingerprints"] = q27

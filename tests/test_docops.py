@@ -129,3 +129,35 @@ def test_multimodal_pipeline_stub(spark, docs):
 def test_multimodal_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"abc", fake=False)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, emb):
+    pdf = emb.toPandas()
+    q = list(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0])
+    centroids = similarity.ivf_index(emb, n_clusters=8, n_iter=5, seed=7)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_topk(emb, q, centroids, k=10, nprobe=4).collect()]
+    assert approx[0] == 0  # self is found (its cluster is probed)
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_embedding_neardup_pairs_symmetric(spark, emb):
+    pairs = similarity.embedding_neardup_pairs(emb, n_bits=4, min_cosine=0.2).collect()
+    assert all(p["id_a"] < p["id_b"] for p in pairs)
+    assert all(p["cosine"] >= 0.2 for p in pairs)
+
+
+def test_winnow_fingerprints_near_dup_overlap(spark):
+    from georef_ar_etl_spark.operators.text import winnow_fingerprints_udf
+
+    winnow = winnow_fingerprints_udf(k=8, window=4)
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "extra tail"), (3, "entirely different content here " * 4)],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: set(r["f"]) for r in df.select("doc_id", winnow(F.col("text")).alias("f")).collect()}
+    j12 = len(fp[1] & fp[2]) / len(fp[1] | fp[2])
+    j13 = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
+    assert j12 > 0.6 > j13
