@@ -44,6 +44,10 @@ from georef_ar_etl_spark.sinks.snapshot_table import (
 )
 
 
+class OutOfOrderBatchError(RuntimeError):
+    """A lower batch_id arrived after a higher one was committed."""
+
+
 def content_digest(df: DataFrame) -> str:
     """Order-insensitive content hash: bit_xor of per-row xxhash64 over all
     columns (rows are unique by seq, so xor cancellation can't occur).
@@ -104,7 +108,9 @@ class CdcEngine:
         return self.table.read_state().drop("bucket")
 
     # ------------------------------------------------------------ apply batch
-    def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
+    def apply_batch(
+        self, events: DataFrame, batch_id: int, allow_out_of_order: bool = False
+    ) -> dict:
         t0 = time.time()
         latest = self.table.latest_manifest()
         if latest is None:
@@ -118,6 +124,23 @@ class CdcEngine:
         # this pre-pass and the merge+write, plus a quarantine write only
         # when something was actually quarantined).
         committed = self.table.committed_batches()
+
+        # replay-order guard: a late-arriving LOWER batch_id applied on top of
+        # later batches silently violates the (batch_id, seq) replay order the
+        # oracle defines (streaming foreachBatch only orders within one
+        # trigger). Idempotent re-delivery of a committed id is exempt —
+        # it proceeds to the digest verification below and returns a no-op.
+        if (
+            not allow_out_of_order
+            and batch_id not in committed
+            and committed
+            and batch_id < max(committed)
+        ):
+            raise OutOfOrderBatchError(
+                f"batch {batch_id} arrives after committed batch "
+                f"{max(committed)}; pass allow_out_of_order=True for an "
+                f"intentional backfill"
+            )
 
         # 1. schema contract + additive evolution
         latest_schema = T.StructType.fromJson(latest["schema"])

@@ -29,6 +29,25 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def _to_int64(v) -> np.ndarray:
+    """Per-row array → int64, dropping null ELEMENTS (None/NaN).
+
+    The engine quarantines arrays carrying null elements upstream
+    (operators/validate.py NULL_TOKEN_ELEM), so the hot path stays on the
+    cheap branch; this fallback keeps the two normalize impls semantically
+    identical (Catalyst ``filter`` silently drops nulls) when the kernel is
+    used directly on dirty data.
+    """
+    a = np.asarray(v)
+    if a.dtype.kind in "iu":
+        return a.astype(np.int64, copy=False)
+    if a.dtype.kind == "f":  # Arrow list<int> with nulls → float + NaN
+        return a[~np.isnan(a)].astype(np.int64)
+    return np.asarray(
+        [int(x) for x in v if x is not None and x == x], dtype=np.int64
+    )
+
+
 def normalize_series(tokens: pd.Series) -> pd.Series:
     """Numpy-vectorized normalization core shared by the pandas UDF and the
     storage-partitioned merge (operators/copart_merge.py).
@@ -39,7 +58,7 @@ def normalize_series(tokens: pd.Series) -> pd.Series:
     """
     n = len(tokens)
     notnull = tokens.notna().to_numpy()
-    vals_list = [np.asarray(v, dtype=np.int64) for v in tokens[notnull]]
+    vals_list = [_to_int64(v) for v in tokens[notnull]]
     if not vals_list:
         return pd.Series([None if not nn else [] for nn in notnull], dtype=object)
 
@@ -89,7 +108,10 @@ def normalize_tokens_expr(col: Column) -> Column:
     ``filter`` drops negatives; ``aggregate`` over ``transform(...,(x,i)->...)``
     finds the last non-zero position; ``slice`` strips the trailing zeros.
     """
-    nonneg = F.filter(col, lambda x: x >= F.lit(0))
+    # isNotNull first: the comparison alone would KEEP null elements under
+    # three-valued logic only by accident of filter() semantics — make the
+    # drop-nulls behavior explicit so both impls match on dirty arrays
+    nonneg = F.filter(col, lambda x: x.isNotNull() & (x >= F.lit(0)))
     last_nz = F.aggregate(
         F.zip_with(
             nonneg,
@@ -129,7 +151,7 @@ def normalize_tokens_py(arr):
     """Single-value Python reference implementation (used by the oracle)."""
     if arr is None:
         return None
-    out = [int(x) for x in arr if x >= 0]
+    out = [int(x) for x in arr if x is not None and x >= 0]
     while out and out[-1] == 0:
         out.pop()
     return out

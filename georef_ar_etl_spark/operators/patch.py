@@ -17,10 +17,17 @@ from pyspark.sql import functions as F
 
 
 def _seq(offset: int) -> Column:
-    """Unique seq within the batch: monotonically_increasing_id is unique
-    within one frame; ``offset`` separates the frames of a multi-part patch
-    so a later part deterministically wins last-writer-wins on key overlap."""
-    return F.monotonically_increasing_id() + F.lit(1 + (offset << 40))
+    """seq = the patch-part index, constant across the part.
+
+    Last-writer-wins only needs seq to be a total order BETWEEN parts that
+    touch the same key: within one part a doc_id appears at most once (each
+    part filters the unique-keyed state with one predicate), so equal seqs
+    never share a key and both dedup paths (max(seq)+semi-join and the
+    in-task drop_duplicates(keep="last")) keep exactly one winner. A prior
+    version mixed monotonically_increasing_id() with ``offset << 40``, which
+    collides: mid encodes the partition id at bit 33, so partition 128 of
+    part 0 equals bit 40 of part 1 and the part order silently broke."""
+    return F.lit(offset + 1).cast("long")
 
 
 def patch_update(

@@ -22,10 +22,13 @@ from georef_ar_etl_spark.schemas import DOC_ID_LEN, GROUP_PREFIX_LEN, OPS
 BAD_OP = "bad_op"
 BAD_ID = "bad_id"
 EMPTY_TOKENS = "empty_tokens"
+NULL_TOKEN_ELEM = "null_token_element"
 EMPTY_AFTER_NORM = "empty_tokens_after_norm"
 UNKNOWN_GROUP = "unknown_group"
 
-QUARANTINE_REASONS = (BAD_OP, BAD_ID, EMPTY_TOKENS, EMPTY_AFTER_NORM, UNKNOWN_GROUP)
+QUARANTINE_REASONS = (
+    BAD_OP, BAD_ID, EMPTY_TOKENS, NULL_TOKEN_ELEM, EMPTY_AFTER_NORM, UNKNOWN_GROUP
+)
 
 
 @dataclass
@@ -49,6 +52,16 @@ def tag_invalid(events: DataFrame, dim: DataFrame | None = None) -> DataFrame:
         .when(
             is_upsert & (F.col("tokens").isNull() | (F.size("tokens") == 0)),
             F.lit(EMPTY_TOKENS),
+        )
+        # EVENT_SCHEMA allows null *elements* (containsNull=True) but state
+        # forbids them; an array with a null element must be quarantined here
+        # BEFORE the exists(x>0) rule below — exists() is three-valued, so
+        # e.g. [1, NULL] would otherwise slip through as "valid" and a
+        # [-1, NULL] would evaluate to NULL (not true) and skip the
+        # empty-after-norm rule too.
+        .when(
+            is_upsert & F.exists("tokens", lambda x: x.isNull()),
+            F.lit(NULL_TOKEN_ELEM),
         )
         # normalization (drop negatives, strip trailing zeros) yields an empty
         # array iff no element is > 0 — so the post-normalization emptiness

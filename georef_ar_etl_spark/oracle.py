@@ -47,21 +47,24 @@ def apply_events(
         if op != "delete" and (tokens is None or len(tokens) == 0):
             quarantined.append({**ev, "reason": V.EMPTY_TOKENS})
             continue
-        if (
-            dim_groups is not None
-            and op != "delete"
-            and doc_id[:GROUP_PREFIX_LEN] not in dim_groups
-        ):
-            quarantined.append({**ev, "reason": V.UNKNOWN_GROUP})
+        if op != "delete" and any(t is None for t in tokens):
+            quarantined.append({**ev, "reason": V.NULL_TOKEN_ELEM})
             continue
 
         if op == "delete":
             state.pop(doc_id, None)
             continue
 
+        # rule PRECEDENCE matches tag_invalid exactly: empty-after-norm is
+        # decided BEFORE the dim-group lookup (the engine sets it in the CASE
+        # chain and the dim join only fills still-null reasons) — per-reason
+        # manifest histograms must agree, not just the quarantined row set
         norm = normalize_tokens_py(tokens)
         if not norm:
             quarantined.append({**ev, "reason": V.EMPTY_AFTER_NORM})
+            continue
+        if dim_groups is not None and doc_id[:GROUP_PREFIX_LEN] not in dim_groups:
+            quarantined.append({**ev, "reason": V.UNKNOWN_GROUP})
             continue
 
         row = {

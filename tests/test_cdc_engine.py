@@ -70,6 +70,18 @@ def test_replay_matches_oracle(spark, tmp_path, smoke_data):
     q_total = sum(m["quarantine_rows"] for m in manifests)
     assert q_total == len(quarantined)
 
+    # per-REASON histograms must match too (rule precedence parity): the
+    # engine's CASE chain and the oracle's sequential ifs must pick the same
+    # first-failing rule for every event, not just the same row set
+    got_hist: dict[str, int] = {}
+    for m in manifests:
+        for r, n in m["metrics"]["quarantined"].items():
+            got_hist[r] = got_hist.get(r, 0) + n
+    want_hist: dict[str, int] = {}
+    for q in quarantined:
+        want_hist[q["reason"]] = want_hist.get(q["reason"], 0) + 1
+    assert got_hist == want_hist
+
 
 def test_replay_with_dimension_validation(spark, tmp_path, smoke_data):
     initial, events = smoke_data
@@ -156,6 +168,73 @@ def test_update_is_update_not_insert(spark, tmp_path):
     # bucket's other rows, not the whole table
     assert m["metrics"]["touched_buckets"] == 1
     assert m["total_rows"] == len(initial)
+
+
+def test_null_token_elements_quarantined(spark, tmp_path):
+    """EVENT_SCHEMA allows null token ELEMENTS; state forbids them. Arrays
+    carrying nulls must be quarantined (ADVICE r01: [1, null] previously
+    passed the three-valued exists(x>0) check and crashed the numpy kernel),
+    with rule precedence identical to the oracle."""
+    initial = datagen.gen_initial_state(30, seed=9, max_len=8)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    tgt = [r["doc_id"] for r in initial]
+    ev = [
+        # null element with a positive neighbor (the old crash case)
+        {"batch_id": 0, "seq": 1, "op": "update", "doc_id": tgt[0],
+         "tokens": [1, None], "n_tok": 2, "source": "wal"},
+        # null element and no positive element (old silent-pass case)
+        {"batch_id": 0, "seq": 2, "op": "update", "doc_id": tgt[1],
+         "tokens": [None, -1], "n_tok": 2, "source": "wal"},
+        {"batch_id": 0, "seq": 3, "op": "update", "doc_id": tgt[2],
+         "tokens": [None], "n_tok": 1, "source": "wal"},
+        # control: a valid update must still land
+        {"batch_id": 0, "seq": 4, "op": "update", "doc_id": tgt[3],
+         "tokens": [7, 8], "n_tok": 2, "source": "wal"},
+    ]
+    for impl in ("pandas", "builtin"):
+        root = str(tmp_path / f"t_{impl}")
+        e = CdcEngine(spark, root, n_buckets=4, normalize_impl=impl)
+        e.bootstrap(datagen.state_to_df(spark, initial))
+        m = e.apply_batch(datagen.events_to_df(spark, ev), 0)
+        assert m["metrics"]["quarantined"] == {"null_token_element": 3}, impl
+        assert m["metrics"]["actions"].get("update") == 1, impl
+
+    oracle_state, quarantined = apply_events(
+        {r["doc_id"]: dict(r) for r in initial}, ev
+    )
+    assert [q["reason"] for q in quarantined] == ["null_token_element"] * 3
+    assert oracle_state[tgt[3]]["tokens"] == [7, 8]
+
+
+def test_out_of_order_batch_rejected(spark, tmp_path):
+    """A late-arriving LOWER batch_id must not be applied on top of later
+    batches (silent replay-order violation); explicit backfill is opt-in."""
+    from georef_ar_etl_spark.engine import OutOfOrderBatchError
+
+    initial = datagen.gen_initial_state(30, seed=10, max_len=8)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    def ev(batch_id, seq, doc_id, toks):
+        return {"batch_id": batch_id, "seq": seq, "op": "update",
+                "doc_id": doc_id, "tokens": toks, "n_tok": len(toks),
+                "source": "wal"}
+
+    d = initial[0]["doc_id"]
+    eng.apply_batch(datagen.events_to_df(spark, [ev(5, 1, d, [5])]), 5)
+    with pytest.raises(OutOfOrderBatchError):
+        eng.apply_batch(datagen.events_to_df(spark, [ev(3, 1, d, [3])]), 3)
+    # idempotent re-delivery of the committed id is still a verified no-op
+    m = eng.apply_batch(datagen.events_to_df(spark, [ev(5, 1, d, [5])]), 5)
+    assert m["batch_id"] == 5
+    # intentional backfill: explicit opt-in applies the late batch
+    eng.apply_batch(
+        datagen.events_to_df(spark, [ev(3, 1, d, [3])]), 3, allow_out_of_order=True
+    )
+    st = eng.state()
+    got = st.filter(st.doc_id == d).collect()[0]
+    assert list(got["tokens"]) == [3]  # backfill applied last wins physically
 
 
 def test_delete_and_delete_noop(spark, tmp_path):

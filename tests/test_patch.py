@@ -38,6 +38,32 @@ def test_patch_update_and_delete(spark, tmp_path):
         assert list(r["tokens"]) == want[r["doc_id"]]
 
 
+def test_patch_seq_is_part_index(spark):
+    """seq must order patch PARTS, independent of data partitioning: the old
+    monotonically_increasing_id()+(offset<<40) scheme collided at partition
+    128 (mid encodes the partition id at bit 33, 128<<33 == 1<<40). seq is
+    now the constant part index — safe because each part touches a key at
+    most once (ADVICE r01)."""
+    from georef_ar_etl_spark.operators.patch import patch_delete, patch_update
+
+    state = spark.range(0, 1000).selectExpr(
+        "lpad(cast(id as string), 13, '0') AS doc_id",
+        "array(1, 2) AS tokens",
+        "2 AS n_tok",
+        "'wal' AS source",
+    ).repartition(130)  # >128 partitions: the regime that used to collide
+    from pyspark.sql import functions as F2
+
+    up = patch_update(state, F2.lit(True), {"source": F2.lit("x")}, batch_id=0,
+                      seq_offset=0)
+    de = patch_delete(state, F2.lit(True), batch_id=0, seq_offset=1)
+    assert up.select("seq").distinct().collect() == [(1,)]
+    assert de.select("seq").distinct().collect() == [(2,)]
+    # every key appears once per part → (key, seq) is unique in the union
+    both = up.unionByName(de)
+    assert both.groupBy("doc_id", "seq").count().filter("count > 1").count() == 0
+
+
 def test_overlapping_patches_later_part_wins(spark, tmp_path):
     initial = datagen.gen_initial_state(50, seed=52, max_len=8)
     eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
