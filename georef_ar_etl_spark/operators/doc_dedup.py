@@ -17,12 +17,8 @@ All hashing is md5-derived so the DuckDB oracle can reproduce values exactly.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from georef_ar_etl_spark.operators.text import char_shingles, fingerprint, norm_text
 
@@ -50,12 +46,6 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ----------------------------------------------------------------- minhash
-def _md5_hash32(col: Column, seed: int) -> Column:
-    """Deterministic 32-bit-ish hash reproducible in DuckDB:
-    first 8 hex chars of md5(value || ':' || seed) as a bigint."""
-    return F.conv(F.substring(F.md5(F.concat_ws(":", col, F.lit(seed))), 1, 8), 16, 10).cast("long")
-
-
 def _md5_hash32_batch(col: Column, n_hashes: int) -> list[Column]:
     """n_hashes seeded 32-bit hashes using ceil(n/4) md5 calls: one digest per
     seed GROUP, split into four 8-hex-char chunks. 4× fewer md5 evaluations
@@ -71,34 +61,11 @@ def _md5_hash32_batch(col: Column, n_hashes: int) -> list[Column]:
     return out
 
 
-def minhash_signature(text: Column, n_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature: per hash seed, the min over the shingle set of the
-    seeded md5 hash. array<long> of length n_hashes."""
-    sh = char_shingles(text, k)
-
-    def hash_with_seed(i: int):
-        # single-arg lambda on purpose: a 2-arg lambda would be interpreted by
-        # F.transform as (element, index) and the seed would be shadowed
-        return lambda s: _md5_hash32(s, i)
-
-    mins = [F.array_min(F.transform(sh, hash_with_seed(i))) for i in range(n_hashes)]
-    return F.array(*mins)
-
-
-def minhash_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
-    """LSH band keys: md5 over each signature slice → array<string> length
-    n_bands. Docs sharing any band key are candidate near-duplicates."""
-    bands = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[F.element_at(sig, b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)],
-            )
-        )
-        for b in range(n_bands)
-    ]
-    return F.array(*bands)
+# NOTE: earlier column-level minhash_signature/minhash_bands helpers were
+# removed — they hashed md5(shingle:seed) per seed, which is INCOMPATIBLE
+# with the grouped _md5_hash32_batch scheme used by minhash_lsh_pairs and
+# the DuckDB oracle; keeping two silently-divergent signature APIs invited
+# mismatches. minhash_lsh_pairs is the single signature implementation.
 
 
 def minhash_lsh_pairs(
@@ -200,33 +167,59 @@ def ngram_jaccard_pairs(
 
 
 # ----------------------------------------------------------------- simhash
-@pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (vectorized, numpy per batch).
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document — pure Catalyst, no Python on the data path.
 
-    Token hash = first 16 hex chars of md5(token); bit votes weighted by
-    token frequency; sign of each bit-sum forms the signature.
+    Token hash = first 16 hex chars of md5(token) (two 32-bit halves so the
+    conv→long cast never overflows); bit votes weighted by token occurrence
+    (explode keeps duplicates); sign of each per-bit vote sum forms the
+    signature. The whole thing is one explode → 64-column hash aggregate
+    (map-side partial combine), so it scales like a word count — the
+    previous implementation called Python ``hashlib.md5`` once per TOKEN
+    inside a pandas UDF, a per-row kernel that collapses at corpus scale.
+    md5-derived on purpose: the DuckDB oracle reproduces every bit
+    (plans/queries.py _simhash_sql). Documents with no tokens (empty or
+    null text) get signature 0.
+
+    Returns (id, sig) with sig as a signed 64-bit (two's complement).
     """
-    import hashlib
-
-    def one(s):
-        if s is None:
-            return None
-        toks = s.lower().split()
-        if not toks:
-            return 0
-        hs = np.array(
-            [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(i)
-        return int(sig.astype(np.int64))  # two's complement into LongType
-
-    return text.map(one)
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    digest = F.md5(F.col("tok"))
+    halves = toks.select(
+        "id",
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = halves.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
+                    .bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    with_sig = votes.select("id", sig.alias("sig"))
+    # docs with zero tokens never reach the aggregate → signature 0
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(with_sig, "id", "left")
+        .select("id", F.coalesce("sig", F.lit(0).cast("long")).alias("sig"))
+    )
 
 
 def simhash_candidates(
@@ -235,7 +228,7 @@ def simhash_candidates(
     """Near-dup candidate pairs: docs sharing any of the 64/band_bits SimHash
     bands (Hamming-proximity search by banding)."""
     n_bands = 64 // band_bits
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sig = simhash_signatures(df, text_col, id_col)
     bands = sig.select(
         "id",
         "sig",

@@ -46,6 +46,15 @@ def _dec(col, p=18, s=2):
     return col.cast(f"decimal({p},{s})")
 
 
+def _arr_fp(col):
+    """Canonical scalar fingerprint of an array column: md5 of the
+    comma-joined elements. The driver's result canonicalizer sorts columns
+    pandas-side and cannot hash list cells — every catalog query projects
+    array outputs through this (DuckDB mirror:
+    ``md5(array_to_string(arr, ','))``)."""
+    return F.md5(F.array_join(col.cast("array<string>"), ","))
+
+
 def _money(col):
     """Exact decimal sum → round(2) → double (order-insensitive)."""
     return F.round(F.sum(_dec(col)), 2).cast("double")
@@ -217,6 +226,9 @@ def q09(spark, sf_dir):
 
 # Token normalization — THE payload kernel (Arrow pandas UDF) — applied to
 # token arrays derived from documents; oracle replicates the semantics in SQL.
+# Output projects the array to a canonical md5 scalar (tokens_fp): the
+# driver's canonicalizer cannot sort list columns, and an md5-of-joined-array
+# is exactly as strong a value check.
 @query(
     "q21_normalize_tokens",
     r"""
@@ -232,7 +244,9 @@ def q09(spark, sf_dir):
                      generate_series(1, greatest(len(nn), 1)),
                      i -> CASE WHEN nn[i::int] <> 0 THEN i ELSE 0 END)), 0) AS lastnz
           FROM f)
-    SELECT doc_id, nn[1:lastnz::int] AS tokens, lastnz::int AS n_tok FROM l
+    SELECT doc_id, md5(array_to_string(nn[1:lastnz::int], ',')) AS tokens_fp,
+           lastnz::int AS n_tok
+    FROM l
     """,
 )
 def q21(spark, sf_dir):
@@ -246,7 +260,9 @@ def q21(spark, sf_dir):
         F.lit("update").alias("op"),
         F.lit(0).alias("n_tok"),
     )
-    return with_normalized_tokens(raw, impl="pandas").select("doc_id", "tokens", "n_tok")
+    return with_normalized_tokens(raw, impl="pandas").select(
+        "doc_id", _arr_fp(F.col("tokens")).alias("tokens_fp"), "n_tok"
+    )
 
 
 # ==================================================================== joins
@@ -642,16 +658,56 @@ def q22(spark, sf_dir):
     return similarity.knn_join_cosine(emb, probes, k=3)
 
 
-# ============================== rows-only checks (non-SQL-expressible ops)
-# SimHash uses 64-bit md5-derived bit votes — impractical to replicate in
-# SQL; the driver records a rows-only check.
+def _simhash_sql(band_bits: int = 16, max_doc: int = 500) -> str:
+    """DuckDB mirror of doc_dedup.simhash_signatures + banding.
+
+    Same md5 bit votes: token hash = first 16 hex chars of md5(token) split
+    into two 32-bit halves; per-bit vote sums over all token OCCURRENCES;
+    signature bit i set iff vote > 0. Banding on the unsigned 64-bit value.
+    """
+    n_bands = 64 // band_bits
+    votes = ", ".join(
+        f"sum(CASE WHEN ({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    # literal 2^i values: DuckDB's << raises on 1 << 63 rather than wrapping
+    sig_or = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+        for i in range(64)
+    )
+    bands = ", ".join(
+        f"'{i}:' || ((sig >> {i * band_bits}) & {(1 << band_bits) - 1}::UBIGINT)::varchar"
+        for i in range(n_bands)
+    )
+    return rf"""
+    WITH d AS (SELECT doc_id, lower(text) AS s FROM documents
+               WHERE doc_id < {max_doc}),
+    toks AS (SELECT doc_id, unnest(string_split_regex(s, '\s+')) AS tok FROM d),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS hi,
+                 ('0x' || substr(md5(tok), 9, 8))::UBIGINT::BIGINT AS lo
+          FROM toks WHERE tok <> ''),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    sg AS (SELECT doc_id, {sig_or} AS sig FROM v),
+    allsig AS (SELECT d.doc_id AS id, coalesce(sg.sig, 0::UBIGINT) AS sig
+               FROM d LEFT JOIN sg ON d.doc_id = sg.doc_id),
+    bands AS (SELECT id, unnest([{bands}]) AS band FROM allsig)
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id
+    """
+
+
+# SimHash near-dup candidates — all-Catalyst md5 bit votes (no per-token
+# Python; see doc_dedup.simhash_signatures), bit-for-bit reproduced by the
+# DuckDB oracle. Bounded to doc_id < 500 so the candidate set stays
+# deterministic and O(small) at every SF.
+@query("q23_simhash_candidates", _simhash_sql())
 def q23(spark, sf_dir):
     return doc_dedup.simhash_candidates(
-        _t(spark, sf_dir, "documents").limit(500), band_bits=16
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        band_bits=16,
     )
-
-
-QUERY_FNS["q23_simhash_candidates"] = q23
 
 
 # Full CDC engine replay (side-effectful: writes a snapshot table under a
@@ -717,15 +773,55 @@ def q26(spark, sf_dir):
 QUERY_FNS["q26_ivf_ann_topk"] = q26
 
 
-# winnowing rolling-hash fingerprints (MOSS-style) → rows-only check
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB mirror of text.winnow_fingerprints_udf.
+
+    The numpy kernel's uint64 arithmetic is exactly reproducible: powers are
+    built with ``(p * B) & MASK`` and the per-position hash is
+    ``(Σ byte·power) mod 2^64 & MASK`` — and since 2^64 is a multiple of
+    2^61, both collapse to plain ``mod 2^61``, computed here in HUGEINT.
+    Text is ASCII in the testdata, so ``ascii(substr(...))`` equals the
+    utf-8 byte the kernel hashes.
+    """
+    MOD = 1 << 61
+    powers = [1] * k
+    for j in range(k - 2, -1, -1):
+        powers[j] = (powers[j + 1] * 257) % MOD
+    hash_terms = " + ".join(
+        f"ascii(substr(s, i::int + {j}, 1))::HUGEINT * {powers[j]}::HUGEINT"
+        for j in range(k)
+    )
+    win_mins = ", ".join(f"hs[(w + {r})::int]" for r in range(window))
+    return f"""
+    WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(length(s) - {k - 1}, 0)),
+                                i -> (({hash_terms}) % {MOD}::HUGEINT)::BIGINT) AS hs
+          FROM d),
+    fp AS (SELECT doc_id,
+                  CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                       WHEN len(hs) < {window} THEN [list_min(hs)]
+                       ELSE list_sort(list_distinct(list_transform(
+                              generate_series(1, len(hs) - {window - 1}),
+                              w -> least({win_mins}))))
+                  END AS fps
+           FROM h)
+    SELECT doc_id, md5(array_to_string(fps, ',')) AS fp, len(fps)::int AS n_fp
+    FROM fp
+    """
+
+
+# winnowing rolling-hash fingerprints (MOSS-style; Schleimer et al.) —
+# projected to a canonical md5 scalar; the polynomial rolling hash is
+# replicated bit-for-bit in the DuckDB oracle (see _winnow_sql).
+@query("q27_winnow_fingerprints", _winnow_sql())
 def q27(spark, sf_dir):
     winnow = text.winnow_fingerprints_udf(k=8, window=4)
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # evaluate the UDF ONCE per row; derive n_fp from the materialized column
+    fps = docs.select("doc_id", winnow(F.col("text")).alias("fingerprints"))
+    return fps.select(
         "doc_id",
-        winnow(F.col("text")).alias("fingerprints"),
-        F.size(winnow(F.col("text"))).alias("n_fp"),
+        _arr_fp(F.col("fingerprints")).alias("fp"),
+        F.size("fingerprints").alias("n_fp"),
     )
-
-
-QUERY_FNS["q27_winnow_fingerprints"] = q27
