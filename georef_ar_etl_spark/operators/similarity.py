@@ -182,22 +182,13 @@ def embedding_neardup_pairs(
     )
 
 
-def ivf_index(
-    df,
-    n_clusters: int = 16,
-    n_iter: int = 10,
-    sample_size: int = 4096,
-    vec_col: str = "embedding",
-    seed: int = 7,
-):
-    """Deterministic k-means centroids from a seeded sample (numpy Lloyd's).
-
-    IVF at scale: centroids are tiny (k×dim) and train on a driver-side
-    sample; ASSIGNMENT is distributed. Returns np.ndarray (k, dim).
-    """
-    sample = np.stack(
-        [np.asarray(r[0], dtype=np.float64) for r in df.select(vec_col).limit(sample_size).collect()]
-    )
+def _kmeans_lloyd(
+    sample: np.ndarray, n_clusters: int, n_iter: int, seed: int
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on an in-memory sample. Shared by the Spark
+    index trainer and the oracle-SQL generator so both produce BIT-IDENTICAL
+    centroids from the same sample matrix (empty clusters keep their old
+    centroid, ties argmin to the lowest cluster id)."""
     rng = np.random.RandomState(seed)
     C = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
     for _ in range(n_iter):
@@ -208,6 +199,54 @@ def ivf_index(
             if len(members):
                 C[k] = members.mean(axis=0)
     return C
+
+
+def ivf_index(
+    df,
+    n_clusters: int = 16,
+    n_iter: int = 10,
+    sample_size: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+):
+    """Deterministic k-means centroids from a seeded sample (numpy Lloyd's).
+
+    The sample is the first ``sample_size`` vectors BY ID — ``orderBy(id)``
+    before ``limit``, because a bare limit takes whatever partitions answer
+    first and the "seeded" training would silently depend on file layout.
+
+    IVF at scale: centroids are tiny (k×dim) and train on a driver-side
+    sample; ASSIGNMENT is distributed. Returns np.ndarray (k, dim).
+    """
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    sample = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return _kmeans_lloyd(sample, n_clusters, n_iter, seed)
+
+
+def ivf_index_from_parquet(
+    path: str,
+    n_clusters: int = 16,
+    n_iter: int = 10,
+    sample_size: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+):
+    """Train the same IVF index without a SparkSession (pyarrow read) — used
+    to inline centroid literals into the DuckDB oracle. Must match
+    ``ivf_index`` exactly: same ordered sample, same float32→float64
+    widening, same kmeans."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_numpy()
+    order = np.argsort(ids, kind="stable")[:sample_size]
+    vecs = t.column(vec_col).to_pylist()
+    sample = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in order])
+    return _kmeans_lloyd(sample, n_clusters, n_iter, seed)
 
 
 def ivf_assign(df, centroids, vec_col: str = "embedding", id_col: str = "vec_id"):
@@ -231,6 +270,14 @@ def ivf_assign(df, centroids, vec_col: str = "embedding", id_col: str = "vec_id"
     return df.select(id_col, vec_col).mapInPandas(part, out_schema)
 
 
+def probe_clusters(centroids, query_vec: list[float], nprobe: int) -> list[int]:
+    """The query's nprobe nearest clusters by squared L2 (ties → lowest id,
+    numpy argsort stable order)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    return [int(p) for p in np.argsort(((C - q) ** 2).sum(axis=1))[:nprobe]]
+
+
 def ivf_topk(
     df,
     query_vec: list[float],
@@ -242,11 +289,48 @@ def ivf_topk(
     round_to: int = 4,
 ):
     """IVF probe: rank only vectors assigned to the query's nprobe nearest
-    clusters. At scale ``cluster`` is the table's partition column → the
-    probe is a partition-pruned scan of ~nprobe/k of the data."""
+    clusters.
+
+    Plan shape: ONE fused mapInPandas scan computes the nearest-centroid
+    assignment, drops non-probed rows, and scores the survivors against the
+    query — no corpus-side join, no shuffle except the final top-k limit.
+    (An earlier version joined the FULL corpus to the assignment frame
+    before filtering, paying a whole-corpus shuffle per probe.) At storage
+    scale, ``cluster`` (from ivf_assign) is the table's partition column and
+    this scan becomes partition-pruned to ~nprobe/n_clusters of the data.
+    """
     C = np.asarray(centroids, dtype=np.float64)
+    Csq = (C ** 2).sum(axis=1)
     q = np.asarray(query_vec, dtype=np.float64)
-    probe = np.argsort(((C - q) ** 2).sum(axis=1))[:nprobe].tolist()
-    assigned = ivf_assign(df, C, vec_col, id_col)
-    cand = df.join(assigned, id_col).filter(F.col("cluster").isin([int(p) for p in probe]))
-    return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
+    qn = q / np.linalg.norm(q)
+    probe = np.asarray(probe_clusters(C, query_vec, nprobe))
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (X ** 2).sum(axis=1)[:, None] - 2 * (X @ C.T) + Csq[None, :]
+            keep = np.isin(d.argmin(axis=1), probe)
+            if not keep.any():
+                continue
+            Xk = X[keep]
+            sims = (Xk / np.linalg.norm(Xk, axis=1, keepdims=True)) @ qn
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[keep],
+                "score": sims,
+            })
+
+    scored = df.select(id_col, vec_col).mapInPandas(part, out_schema)
+    # round JVM-side (HALF_UP, like the DuckDB oracle) — np.round is
+    # half-even and would disagree with the oracle exactly on the boundary
+    return (
+        scored.select(id_col, F.round("score", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -710,26 +710,150 @@ def q23(spark, sf_dir):
     )
 
 
-# Full CDC engine replay (side-effectful: writes a snapshot table under a
-# temp dir) — returns the final state; rows-only check.
+# ------------------------- q24: FULL CDC ENGINE REPLAY (the flagship) -----
+# Initial state and a 4-batch change log are derived DETERMINISTICALLY from
+# the driver's documents/events tables (no RNG), the real engine replays
+# them (bootstrap → validate → quarantine → dedup → normalize → merge →
+# manifest commit, reference georef_ar_etl/transformers.py:67-151), and the
+# DuckDB oracle replicates the replay algebraically: the engine's
+# batch-by-batch fold is equivalent to "latest VALID event per key wins"
+# under (batch_id, seq) order, because validation is per-event and
+# last-writer-wins is associative across batches.
+#
+# The derived log exercises every quarantine rule: bad_op (event_id%97),
+# bad_id (%89), empty_tokens (%53), null_token_element (%61),
+# empty_tokens_after_norm (%59) — plus dirty payloads that normalization
+# must clean (negative leading token, trailing zero padding) and op mix
+# insert/update/delete from the event_type column.
+
+_Q24_TOKENS_SQL = """
+      CASE WHEN event_id % 53 = 0 THEN []::INT[]
+           WHEN event_id % 61 = 0 THEN [1, NULL, 2]
+           WHEN event_id % 59 = 0 THEN [-5, 0, 0]
+           WHEN event_id % 3 = 0 THEN [
+                ((event_id % 97) - 3)::INT, (user_id % 50)::INT,
+                ((event_id % 41) + 1)::INT, 0, 0]
+           ELSE [((event_id % 97) - 3)::INT, (user_id % 50)::INT,
+                 ((event_id % 41) + 1)::INT]
+      END
+"""
+
+_Q24_SQL = f"""
+    WITH init AS (
+      SELECT lpad(doc_id::varchar, 13, '0') AS doc_id,
+             [(doc_id % 89 + 1)::INT, 0, (n_chars % 97 + 1)::INT,
+              ((doc_id * 7) % 83 + 1)::INT] AS tokens,
+             4 AS n_tok, source
+      FROM documents),
+    ev AS (
+      SELECT (event_id % 4)::bigint AS batch_id, event_id::bigint AS seq,
+             CASE WHEN event_id % 97 = 0 THEN 'upsert'
+                  WHEN event_type = 'error' THEN 'delete'
+                  WHEN event_type = 'signup' THEN 'insert'
+                  ELSE 'update' END AS op,
+             CASE WHEN event_id % 89 = 0
+                    THEN substr(lpad((event_id % 600)::varchar, 13, '0'), 1, 5)
+                  ELSE lpad((event_id % 600)::varchar, 13, '0') END AS doc_id,
+             {_Q24_TOKENS_SQL} AS tokens,
+             (event_id % 7)::INT AS n_tok,
+             event_type AS source
+      FROM events),
+    valid AS (
+      SELECT * FROM ev
+      WHERE op IN ('insert', 'update', 'delete')
+        AND doc_id IS NOT NULL AND length(doc_id) = 13
+        AND (op = 'delete' OR (
+             tokens IS NOT NULL AND len(tokens) > 0
+             AND len(list_filter(tokens, x -> x IS NULL)) = 0
+             AND len(list_filter(tokens, x -> x > 0)) > 0))),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY batch_id DESC, seq DESC) AS rn
+        FROM valid) WHERE rn = 1),
+    upserts AS (
+      SELECT doc_id, nn[1:lastnz::int] AS tokens, lastnz::int AS n_tok, source
+      FROM (
+        SELECT doc_id, nn,
+               coalesce(list_max(list_transform(
+                   generate_series(1, greatest(len(nn), 1)),
+                   i -> CASE WHEN nn[i::int] <> 0 THEN i ELSE 0 END)), 0) AS lastnz,
+               source
+        FROM (SELECT doc_id, list_filter(tokens, x -> x >= 0) AS nn, source
+              FROM latest WHERE op <> 'delete'))),
+    final AS (
+      SELECT i.doc_id, i.tokens, i.n_tok, i.source FROM init i
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = i.doc_id)
+      UNION ALL
+      SELECT doc_id, tokens, n_tok, source FROM upserts)
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM final
+"""
+
+
+def _q24_inputs(spark, sf_dir):
+    """Spark twins of the oracle's ``init`` and ``ev`` CTEs (expression-for-
+    expression, so both engines replay the identical log)."""
+    docs = _t(spark, sf_dir, "documents")
+    initial = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 13, "0").alias("doc_id"),
+        F.array(
+            (F.col("doc_id") % 89 + 1).cast("int"),
+            F.lit(0),
+            (F.col("n_chars") % 97 + 1).cast("int"),
+            ((F.col("doc_id") * 7) % 83 + 1).cast("int"),
+        ).alias("tokens"),
+        F.lit(4).alias("n_tok"),
+        F.col("source"),
+    )
+    e = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    base = [
+        ((eid % 97) - 3).cast("int"),
+        (uid % 50).cast("int"),
+        ((eid % 41) + 1).cast("int"),
+    ]
+    tokens = (
+        F.when(eid % 53 == 0, F.array().cast("array<int>"))
+        .when(eid % 61 == 0, F.array(F.lit(1), F.lit(None).cast("int"), F.lit(2)))
+        .when(eid % 59 == 0, F.array(F.lit(-5), F.lit(0), F.lit(0)))
+        .when(eid % 3 == 0, F.array(*base, F.lit(0), F.lit(0)))
+        .otherwise(F.array(*base))
+    )
+    doc_id = F.lpad((eid % 600).cast("string"), 13, "0")
+    events = e.select(
+        (eid % 4).cast("long").alias("batch_id"),
+        eid.cast("long").alias("seq"),
+        F.when(eid % 97 == 0, "upsert")
+        .when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+        .alias("op"),
+        F.when(eid % 89 == 0, F.substring(doc_id, 1, 5)).otherwise(doc_id).alias("doc_id"),
+        tokens.alias("tokens"),
+        (eid % 7).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+    )
+    return initial, events
+
+
+@query("q24_cdc_replay_state", _Q24_SQL)
 def q24(spark, sf_dir):
     import tempfile
 
-    from georef_ar_etl_spark import datagen
     from georef_ar_etl_spark.engine import CdcEngine
 
-    initial = datagen.gen_initial_state(500, seed=42, max_len=64)
-    events = datagen.gen_events(
-        [r["doc_id"] for r in initial], 2000, 4, seed=43, max_len=64
-    )
+    initial, events = _q24_inputs(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="cdc_replay_")
     eng = CdcEngine(spark, root, n_buckets=16)
-    eng.bootstrap(datagen.state_to_df(spark, initial))
-    eng.replay(datagen.events_to_df(spark, events))
-    return eng.state()
-
-
-QUERY_FNS["q24_cdc_replay_state"] = q24
+    eng.bootstrap(initial)
+    eng.replay(events, batch_ids=[0, 1, 2, 3])
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )
 
 
 def _neardup_sql(n_bits=5, seed=7, dim=64, min_cos=0.25) -> str:
@@ -761,16 +885,57 @@ def q25(spark, sf_dir):
     )
 
 
-# IVF approximate nearest neighbors (kmeans index + partition-pruned probe);
-# the index is trained driver-side on a seeded sample → rows-only check.
+# IVF approximate nearest neighbors: seeded-deterministic kmeans index, ONE
+# fused assignment+probe scan (no corpus join). The oracle is generated by
+# training the IDENTICAL index (same ordered sample, same numpy kmeans) from
+# the sf0.01 parquet via pyarrow and inlining the centroids as literals —
+# the _lsh_ann_sql pattern, extended to a data-dependent index. The driver
+# always runs oracles at sf0.01, so the literals match what the Spark path
+# trains there.
+_IVF_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _ivf_sql(n_clusters=8, n_iter=5, seed=7, nprobe=3, k=10) -> str | None:
+    try:
+        C = similarity.ivf_index_from_parquet(
+            f"{_IVF_SF_DIR}/embeddings.parquet",
+            n_clusters=n_clusters, n_iter=n_iter, seed=seed,
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{_IVF_SF_DIR}/embeddings.parquet")
+        qv = [
+            float(x)
+            for x in t.filter(np.asarray(t.column("vec_id")) == 0)
+            .column("embedding").to_pylist()[0]
+        ]
+    except Exception:
+        return None  # testdata absent: q26 degrades to a rows-only check
+    probe = similarity.probe_clusters(C, qv, nprobe)
+    lits = [("[" + ", ".join(repr(float(x)) for x in row) + "]") for row in C]
+    dists = ", ".join(f"list_distance(v, {lit})" for lit in lits)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id, v, [{dists}] AS ds FROM e),
+    c AS (SELECT vec_id, v FROM a
+          WHERE list_position(ds, list_min(ds)) - 1 IN ({", ".join(map(str, probe))})),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+    FROM c, q
+    ORDER BY score DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("q26_ivf_ann_topk", _ivf_sql())
 def q26(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     centroids = similarity.ivf_index(emb, n_clusters=8, n_iter=5, seed=7)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.ivf_topk(emb, qv, centroids, k=10, nprobe=3)
-
-
-QUERY_FNS["q26_ivf_ann_topk"] = q26
 
 
 def _winnow_sql(k: int = 8, window: int = 4) -> str:

@@ -10,7 +10,9 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.001")
+# default to sf0.01: it is the SF the driver's correctness gate runs at, and
+# the q26 oracle inlines an index trained on the sf0.01 parquet
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
