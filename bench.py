@@ -37,7 +37,9 @@ HEADLINE = [
 ]
 
 
-def run_cdc_replay(spark, n_initial: int, n_events: int, n_batches: int) -> dict:
+def run_cdc_replay(
+    spark, n_initial: int, n_events: int, n_batches: int, merge_impl: str = "copartitioned"
+) -> dict:
     """The north-rule workload: bootstrap a token-sequence table, replay a
     change-event log, measure end-to-end change-events/sec applied."""
     from georef_ar_etl_spark.benchgen import gen_bench_workload
@@ -55,7 +57,9 @@ def run_cdc_replay(spark, n_initial: int, n_events: int, n_batches: int) -> dict
         dir=os.environ.get("BENCH_TABLE_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None),
     )
     try:
-        eng = CdcEngine(spark, root, n_buckets=64, normalize_impl="pandas")
+        eng = CdcEngine(
+            spark, root, n_buckets=64, normalize_impl="pandas", merge_impl=merge_impl
+        )
         t0 = time.time()
         eng.bootstrap(initial)
         t_boot = time.time() - t0
@@ -82,6 +86,12 @@ def main() -> None:
 
     from georef_ar_etl_spark.plans.queries import QUERY_FNS
 
+    # warmup (untimed): session bring-up, JIT, parquet footer cache, Python
+    # worker spawn — without this the first timed query absorbs ~4 s of
+    # one-time cost and regressions in it are invisible
+    QUERY_FNS["q10_group_minmax"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERY_FNS[name]
@@ -100,6 +110,21 @@ def main() -> None:
         spark, n_initial=max(n_events // 4, 1000), n_events=n_events, n_batches=8
     )
     times["cdc_replay"] = cdc["cdc_replay_sec"]
+
+    # track BOTH merge plans every round: the join-based merge shuffles the
+    # touched state per batch, the copartitioned (default) one does not —
+    # this keeps the copartitioned speedup claim measured, not remembered.
+    # Quarter-scale workload bounds the extra bench time.
+    join_events = max(n_events // 4, 1000)
+    cdc_join = run_cdc_replay(
+        spark,
+        n_initial=max(join_events // 4, 1000),
+        n_events=join_events,
+        n_batches=4,
+        merge_impl="join",
+    )
+    cdc["cdc_join_merge_events_per_sec"] = cdc_join["cdc_events_per_sec"]
+    times["cdc_replay_join_merge"] = cdc_join["cdc_replay_sec"]
 
     total = round(sum(times.values()), 3)
     out = {

@@ -4,20 +4,21 @@ n-gram Jaccard.
 Scale posture:
 * exact dedup — one hash aggregate on a 32-char digest, shuffle carries only
   (digest, doc_id): trivially 100 TB-safe.
-* MinHash+LSH — per-doc signatures are computed with higher-order column
-  functions (no Python); candidate generation explodes b band keys per doc
-  and self-joins on the band bucket, so the shuffle is O(docs × bands), never
-  O(docs²); verification runs only on bucket-colliding pairs.
-* SimHash — 64-bit signature via a vectorized Arrow/pandas UDF (numpy
-  bit-twiddling); near-dup candidates = equal signature bands.
-* Jaccard verify — array_intersect/array_union on shingle sets, JVM-side.
+* MinHash+LSH — per-doc signatures + band keys in one vectorized Arrow
+  kernel (31-bit polynomial gram hashes, affine minhash family); ONE
+  shuffle of (id, text, band) rows, O(docs × bands), never O(docs²);
+  verification is an all-pairs matmul inside each band group.
+* SimHash — 64-bit signature as a pure-Catalyst explode → md5 → 64-column
+  bit-vote aggregate; near-dup candidates = equal signature bands.
+* Jaccard verify — vectorized membership-matrix matmul per band group.
 
-All hashing is md5-derived so the DuckDB oracle can reproduce values exactly.
+All hashing is either md5-derived or plain 31/61-bit modular arithmetic, so
+the DuckDB oracles reproduce every value exactly.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from georef_ar_etl_spark.operators.text import char_shingles, fingerprint, norm_text
@@ -46,26 +47,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ----------------------------------------------------------------- minhash
-def _md5_hash32_batch(col: Column, n_hashes: int) -> list[Column]:
-    """n_hashes seeded 32-bit hashes using ceil(n/4) md5 calls: one digest per
-    seed GROUP, split into four 8-hex-char chunks. 4× fewer md5 evaluations
-    than one digest per seed; identical formula in the DuckDB oracle."""
-    out: list[Column] = []
-    for g in range((n_hashes + 3) // 4):
-        digest = F.md5(F.concat_ws(":", col, F.lit(g)))
-        for j in range(4):
-            if len(out) < n_hashes:
-                out.append(
-                    F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")
-                )
-    return out
+def minhash_affine_params(n_hashes: int, seed: int = 11):
+    """Seeded affine constants (A_i, B_i) over GF(2^31-1) for the minhash
+    family h_i(x) = (A_i·x + B_i) mod p. Deterministic: the DuckDB oracle
+    inlines the identical values (plans/queries._minhash_sql)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    p = (1 << 31) - 1
+    A = rng.randint(1, p, size=n_hashes).astype(np.uint64)
+    B = rng.randint(0, p, size=n_hashes).astype(np.uint64)
+    return A, B
 
 
-# NOTE: earlier column-level minhash_signature/minhash_bands helpers were
-# removed — they hashed md5(shingle:seed) per seed, which is INCOMPATIBLE
-# with the grouped _md5_hash32_batch scheme used by minhash_lsh_pairs and
-# the DuckDB oracle; keeping two silently-divergent signature APIs invited
-# mismatches. minhash_lsh_pairs is the single signature implementation.
+# NOTE: earlier column-level minhash_signature/minhash_bands helpers and the
+# md5-grouped hash scheme were removed — one signature implementation
+# (minhash_lsh_pairs + minhash_affine_params) avoids silently-divergent
+# signature APIs, and the polynomial/affine family is both cheaper than md5
+# and reproducible with plain arithmetic in the oracle.
 
 
 def minhash_lsh_pairs(
@@ -77,56 +76,157 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.6,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH, verified with true Jaccard.
+    """Near-duplicate pairs via MinHash LSH, verified with true Jaccard over
+    the k-gram hash sets.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b (the reference's
     symmetric-pair dedup trick, georef_ar_etl/intersections.py:55).
 
-    Scale shape: shingles are EXPLODED once and all n_hashes seeded hashes are
-    computed per shingle row in a single projection, then min-aggregated per
-    doc (hash aggregate with map-side combine). This is one pass over
-    O(docs × shingles) rows — NOT n_hashes nested array traversals, which
-    re-evaluate the shingle expression per seed and collapse at scale.
+    Hashing: 31-bit polynomial rolling k-gram hashes (mod the Mersenne prime
+    2^31-1) remixed per minhash seed with affine transforms over the same
+    field — the universal-hash construction. Everything stays below 2^63,
+    exact in numpy uint64 AND in DuckDB BIGINT, so the oracle reproduces
+    every value with plain arithmetic. (A previous md5-based scheme was
+    oracle-reproducible too, but the 2 md5 + 8 base-16 conv per shingle
+    dominated the operator's runtime — measured ~6 s of the 9 s total at
+    sf0.1.)
+
+    Plan shape — two Arrow kernels and ONE shuffle:
+    1. ``sig_partition``: per doc, vectorized gram hashes → n_hashes affine
+       mins → n_bands band-key strings; emits (id, t, band) rows.
+    2. shuffle by band (explicit partition count: the frame is tens of MB,
+       AQE would coalesce it onto one Python worker, but the verify is
+       CPU-bound).
+    3. ``verify_partition``: per band group, all-pairs Jaccard via one
+       membership-matrix matmul; emits raw ratios, rounded and thresholded
+       JVM-side.
+    The shuffle moves each doc's normalized TEXT once per band — a
+    candidate-pair join would move two shingle-set arrays per candidate
+    pair (~25× more bytes on the synthetic corpus, where banding yields
+    ~12 candidate pairs per doc). Scale contract: a band group must fit in
+    one task (the copartitioned-merge contract); pathological hot bands are
+    the LSH-parameter tuning signal.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.text import (
+        P31,
+        poly_kgram_hashes_p31,
+        poly_powers_p31,
+    )
+
     rows_per_band = n_hashes // n_bands
-    # materialization boundaries: (a) normalized text as a persisted column so
-    # the regexp is NOT re-evaluated per shingle position inside transform(),
-    # (b) shingle sets persisted (reused by the two verification joins),
-    # (c) signatures persisted (reused by both sides of the band self-join).
-    normed = df.select(F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("t")).persist()
-    base = normed.select(
-        "id", char_shingles(F.col("t"), shingle_k, pre_normalized=True).alias("sh")
-    ).persist()
-    ex = base.select("id", F.explode("sh").alias("s"))
-    hashed = ex.select(
-        "id",
-        *[h.alias(f"h{i}") for i, h in enumerate(_md5_hash32_batch(F.col("s"), n_hashes))],
+    normed = df.select(
+        F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("t")
     )
-    sig = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
-    ).persist()
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",", F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        )
-        for b in range(n_bands)
-    ]
-    bands = sig.select("id", F.explode(F.array(*band_keys)).alias("band"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    id_type = df.schema[id_col].dataType
+    band_schema = T.StructType([
+        T.StructField("id", id_type),
+        T.StructField("t", T.StringType()),
+        T.StructField("band", T.StringType()),
+    ])
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("jaccard_raw", T.DoubleType()),
+    ])
+    powers = poly_powers_p31(shingle_k)
+    A, B = minhash_affine_params(n_hashes)
+    k = shingle_k
+
+    def grams(s: str) -> np.ndarray:
+        # short texts are space-padded to one full k-gram so every doc has a
+        # non-empty gram multiset (the oracle pads identically)
+        if s is None:
+            s = ""
+        if len(s) < k:
+            s = s.ljust(k)
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+        return poly_kgram_hashes_p31(b, k, powers)
+
+    def sig_partition(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, texts, bands_out = [], [], []
+            for i, s in zip(pdf["id"].to_numpy(), pdf["t"].to_numpy()):
+                H = grams(s)
+                # affine remix per seed: H*A+B < 2^62 + 2^31, exact in uint64
+                sig = ((H[None, :] * A[:, None] + B[:, None]) % P31).min(axis=1)
+                for bi in range(n_bands):
+                    band_vals = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+                    ids.append(i)
+                    texts.append(s)
+                    bands_out.append(f"{bi}:" + ",".join(str(int(v)) for v in band_vals))
+            yield pd.DataFrame({"id": ids, "t": texts, "band": bands_out})
+
+    grouped = normed.mapInPandas(sig_partition, band_schema)
+
+    def verify_partition(batches):
+        # one Python invocation per PARTITION, not per band group: band
+        # groups are mostly tiny (singletons don't verify at all), and a
+        # per-group applyInPandas pays ~ms of pandas overhead per group —
+        # measured slower than the pair-join it replaced. All groups of a
+        # partition are processed with numpy slicing after one sort.
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["band", "id"], kind="stable")
+        bnd = pdf["band"].to_numpy()
+        ids_all = pdf["id"].to_numpy()
+        texts = pdf["t"].to_numpy()
+        sets_all = np.empty(len(pdf), dtype=object)
+        for i, s in enumerate(texts):
+            sets_all[i] = np.unique(grams(s))
+        starts = np.flatnonzero(np.concatenate(([True], bnd[1:] != bnd[:-1])))
+        ends = np.append(starts[1:], len(pdf))
+        out_a, out_b, out_j = [], [], []
+        for gs, ge in zip(starts, ends):
+            n = ge - gs
+            if n < 2:
+                continue
+            ids = ids_all[gs:ge]
+            sets = sets_all[gs:ge]
+            lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=n)
+            flat = np.concatenate(sets)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            M = np.zeros((n, len(uniq)), dtype=np.float32)
+            M[np.repeat(np.arange(n), lens), inv] = 1.0
+            inter = (M @ M.T).astype(np.float64)
+            sizes = lens.astype(np.float64)
+            union = sizes[:, None] + sizes[None, :] - inter
+            ia, ib = np.triu_indices(n, 1)
+            # raw ratio of exact small ints: bit-identical to the JVM's and
+            # DuckDB's double division; rounding happens ONCE, JVM-side
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_j.append(inter[ia, ib] / union[ia, ib])
+        if out_a:
+            yield pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "jaccard_raw": np.concatenate(out_j),
+            })
+
+    # explicit partition count: the band-rows frame is only tens of MB, so
+    # AQE would coalesce a bare repartition("band") into one or two
+    # partitions and serialize the whole verify into one Python worker —
+    # but the verify is CPU-bound (a matmul per band group), not byte-bound
+    sess = df.sparkSession
+    n_part = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    verified = grouped.repartition(n_part, "band").mapInPandas(
+        verify_partition, out_schema
     )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.join(sh_a, "id_a").join(sh_b, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        verified
+        .withColumn("jaccard", F.round("jaccard_raw", 6))
         .filter(F.col("jaccard") >= min_jaccard)
+        # a pair colliding in several bands verifies identically in each —
+        # keep one
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -152,18 +252,24 @@ def ngram_jaccard_pairs(
     ).persist()
     base = normed.select(
         "id", "blk", char_shingles(F.col("t"), shingle_k, pre_normalized=True).alias("sh")
-    ).persist()
+    )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
-    return (
+    out = (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+        # eager small result → the cached normalized text is released before
+        # return (shingle arrays are recomputed per join side, cheaper than
+        # columnar-caching them — see minhash_lsh_pairs)
+        .localCheckpoint(eager=True)
     )
+    normed.unpersist()
+    return out
 
 
 # ----------------------------------------------------------------- simhash

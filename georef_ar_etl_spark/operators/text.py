@@ -99,6 +99,55 @@ def char_shingles(col: Column, k: int = 3, pre_normalized: bool = False) -> Colu
     return F.array_distinct(grams)
 
 
+POLY_B = np.uint64(257)
+POLY_MASK = np.uint64((1 << 61) - 1)
+
+
+def poly_powers(k: int) -> np.ndarray:
+    """Powers for the 61-bit polynomial k-gram hash (B=257, masked per step).
+    Shared by winnowing and the MinHash verify kernel; the DuckDB oracles
+    inline the same values (uint64 wrap + mask ≡ plain mod 2^61 because
+    2^64 is a multiple of 2^61)."""
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for j in range(k - 2, -1, -1):
+        powers[j] = (powers[j + 1] * POLY_B) & POLY_MASK
+    return powers
+
+
+def poly_kgram_hashes(b: np.ndarray, k: int, powers: np.ndarray) -> np.ndarray:
+    """All k-gram rolling hashes of a uint64 byte array (vectorized).
+    Returns an empty array when len(b) < k."""
+    if len(b) < k:
+        return np.zeros(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    return (win * powers[None, :]).sum(axis=1) & POLY_MASK
+
+
+P31 = np.uint64((1 << 31) - 1)  # Mersenne prime 2^31-1
+
+
+def poly_powers_p31(k: int) -> np.ndarray:
+    """Base-257 power ladder mod p=2^31-1. With 31-bit values, every
+    intermediate in the k-gram hash AND in the affine minhash transforms
+    stays below 2^63 — exact in numpy uint64 and in DuckDB BIGINT alike,
+    no HUGEINT, no md5."""
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for j in range(k - 2, -1, -1):
+        powers[j] = (powers[j + 1] * POLY_B) % P31
+    return powers
+
+
+def poly_kgram_hashes_p31(b: np.ndarray, k: int, powers: np.ndarray) -> np.ndarray:
+    """All k-gram rolling hashes mod 2^31-1 of a uint64 byte array
+    (vectorized; byte·power products < 2^39, k-term sums < 2^42 — exact)."""
+    if len(b) < k:
+        return np.zeros(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    return (win * powers[None, :]).sum(axis=1) % P31
+
+
 def winnow_fingerprints_udf(k: int = 8, window: int = 4):
     """Factory for a winnowing document-fingerprint UDF (rolling hash).
 
@@ -107,21 +156,15 @@ def winnow_fingerprints_udf(k: int = 8, window: int = 4):
     deduplicated — a position-robust fingerprint set for near-dup detection.
     Vectorized numpy per Arrow batch (sliding windows, no per-char Python).
     """
-    B = np.uint64(257)
-    MASK = np.uint64((1 << 61) - 1)
+    powers = poly_powers(k)
 
     def one(s: str):
         if s is None:
             return None
         b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-        if len(b) < k:
+        hashes = poly_kgram_hashes(b, k, powers)
+        if len(hashes) == 0:
             return np.zeros(0, dtype=np.int64)
-        powers = np.empty(k, dtype=np.uint64)
-        powers[k - 1] = np.uint64(1)
-        for j in range(k - 2, -1, -1):
-            powers[j] = (powers[j + 1] * B) & MASK
-        win = np.lib.stride_tricks.sliding_window_view(b, k)
-        hashes = (win * powers[None, :]).sum(axis=1) & MASK
         if len(hashes) < window:
             sel = np.array([hashes.min()])
         else:

@@ -517,36 +517,75 @@ def q16(spark, sf_dir):
     return doc_dedup.dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id", "source")
 
 
+def _poly_hash_terms(var: str, k: int) -> str:
+    """k-gram 61-bit polynomial rolling hash at 1-based position i of string
+    column ``var`` (HUGEINT; mod 2^61 ≡ the numpy kernel's uint64-wrap+mask,
+    since 2^64 is a multiple of 2^61). Shared by the winnow and MinHash
+    oracles — same B=257 power ladder as text.poly_powers."""
+    MOD = 1 << 61
+    powers = [1] * k
+    for j in range(k - 2, -1, -1):
+        powers[j] = (powers[j + 1] * 257) % MOD
+    terms = " + ".join(
+        f"ascii(substr({var}, i::int + {j}, 1))::HUGEINT * {powers[j]}::HUGEINT"
+        for j in range(k)
+    )
+    return f"(({terms}) % {MOD}::HUGEINT)::BIGINT"
+
+
+def _poly31_hash_terms(var: str, k: int) -> str:
+    """k-gram rolling hash mod the Mersenne prime 2^31-1 at 1-based position
+    i of string column ``var``. All intermediates < 2^62 → plain BIGINT.
+    Mirrors text.poly_powers_p31 / poly_kgram_hashes_p31."""
+    P = (1 << 31) - 1
+    powers = [1] * k
+    for j in range(k - 2, -1, -1):
+        powers[j] = (powers[j + 1] * 257) % P
+    terms = " + ".join(
+        f"ascii(substr({var}, i::int + {j}, 1))::BIGINT * {powers[j]}"
+        for j in range(k)
+    )
+    return f"(({terms}) % {P})"
+
+
 def _minhash_sql(n_hashes=8, n_bands=4, k=8, min_j=0.35) -> str:
+    """Mirror of doc_dedup.minhash_lsh_pairs: 31-bit polynomial gram hashes,
+    affine minhash family h_i(x) = (A_i·x + B_i) mod p with the same seeded
+    constants, band keys as plain value strings, Jaccard over the distinct
+    gram-hash sets. Short texts are padded to one full k-gram."""
+    from georef_ar_etl_spark.operators.doc_dedup import minhash_affine_params
+
+    P = (1 << 31) - 1
     rows = n_hashes // n_bands
-    # seed-group scheme: hash i uses hex chars [1+8*(i%4), 8] of
-    # md5(shingle || ':' || i//4) — mirrors doc_dedup._md5_hash32_batch
+    A, B = minhash_affine_params(n_hashes)
     mins = ", ".join(
-        f"list_min(list_transform(s, x -> (('0x' || substr(md5(x || ':' || {i // 4}),"
-        f" {1 + 8 * (i % 4)}, 8))::UBIGINT)::BIGINT))"
+        f"list_min(list_transform(H, x -> (x * {int(A[i])} + {int(B[i])}) % {P}))"
         for i in range(n_hashes)
     )
     bands = ", ".join(
-        "md5(concat_ws(',', '%d', %s))"
-        % (b, ", ".join(f"sig[{b * rows + r + 1}]::varchar" for r in range(rows)))
+        "'%d:' || %s"
+        % (b, " || ',' || ".join(f"sig[{b * rows + r + 1}]::varchar" for r in range(rows)))
         for b in range(n_bands)
     )
     return f"""
     WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(
-                    generate_series(1, greatest(length(t) - {k - 1}, 1)),
-                    i -> substr(t, i::int, {k}))) AS s
-           FROM norm),
-    sig AS (SELECT doc_id, s, [{mins}] AS sig FROM sh),
-    bands AS (SELECT doc_id, s, unnest([{bands}]) AS band FROM sig),
+    pad AS (SELECT doc_id,
+                   CASE WHEN length(t) < {k} THEN rpad(t, {k}, ' ') ELSE t END AS sp
+            FROM norm),
+    hs AS (SELECT doc_id,
+                  list_transform(generate_series(1, length(sp) - {k - 1}),
+                                 i -> {_poly31_hash_terms("sp", k)}) AS H
+           FROM pad),
+    sig AS (SELECT doc_id, [{mins}] AS sig FROM hs),
+    bands AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    ish AS (SELECT doc_id, list_distinct(H) AS v FROM hs),
     verified AS (
       SELECT c.id_a, c.id_b,
-             round(len(list_intersect(sa.s, sb.s)) * 1.0
-                   / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
-      FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
+             round(len(list_intersect(sa.v, sb.v)) * 1.0
+                   / len(list_distinct(list_concat(sa.v, sb.v))), 6) AS jaccard
+      FROM cand c JOIN ish sa ON c.id_a = sa.doc_id JOIN ish sb ON c.id_b = sb.doc_id)
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {min_j}
     """
 
@@ -948,20 +987,12 @@ def _winnow_sql(k: int = 8, window: int = 4) -> str:
     Text is ASCII in the testdata, so ``ascii(substr(...))`` equals the
     utf-8 byte the kernel hashes.
     """
-    MOD = 1 << 61
-    powers = [1] * k
-    for j in range(k - 2, -1, -1):
-        powers[j] = (powers[j + 1] * 257) % MOD
-    hash_terms = " + ".join(
-        f"ascii(substr(s, i::int + {j}, 1))::HUGEINT * {powers[j]}::HUGEINT"
-        for j in range(k)
-    )
     win_mins = ", ".join(f"hs[(w + {r})::int]" for r in range(window))
     return f"""
     WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
     h AS (SELECT doc_id,
                  list_transform(generate_series(1, greatest(length(s) - {k - 1}, 0)),
-                                i -> (({hash_terms}) % {MOD}::HUGEINT)::BIGINT) AS hs
+                                i -> {_poly_hash_terms("s", k)}) AS hs
           FROM d),
     fp AS (SELECT doc_id,
                   CASE WHEN len(hs) = 0 THEN []::BIGINT[]
