@@ -107,6 +107,28 @@ class CdcEngine:
     def state(self) -> DataFrame:
         return self.table.read_state().drop("bucket")
 
+    def assert_size(self, target_size: int, op: str = "eq") -> int:
+        """Row-count gate on the CURRENT committed state (reference:
+        ValidateTableSizeStep, georef_ar_etl/utils.py:94-118). Reads the
+        manifest's total_rows — per-bucket counts are summed at commit time,
+        so the gate costs zero Spark jobs regardless of table size."""
+        import operator as _operator
+
+        from georef_ar_etl_spark.plans.steps import VALID_SIZE_OPS, TableSizeError
+
+        if op not in VALID_SIZE_OPS:
+            raise ValueError(f"unknown size operator: {op!r}")
+        m = self.table.latest_manifest()
+        if m is None:
+            raise TableSizeError("no committed manifest to validate against")
+        n = int(m["total_rows"])
+        if not getattr(_operator, op)(n, target_size):
+            raise TableSizeError(
+                f"state has {n} rows; failed size validation against "
+                f"target_size={target_size} with operator {op!r}"
+            )
+        return n
+
     # ------------------------------------------------------------ apply batch
     def apply_batch(
         self, events: DataFrame, batch_id: int, allow_out_of_order: bool = False
@@ -231,6 +253,18 @@ class CdcEngine:
                 for r in results
             }
             written_counts = {int(r["bucket"]): int(r["rows"]) for r in results}
+            # per-bucket action ID lineage (capped, sorted samples straight
+            # from the merge tasks — no extra pass). Reference reports the
+            # added/updated/deleted ID lists per run, transformers.py:145-149.
+            bucket_lineage = {
+                int(r["bucket"]): {
+                    a: list(r[f"{a}_ids"])
+                    for a in ("inserted", "updated", "deleted")
+                    if len(r[f"{a}_ids"])
+                }
+                for r in results
+            }
+            bucket_lineage = {b: v for b, v in bucket_lineage.items() if v}
             total_after = sum(written_counts.values())
             action_counts = {
                 a: s
@@ -265,6 +299,7 @@ class CdcEngine:
             )
             written = self.table.write_data(epoch, new_buckets_df)
             written_counts = None
+            bucket_lineage = None  # join path records counts only
             m_got = m_obs.get
             action_counts = {a: int(m_got[a]) for a in ACTIONS if m_got[a]}
         t_write_done = time.time()
@@ -276,6 +311,7 @@ class CdcEngine:
             "quarantined": q_counts,
             "actions": action_counts,
             "touched_buckets": len(touched),
+            "bucket_lineage": bucket_lineage,
             "schema_added_columns": [
                 f.name for f in new_schema.fields
                 if f.name not in {x.name for x in state_schema.fields}

@@ -45,6 +45,13 @@ RESULT_SCHEMA = T.StructType([
     T.StructField("deleted", T.LongType()),
     T.StructField("delete_noop", T.LongType()),
     T.StructField("path", T.StringType()),
+    # per-bucket action ID lineage (sorted, capped samples — the reference
+    # reports the full added/updated/deleted ID lists per extraction,
+    # georef_ar_etl/transformers.py:145-149; at engine scale the manifest
+    # carries a bounded sample per bucket plus the exact counts above)
+    T.StructField("inserted_ids", T.ArrayType(T.StringType())),
+    T.StructField("updated_ids", T.ArrayType(T.StringType())),
+    T.StructField("deleted_ids", T.ArrayType(T.StringType())),
 ])
 
 
@@ -57,6 +64,7 @@ def merge_copartitioned(
     key: str = "doc_id",
     normalize: bool = True,
     dedup_order: str | None = "seq",
+    id_sample_cap: int = 16,
 ) -> DataFrame:
     """``batch``: validated change rows with ``op``, ``bucket`` and (when
     ``dedup_order``) the event-order column. ``bucket_files``: bucket →
@@ -111,10 +119,20 @@ def merge_copartitioned(
                 ups["tokens"] = normalize_series(ups["tokens"])
                 ups["n_tok"] = ups["tokens"].map(len).astype("int32")
             state_keys = pd.Index(state[key])
-            deleted = int(state_keys.isin(dels).sum())
+            del_mask = state_keys.isin(dels)
+            deleted = int(del_mask.sum())
             delete_noop = int(len(dels) - deleted)
-            updated = int(state_keys.isin(ups[key]).sum())
+            up_mask = ups[key].isin(state_keys).to_numpy() if len(ups) else []
+            updated = int(sum(up_mask))
             inserted = int(len(ups) - updated)
+
+            def sample(ids) -> list[str]:
+                # sorted before capping → deterministic across task retries
+                return sorted(str(x) for x in ids)[:id_sample_cap]
+
+            inserted_ids = sample(ups.loc[[not m for m in up_mask], key]) if len(ups) else []
+            updated_ids = sample(ups.loc[list(up_mask), key]) if len(ups) else []
+            deleted_ids = sample(state.loc[list(del_mask), key])
 
             keep = state[~state_keys.isin(dels) & ~state_keys.isin(ups[key])]
             merged = pd.concat([keep, ups], ignore_index=True).sort_values(key)
@@ -126,7 +144,10 @@ def merge_copartitioned(
                 merged.reset_index(drop=True), schema=arrow_schema, preserve_index=False
             )
             pq.write_table(table, path, compression="lz4", row_group_size=65536)
-            out.append((bucket, len(merged), inserted, updated, deleted, delete_noop, path))
+            out.append((
+                bucket, len(merged), inserted, updated, deleted, delete_noop,
+                path, inserted_ids, updated_ids, deleted_ids,
+            ))
         yield pd.DataFrame(
             out, columns=[f.name for f in RESULT_SCHEMA.fields]
         )

@@ -5,14 +5,25 @@ metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` over bounded batches (the session caps
 ``arrow.maxRecordsPerBatch`` so a batch of blobs stays in memory).
 
-The actual codec step is STUBBED (no image/audio libs in this container):
-``decode_stub`` raises ``NotImplementedError`` unless ``fake=True``, in which
-case it produces deterministic fake features from the bytes — the Spark-side
-schema, partitioning, UDF signature, and batch shape are real and tested.
+Decoders are REAL for container formats that need no external codec lib —
+the headers are parsed with ``struct``/numpy and features are computed on
+the genuine raster/sample bytes:
+
+* ``image/bmp`` — BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24-bit
+  BGR, bottom-up rows with 4-byte padding → width, height, pixel mean.
+* ``audio/wav`` — RIFF/WAVE chunk walk, PCM16 → sample rate, duration, RMS.
+* ``text/plain`` — byte stats straight off the payload.
+
+Formats that require external codecs (JPEG/PNG/MP3/...) raise
+``NotImplementedError`` at the decode boundary — an honest stub; the
+surrounding Spark plumbing (schema, batching, dispatch) is identical for
+them. ``encode_bmp``/``encode_wav`` generate real files deterministically
+for tests and demos.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,6 +44,14 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.IntegerType()),
     T.StructField("first_byte", T.IntegerType()),
     T.StructField("byte_mean", T.DoubleType()),
+    # image features (null for non-images)
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_mean", T.DoubleType()),
+    # audio features (null for non-audio)
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
 ])
 
 
@@ -51,24 +70,97 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def decode_stub(payload: bytes, fake: bool) -> np.ndarray:
-    """The codec boundary. Real implementation would call PIL/av/soundfile —
-    not available here, so it is STUBBED."""
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires image/audio libs not present in this "
-            "container; run with fake=True for the deterministic stub"
-        )
-    return np.frombuffer(payload, dtype=np.uint8)
+# ------------------------------------------------------------ encoders
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Real 24-bit uncompressed BMP from an (h, w, 3) uint8 RGB array —
+    pure struct/numpy, deterministic (test/demo data generator)."""
+    h, w, _ = pixels.shape
+    row_size = (3 * w + 3) // 4 * 4
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    raster = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    raster[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    return header + info + raster.tobytes()
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over (doc_id, payload, media_meta).
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Real PCM16 mono WAV from an int16 sample array (test/demo data
+    generator)."""
+    samples = samples.astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
 
-    Deterministic fake features (n_bytes, first_byte, byte_mean) stand in for
-    real decoded features; the plumbing (mapInPandas, bounded Arrow batches,
-    schema) is production-shaped.
-    """
+
+# ------------------------------------------------------------ decoders
+def decode_bmp(payload: bytes) -> dict:
+    """Parse the two BMP headers and compute raster stats on the real pixel
+    bytes (uncompressed 24-bit only — the container-in-scope subset)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    row_size = (3 * w + 3) // 4 * 4
+    raster = np.frombuffer(payload, dtype=np.uint8, count=row_size * abs(h), offset=data_offset)
+    rows = raster.reshape(abs(h), row_size)[:, : 3 * w]
+    return {"width": int(w), "height": int(abs(h)), "px_mean": round(float(rows.mean()), 6)}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Walk the RIFF chunks, decode PCM16 samples, compute rate/duration/RMS
+    on the real sample values."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, channels, samples = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_frames = len(samples) // channels
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
+    return {
+        "sample_rate": int(rate),
+        "duration_s": round(n_frames / rate, 6),
+        "rms": round(rms, 6),
+    }
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """The codec boundary: dependency-free container decoders run on the
+    genuine bytes; codec formats raise (no image/audio libs in this
+    environment — the honest stub is the error, not fake data)."""
+    if media_type == "image/bmp":
+        return decode_bmp(payload)
+    if media_type == "audio/wav":
+        return decode_wav(payload)
+    if media_type == "text/plain":
+        return {}
+    raise NotImplementedError(
+        f"decode for {media_type!r} requires codec libs not present here"
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload, media_meta):
+    byte stats for every payload plus per-modality decoded features
+    (width/height/px_mean for BMP, rate/duration/rms for WAV)."""
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,16 +168,17 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 continue
             feats = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["media_meta"]):
-                arr = decode_stub(bytes(payload), fake)
-                feats.append(
-                    (
-                        doc_id,
-                        meta["media_type"],
-                        int(arr.size),
-                        int(arr[0]) if arr.size else None,
-                        round(float(arr.mean()), 6) if arr.size else None,
-                    )
-                )
-            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+                raw = bytes(payload)
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                row = {
+                    "doc_id": doc_id,
+                    "media_type": meta["media_type"],
+                    "n_bytes": int(arr.size),
+                    "first_byte": int(arr[0]) if arr.size else None,
+                    "byte_mean": round(float(arr.mean()), 6) if arr.size else None,
+                }
+                row.update(decode_media(raw, meta["media_type"]))
+                feats.append([row.get(c) for c in cols])
+            yield pd.DataFrame(feats, columns=cols)
 
     return df.mapInPandas(run, FEATURE_SCHEMA)

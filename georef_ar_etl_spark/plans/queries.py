@@ -115,6 +115,27 @@ def q10(spark, sf_dir):
     )
 
 
+# Distinct count per group (reference: count(DISTINCT nomencla) while
+# extracting streets from blocks, georef_ar_etl/streets.py:156-160).
+# Exact countDistinct = two-phase hash aggregate (partial distinct map-side);
+# for 100 TB cardinality work use approx_count_distinct (HLL, one pass,
+# bounded memory) — asserted within 5% of exact in tests/test_operators.py.
+@query(
+    "q28_count_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q28(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ===================================================== CDC kernel queries
 # The in-batch dedup window: latest event per key, last-writer-wins
 # (engine operator dedup_events.latest_per_key; reference analogue:
@@ -657,7 +678,7 @@ def q19(spark, sf_dir):
 )
 def q20(spark, sf_dir):
     media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
-    feats = multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media)
     return feats.select(
         "doc_id",
         "media_type",

@@ -251,3 +251,53 @@ def test_delete_and_delete_noop(spark, tmp_path):
     assert m["metrics"]["actions"].get("delete") == 1
     assert m["metrics"]["actions"].get("delete_noop") == 1
     assert m["total_rows"] == len(initial) - 1
+
+
+def test_bucket_lineage_ids_match_oracle(spark, tmp_path):
+    """The manifest carries per-bucket added/updated/deleted ID samples from
+    the merge tasks (reference reports the ID lists per run,
+    transformers.py:145-149). With counts under the cap the sample is the
+    complete, exact set."""
+    initial = datagen.gen_initial_state(60, seed=22, max_len=8)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    known = [r["doc_id"] for r in initial]
+    new_id = "9900000000042"
+    ev = [
+        {"batch_id": 0, "seq": 1, "op": "update", "doc_id": known[0],
+         "tokens": [1], "n_tok": 1, "source": "wal"},
+        {"batch_id": 0, "seq": 2, "op": "update", "doc_id": known[1],
+         "tokens": [2], "n_tok": 1, "source": "wal"},
+        {"batch_id": 0, "seq": 3, "op": "insert", "doc_id": new_id,
+         "tokens": [3], "n_tok": 1, "source": "wal"},
+        {"batch_id": 0, "seq": 4, "op": "delete", "doc_id": known[2],
+         "tokens": None, "n_tok": None, "source": "wal"},
+        {"batch_id": 0, "seq": 5, "op": "delete", "doc_id": "9999999999999",
+         "tokens": None, "n_tok": None, "source": "wal"},  # noop: no ID entry
+    ]
+    m = eng.apply_batch(datagen.events_to_df(spark, ev), 0)
+    lineage = m["metrics"]["bucket_lineage"]
+    assert lineage, "copartitioned merge must record per-bucket ID lineage"
+
+    def ids(action):
+        return sorted(i for b in lineage.values() for i in b.get(action, ()))
+
+    assert ids("inserted") == [new_id]
+    assert ids("updated") == sorted([known[0], known[1]])
+    assert ids("deleted") == [known[2]]
+
+    # bucket attribution is real: each id hashes to the bucket it's filed under
+    from pyspark.sql import functions as F
+    from georef_ar_etl_spark.sinks.snapshot_table import bucket_expr
+
+    all_ids = [(i,) for b in lineage.values() for v in b.values() for i in v]
+    got = {
+        r["doc_id"]: r["b"]
+        for r in spark.createDataFrame(all_ids, "doc_id string")
+        .select("doc_id", bucket_expr(F.col("doc_id"), 4).alias("b"))
+        .collect()
+    }
+    for bucket, actions in lineage.items():
+        for v in actions.values():
+            for i in v:
+                assert got[i] == int(bucket), (i, bucket)

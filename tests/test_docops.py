@@ -114,9 +114,9 @@ def test_knn_join_topk_per_probe(spark, emb):
         assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
 
 
-def test_multimodal_pipeline_stub(spark, docs):
+def test_multimodal_text_pipeline(spark, docs):
     media = multimodal.attach_media(docs.limit(20))
-    feats = multimodal.extract_features(media, fake=True).collect()
+    feats = multimodal.extract_features(media).collect()
     src = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
     assert len(feats) == 20
     for r in feats:
@@ -124,11 +124,55 @@ def test_multimodal_pipeline_stub(spark, docs):
         assert r["n_bytes"] == len(raw)
         assert r["first_byte"] == raw[0]
         assert r["media_type"] == "text/plain"
+        assert r["width"] is None and r["sample_rate"] is None
 
 
-def test_multimodal_decode_stub_raises_without_fake():
+def test_multimodal_real_bmp_wav_decode(spark):
+    """Genuine binary payloads through the full Spark path: encode real BMP
+    rasters and PCM16 WAVs (pure struct/numpy), decode them in the Arrow
+    kernel, and check the features against the known ground truth."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    truth = {}
+    for i in range(6):
+        w, h = 4 + i, 3 + (i % 2)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payload = multimodal.encode_bmp(px)
+        rows.append((i, bytearray(payload), ("image/bmp", len(payload), "x")))
+        truth[i] = ("bmp", w, h, round(float(px.mean()), 6))
+    for i in range(6, 10):
+        n = 800 + 100 * i
+        rate = 8000 if i % 2 else 16000
+        samples = (rng.randn(n) * 3000).astype(np.int16)
+        payload = multimodal.encode_wav(samples, rate)
+        rows.append((i, bytearray(payload), ("audio/wav", len(payload), "x")))
+        truth[i] = (
+            "wav", rate, round(n / rate, 6),
+            round(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), 6),
+        )
+
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "media_meta struct<media_type: string, n_bytes: int, checksum: string>",
+    )
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert len(feats) == 10
+    for i, t in truth.items():
+        r = feats[i]
+        if t[0] == "bmp":
+            assert (r["width"], r["height"], r["px_mean"]) == (t[1], t[2], t[3]), i
+            assert r["sample_rate"] is None
+        else:
+            assert (r["sample_rate"], r["duration_s"], r["rms"]) == (t[1], t[2], t[3]), i
+            assert r["width"] is None
+
+
+def test_multimodal_unknown_codec_raises():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_stub(b"abc", fake=False)
+        multimodal.decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark, emb):

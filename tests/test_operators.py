@@ -175,3 +175,20 @@ def test_doc_group_and_zero_pad(spark):
         doc_group(F.col("doc_id")).alias("g"), zero_pad(F.col("x"), 5).alias("p")
     ).collect()[0]
     assert row["g"] == "06" and row["p"] == "00007"
+
+
+def test_count_distinct_and_approx(spark):
+    """Exact vs approx distinct counting (reference: count(DISTINCT
+    nomencla), georef_ar_etl/streets.py:156-160). approx_count_distinct is
+    the one-pass bounded-memory HLL path for 100 TB cardinality work —
+    assert it lands within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).selectExpr("id % 1077 AS k", "id % 7 AS g")
+    exact = df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    approx = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.approx_count_distinct("k").alias("n")).collect()
+    }
+    for r in exact:
+        assert abs(approx[r["g"]] - r["n"]) <= 0.05 * r["n"], (r["g"], r["n"])

@@ -66,3 +66,93 @@ def test_nested_sequence_in_composite():
     seq = StepSequence([_s("x", lambda v: v + 1), _s("y", lambda v: v * 3)], name="xy")
     comp = CompositeStep([seq, _s("z", lambda v: v - 1)])
     assert comp.run(1, {}) == [6, 0]
+
+
+# --------------------------- Spark-aware gate steps (reference utils.py)
+def test_check_dependencies_step(spark):
+    """CheckDependenciesStep analogue (reference utils.py:31-43): empty
+    dependency → process aborts; non-empty → value flows through."""
+    from georef_ar_etl_spark.plans.pipeline import Process
+    from georef_ar_etl_spark.plans.steps import DependencyError, check_dependencies
+
+    full = spark.range(3)
+    empty = spark.range(0)
+
+    ok = Process("p", [
+        check_dependencies([("full", full)]),
+        _s("emit", lambda v: "ran"),
+    ])
+    assert ok.run() == "ran"
+
+    bad = Process("p", [
+        check_dependencies([("full", full), ("empty", empty)]),
+        _s("emit", lambda v: "ran"),
+    ])
+    with pytest.raises(DependencyError, match='"empty" is empty'):
+        bad.run()
+
+    # late-resolved providers: callable(ctx) and .state() objects
+    class FakeEngine:
+        def state(self):
+            return full
+
+    lazy = Process("p", [
+        check_dependencies([("lazy", lambda ctx: full), ("eng", FakeEngine())]),
+        _s("emit", lambda v: "ran"),
+    ])
+    assert lazy.run() == "ran"
+
+
+def test_validate_table_size_step(spark):
+    """ValidateTableSizeStep analogue (reference utils.py:94-118): eq/ge
+    count assertions gate the pipeline; strict=False mirrors interactive
+    mode (warn-only); results recorded in ctx like the reference report."""
+    from georef_ar_etl_spark.plans.pipeline import Process
+    from georef_ar_etl_spark.plans.steps import TableSizeError, validate_table_size
+
+    df = spark.range(10)
+    p = Process("p", [
+        _s("src", lambda v: df, reads_input=False),
+        validate_table_size(10, op="eq"),
+        validate_table_size(5, op="ge"),
+        _s("emit", lambda v: v.count()),
+    ])
+    assert p.run() == 10
+    assert [c["ok"] for c in p.ctx["size_checks"]] == [True, True]
+
+    failing = Process("p", [
+        _s("src", lambda v: df, reads_input=False),
+        validate_table_size(11, op="eq"),
+    ])
+    with pytest.raises(ProcessException):
+        failing.run()
+
+    lenient = Process("p", [
+        _s("src", lambda v: df, reads_input=False),
+        validate_table_size(11, op="eq", strict=False),
+        _s("emit", lambda v: "survived"),
+    ])
+    assert lenient.run() == "survived"
+    assert lenient.ctx["size_checks"][0]["ok"] is False
+
+    with pytest.raises(ValueError):
+        validate_table_size(1, op="contains")  # not an operator name
+
+
+def test_engine_assert_size_uses_manifest(spark, tmp_path):
+    """Manifest-count gate: zero Spark jobs, same semantics (the counts are
+    summed per bucket at commit time and already tested against the
+    oracle)."""
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.plans.steps import TableSizeError
+
+    initial = datagen.gen_initial_state(40, seed=21, max_len=8)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    assert eng.assert_size(40, "eq") == 40
+    assert eng.assert_size(10, "ge") == 40
+    with pytest.raises(TableSizeError):
+        eng.assert_size(41, "eq")
+    with pytest.raises(ValueError):
+        eng.assert_size(1, "floor")
