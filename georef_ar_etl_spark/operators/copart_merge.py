@@ -86,6 +86,10 @@ def merge_copartitioned(
             for f in T.StructType.fromJson(__import__("json").loads(payload_schema_json))
         ]
     )
+    # the file map now covers ALL buckets (bucket pruning happens in-task:
+    # a task opens a bucket's files only if it holds events for it), so ship
+    # it once per executor as a broadcast instead of once per task closure
+    bf_bc = batch.sparkSession.sparkContext.broadcast(bucket_files)
 
     def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [c for c in batches if not c.empty]
@@ -99,7 +103,7 @@ def merge_copartitioned(
             )
         for bucket, grp in pdf.groupby("bucket", sort=True):
             bucket = int(bucket)
-            files = bucket_files.get(bucket, [])
+            files = bf_bc.value.get(bucket, [])
             if files:
                 state = pq.read_table(files).to_pandas()
                 for c in payload_cols:
