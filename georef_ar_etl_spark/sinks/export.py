@@ -132,6 +132,59 @@ def export_csv(df: DataFrame, path: str) -> int:
     return n
 
 
+def export_ndjson_sharded(
+    df: DataFrame, out_dir: str, version: str, created: str,
+    partition_by: str | None = None,
+) -> dict:
+    """Distributed NDJSON export — the 100 TB path the single-file sinks
+    above are NOT: executors write gzip'd JSON shards in parallel
+    (``df.write.json``), optionally partitioned by a column (the
+    reference's per-province file layout, georef_ar_etl/streets.py:33-41),
+    and the driver then publishes a tiny ``_manifest.json`` carrying the
+    same metadata header the single-file format puts on line one (shard
+    list, row count, version, creation time). Readers treat
+    manifest+shards as one logical dataset; the manifest write is the
+    atomic commit point (shards without a manifest are invisible),
+    mirroring the snapshot table's rename protocol."""
+    data_dir = os.path.join(out_dir, "data")
+    w = df.write.mode("overwrite").option("compression", "gzip")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.json(data_dir)
+
+    total = df.count()
+    shards = sorted(
+        os.path.relpath(os.path.join(dp, fn), out_dir)
+        for dp, _dns, fns in os.walk(data_dir)
+        for fn in fns
+        if fn.endswith(".json.gz") or fn.endswith(".json")
+    )
+    manifest = {
+        "fecha_creacion": created,
+        "timestamp": created,
+        "version": version,
+        "cantidad": total,
+        "shards": shards,
+    }
+    mpath = os.path.join(out_dir, "_manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def export_csv_sharded(df: DataFrame, out_dir: str) -> int:
+    """Distributed CSV export: struct columns flattened exactly like the
+    single-file sink, shards written by executors with headers
+    (``df.write.csv``). Returns the row count."""
+    flat = flatten_struct_columns(df)
+    flat.write.mode("overwrite").option("header", True).csv(os.path.join(out_dir, "data"))
+    return flat.count()
+
+
 def publish(src: str, dest_dir: str) -> str:
     """Atomic publish of a finished artifact into the destination directory
     (reference: CopyFileStep). Same-filesystem rename; copy+rename otherwise."""

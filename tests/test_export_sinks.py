@@ -65,3 +65,50 @@ def test_publish_atomic(spark, tmp_path):
     src.write_text('{"ok": true}')
     dest = export.publish(str(src), str(tmp_path / "published"))
     assert json.load(open(dest)) == {"ok": True}
+
+
+def test_export_ndjson_sharded_manifest(spark, tmp_path):
+    """Distributed NDJSON: executor-written shards + an atomic manifest
+    carrying the single-file format's metadata header; manifest+shards
+    reassemble to exactly the source rows."""
+    import gzip
+    import json as _json
+    import os
+
+    from georef_ar_etl_spark.sinks.export import export_ndjson_sharded
+
+    df = spark.range(100).selectExpr("id", "id % 5 AS grp", "concat('d', id) AS name")
+    out = str(tmp_path / "pub")
+    m = export_ndjson_sharded(df, out, version="9.9.9", created="2020-01-01", partition_by="grp")
+    assert m["cantidad"] == 100 and m["version"] == "9.9.9"
+    assert m["shards"], "manifest must list shard files"
+    # partitioned layout: shards live under grp=<v>/ directories
+    assert any("grp=" in s for s in m["shards"])
+
+    got = []
+    for shard in m["shards"]:
+        p = os.path.join(out, shard)
+        opener = gzip.open if p.endswith(".gz") else open
+        with opener(p, "rt") as f:
+            for line in f:
+                got.append(_json.loads(line))
+    # partitionBy drops the partition column from the shard payload
+    assert sorted(r["id"] for r in got) == list(range(100))
+    assert all(r["name"] == f"d{r['id']}" for r in got)
+
+    # manifest written last = commit point
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+
+def test_export_csv_sharded_roundtrip(spark, tmp_path):
+    from georef_ar_etl_spark.sinks.export import export_csv_sharded
+
+    df = spark.createDataFrame(
+        [(1, ("a", 2.5)), (2, ("b", 3.5))],
+        "id int, s struct<name: string, v: double>",
+    )
+    out = str(tmp_path / "csvpub")
+    assert export_csv_sharded(df, out) == 2
+    back = spark.read.option("header", True).csv(out + "/data")
+    assert sorted(back.columns) == ["id", "s_name", "s_v"]
+    assert back.count() == 2

@@ -63,3 +63,33 @@ def test_bucket_pruned_state_read(spark, tmp_path):
     assert all("bucket=0" in f or "bucket=1" in f for f in pruned.inputFiles())
     buckets_seen = {r["bucket"] for r in pruned.select("bucket").distinct().collect()}
     assert buckets_seen <= {0, 1}
+
+
+def test_ivf_probe_plan_has_no_corpus_join(spark):
+    """ivf_topk must be ONE fused scan (assign + probe-filter + score in a
+    single mapInPandas), not a corpus⋈assignment join — the round-1 plan
+    shuffled the whole corpus per probe."""
+    import numpy as np
+
+    from georef_ar_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    C = similarity.ivf_index(emb, n_clusters=4, n_iter=2, seed=7)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    p = plan(similarity.ivf_topk(emb, qv, C, k=5, nprobe=2))
+    assert "Join" not in p, p
+    assert p.count("FileScan") == 1
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
+def test_minhash_plan_single_shuffle_no_pair_join(spark):
+    """minhash_lsh_pairs: one exchange (by band) between the two Arrow
+    kernels; no join anywhere (verification happens inside band groups)."""
+    from georef_ar_etl_spark.operators import doc_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = doc_dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4,
+                                      min_jaccard=0.35, shingle_k=8)
+    p = plan(out)
+    assert "Join" not in p, p
+    assert p.count("FileScan") == 1
