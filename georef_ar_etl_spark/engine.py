@@ -138,13 +138,14 @@ class CdcEngine:
         if latest is None:
             raise RuntimeError("bootstrap() the table before applying batches")
 
-        # idempotent re-apply: a committed batch_id is a verified no-op.
-        # The digest, the quarantine-reason histogram, and the touched-bucket
-        # set are all computed in ONE aggregate pass over the batch (driver
-        # round-trips per micro-batch are the serial cost that caps scaling
-        # efficiency — this pipeline runs exactly 2 Spark jobs per batch:
-        # this pre-pass and the merge+write, plus a quarantine write only
-        # when something was actually quarantined).
+        # Driver round-trips per micro-batch are the serial cost that caps
+        # scaling efficiency: this pipeline runs exactly TWO Spark jobs per
+        # fresh batch — the codegen'd pre-pass aggregate (digest, quarantine
+        # histogram, touched buckets; doubles as idempotent-redelivery
+        # verification) and the merge+write — plus a quarantine side-output
+        # write only when something was actually quarantined. (A one-job
+        # variant via .observe() was measured 20% slower: CollectMetrics
+        # evaluates interpreted, per row, inside the merge stage.)
         committed = self.table.committed_batches()
 
         # replay-order guard: a late-arriving LOWER batch_id applied on top of
@@ -196,29 +197,46 @@ class CdcEngine:
             ],
         ]
 
-        # Re-delivery of a committed batch_id: one cheap aggregate verifies
-        # the digest against the stored one, then no-op. (Only this RARE
-        # path pays a dedicated pre-pass; a fresh batch computes its digest,
-        # quarantine histogram and touched-bucket set as .observe() metrics
-        # and task results OF the merge job itself — one Spark job per
-        # batch, the serial driver cost that caps replay throughput.)
+        # Pre-pass (job 1): ONE codegen'd hash aggregate over the batch
+        # computes the content digest, the quarantine-reason histogram and
+        # the touched-bucket set. This was briefly folded into the merge
+        # job as .observe() metrics ("one Spark job per batch") — measured
+        # 20% SLOWER end-to-end at local[4]: CollectMetrics evaluates its
+        # expressions interpreted, per row, on the merge stage's critical
+        # path, while a dedicated HashAggregate runs whole-stage-codegen'd.
+        # Two cheap jobs beat one job with an interpreted hot loop.
+        pre = tagged.agg(
+            *digest_aggs,
+            F.collect_set(
+                F.when(
+                    F.col("reason").isNull(), bucket_expr(F.col("doc_id"), nb)
+                )
+            ).alias("_buckets"),
+        ).collect()[0]
+        digest = f"{pre['_x']}:{pre['_n']}"
         if batch_id in committed:
-            pre = tagged.agg(*digest_aggs).collect()[0]
-            digest = f"{pre['_x']}:{pre['_n']}"
             if committed[batch_id]["batch_digest"] != digest:
                 raise ConflictError(
                     f"batch {batch_id} re-delivered with different content"
                 )
             return committed[batch_id]
-
-        epoch = latest["epoch"] + 1
-        q_path = None
+        events_in = pre["_n"]
+        q_counts = {r: int(pre[r]) for r in QUARANTINE_REASONS if pre[r]}
+        q_rows = sum(q_counts.values())
+        touched = sorted(pre["_buckets"])
         t_pre_done = time.time()
 
+        # quarantine side-output, written only when non-empty
+        epoch = latest["epoch"] + 1
+        q_path = None
+        if q_rows:
+            q_path = self.table.write_quarantine(
+                tagged.filter(F.col("reason").isNotNull()), epoch
+            )
+        valid = tagged.filter(F.col("reason").isNull()).drop("reason")
+        t_quar_done = time.time()
+
         if self.merge_impl == "copartitioned":
-            obs = Observation(f"batch-{batch_id}")
-            observed = tagged.observe(obs, *digest_aggs)
-            valid = observed.filter(F.col("reason").isNull()).drop("reason")
             if self.strict_dup:
                 latest_per_key(valid, strict=True)  # raises on duplicates
             # dedup AND normalization happen inside the merge tasks (post-
@@ -228,13 +246,7 @@ class CdcEngine:
                 "op", "seq", bucket_expr(F.col("doc_id"), nb).alias("bucket"),
                 *payload_cols
             )
-            # full file map, not just touched buckets: which buckets a batch
-            # touches is only known to the tasks now (they open a bucket's
-            # files only when they hold events for it — pruning moved from
-            # the driver to the task, for the price of a broadcast map)
-            bucket_files = self.table.bucket_file_paths(
-                list(range(nb)), manifest=latest
-            )
+            bucket_files = self.table.bucket_file_paths(touched, manifest=latest)
             epoch_dir = self.table.epoch_dir(epoch)
             results = merge_copartitioned(
                 batch_b,
@@ -243,23 +255,10 @@ class CdcEngine:
                 json.dumps(new_schema.jsonValue()),
                 epoch_dir,
             ).collect()
-            got = obs.get
-            digest = f"{got['_x']}:{got['_n']}"
-            events_in = got["_n"]
-            q_counts = {r: int(got[r]) for r in QUARANTINE_REASONS if got[r]}
-            q_rows = sum(q_counts.values())
-            touched = sorted(int(r["bucket"]) for r in results)
-            t_merge_done = time.time()
-            if q_rows:
-                # the only second pass, paid only when something actually
-                # quarantined (same as before — the quarantine write always
-                # rescanned the batch)
-                q_path = self.table.write_quarantine(
-                    tagged.filter(F.col("reason").isNotNull()), epoch
-                )
             phases = {
-                "merge_write": round(t_merge_done - t_pre_done, 2),
-                "quarantine_write": round(time.time() - t_merge_done, 2),
+                "prepass": round(t_pre_done - t0, 2),
+                "quarantine_write": round(t_quar_done - t_pre_done, 2),
+                "merge_write": round(time.time() - t_quar_done, 2),
             }
             written = {
                 int(r["bucket"]): os.path.relpath(os.path.dirname(r["path"]), self.table.root)
@@ -293,30 +292,6 @@ class CdcEngine:
             if keep:
                 action_counts["keep"] = keep
         else:
-            # join merge needs the touched-bucket set BEFORE its action (it
-            # reads only those buckets' state into the join), so this path
-            # keeps the dedicated pre-pass: one aggregate computing digest,
-            # quarantine histogram and touched buckets in a single scan.
-            pre = tagged.agg(
-                *digest_aggs,
-                F.collect_set(
-                    F.when(
-                        F.col("reason").isNull(), bucket_expr(F.col("doc_id"), nb)
-                    )
-                ).alias("_buckets"),
-            ).collect()[0]
-            digest = f"{pre['_x']}:{pre['_n']}"
-            events_in = pre["_n"]
-            q_counts = {r: int(pre[r]) for r in QUARANTINE_REASONS if pre[r]}
-            q_rows = sum(q_counts.values())
-            touched = sorted(pre["_buckets"])
-            t_pre_done = time.time()
-            if q_rows:
-                q_path = self.table.write_quarantine(
-                    tagged.filter(F.col("reason").isNotNull()), epoch
-                )
-            valid = tagged.filter(F.col("reason").isNull()).drop("reason")
-            t_quar_done = time.time()
             deduped = latest_per_key(valid, strict=self.strict_dup)
             normalized = with_normalized_tokens(deduped, impl=self.normalize_impl)
             state_touched = align_columns(
