@@ -115,6 +115,50 @@ def q10(spark, sf_dir):
     )
 
 
+# Grouped PAYLOAD combine — the reference's ST_Union(geom) per street
+# (georef_ar_etl/streets.py:172): an order-insensitive merge of array
+# payloads per group, expressed as flatten(collect_list) → distinct → sort
+# (collect_list order is nondeterministic; the sort canonicalizes it, the
+# same trick that makes ST_Union order-insensitive). Output is projected
+# through the md5 fingerprint (driver canonicalizer can't hash arrays).
+@query(
+    "q29_grouped_payload_union",
+    """
+    SELECT grp,
+           md5(array_to_string(list_sort(list_distinct(flatten(list(arr)))), ','))
+             AS payload_fp,
+           len(list_distinct(flatten(list(arr)))) AS n_elems,
+           count(*) AS n_rows
+    FROM (SELECT vec_id % 8 AS grp,
+                 list_transform(embedding[1:8], x -> floor(x::DOUBLE * 100)::int) AS arr
+          FROM embeddings)
+    GROUP BY grp
+    """,
+)
+def q29(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = F.transform(
+        F.slice("embedding", 1, 8),
+        lambda x: F.floor(x.cast("double") * 100).cast("int"),
+    )
+    merged = (
+        emb.select((F.col("vec_id") % 8).alias("grp"), arr.alias("arr"))
+        .groupBy("grp")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("arr")))
+            ).alias("u"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return merged.select(
+        "grp",
+        _arr_fp(F.col("u")).alias("payload_fp"),
+        F.size("u").cast("long").alias("n_elems"),
+        "n_rows",
+    )
+
+
 # Distinct count per group (reference: count(DISTINCT nomencla) while
 # extracting streets from blocks, georef_ar_etl/streets.py:156-160).
 # Exact countDistinct = two-phase hash aggregate (partial distinct map-side);

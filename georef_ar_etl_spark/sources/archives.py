@@ -1,0 +1,56 @@
+"""Archive extraction: the reference's ExtractZipStep / ExtractTarStep
+(georef_ar_etl/transformers.py:10-56) — driver-side unpack, not a dataflow
+op. Same semantics: the destination directory is removed first if present
+(stale partial extractions never leak into a re-run), and the extracted
+directory path flows to the next step.
+
+Safety the reference predates: member paths are validated against
+directory traversal (``..`` or absolute paths) before extraction.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tarfile
+import zipfile
+
+
+class ArchiveError(ValueError):
+    """Unsupported archive type or unsafe member path."""
+
+
+def _check_member(dest_dir: str, name: str) -> None:
+    target = os.path.realpath(os.path.join(dest_dir, name))
+    if not target.startswith(os.path.realpath(dest_dir) + os.sep):
+        raise ArchiveError(f"unsafe archive member path: {name!r}")
+
+
+def extract_archive(path: str, dest_dir: str | None = None) -> str:
+    """Unpack ``path`` (zip / tar[.gz|.bz2]) into ``dest_dir`` (default:
+    archive path minus its extension), removing a stale destination first.
+    Returns the destination directory."""
+    if dest_dir is None:
+        base = path
+        for ext in (".tar.gz", ".tar.bz2", ".tgz", ".tar", ".zip"):
+            if base.endswith(ext):
+                base = base[: -len(ext)]
+                break
+        dest_dir = base + ".d"
+    if os.path.isdir(dest_dir):
+        shutil.rmtree(dest_dir)  # reference: remove stale dir first
+    os.makedirs(dest_dir)
+
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as z:
+            for name in z.namelist():
+                _check_member(dest_dir, name)
+            z.extractall(dest_dir)
+    elif tarfile.is_tarfile(path):
+        with tarfile.open(path) as t:
+            for m in t.getmembers():
+                _check_member(dest_dir, m.name)
+            t.extractall(dest_dir)
+    else:
+        raise ArchiveError(f"not a zip or tar archive: {path}")
+    return dest_dir

@@ -100,3 +100,67 @@ def test_ingest_crash_recovery(spark, tmp_path):
     report = ingest_files(incoming, wal)
     assert report[0]["status"] == "ingested"
     assert os.path.exists(seg)
+
+
+def test_extract_archive_zip_tar_and_stale_dir(tmp_path):
+    """ExtractZip/TarStep analogue (reference transformers.py:10-56): unpack,
+    stale destination removed first, traversal rejected."""
+    import tarfile
+    import zipfile
+
+    from georef_ar_etl_spark.sources.archives import ArchiveError, extract_archive
+
+    zp = tmp_path / "a.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("inner/data.csv", "x,y\n1,2\n")
+    dest = extract_archive(str(zp))
+    assert open(os.path.join(dest, "inner", "data.csv")).read().startswith("x,y")
+
+    # stale content in the destination is wiped by a re-extract
+    stale = os.path.join(dest, "stale.txt")
+    open(stale, "w").write("old")
+    dest2 = extract_archive(str(zp))
+    assert dest2 == dest and not os.path.exists(stale)
+
+    tp = tmp_path / "b.tar.gz"
+    src = tmp_path / "payload.txt"
+    src.write_text("hello")
+    with tarfile.open(tp, "w:gz") as t:
+        t.add(src, arcname="payload.txt")
+    dest3 = extract_archive(str(tp), str(tmp_path / "out"))
+    assert open(os.path.join(dest3, "payload.txt")).read() == "hello"
+
+    # directory traversal rejected
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as z:
+        z.writestr("../escape.txt", "nope")
+    with pytest.raises(ArchiveError):
+        extract_archive(str(evil))
+
+    with pytest.raises(ArchiveError):
+        extract_archive(str(src))  # not an archive
+
+
+def test_csv_ingest_append_and_malformed_split(spark, tmp_path):
+    """Ogr2ogrStep-analogue ingest (reference loaders.py:22-99 + the
+    24-file append, streets.py:33-41): schema-enforced multi-file CSV read
+    with per-file lineage and a malformed-row side-output."""
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.sources.tabular import read_csv_tables, split_malformed
+
+    p1, p2 = str(tmp_path / "part1.csv"), str(tmp_path / "part2.csv")
+    open(p1, "w").write("id,name,qty\n1,aa,10\n2,bb,20\n")
+    open(p2, "w").write("id,name,qty\n3,cc,30\nBADROW,dd,not_a_number\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.IntegerType()),
+    ])
+    df = read_csv_tables(spark, [p1, p2], schema)
+    good, bad = split_malformed(df)
+    rows = {r["id"]: r for r in good.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[3]["_source_file"] == p2  # append preserves file lineage
+    assert bad.count() == 1  # the unparseable row is quarantined, not fatal
+    assert good.schema["qty"].dataType.simpleString() == "int"
