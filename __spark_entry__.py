@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from georef_ar_etl_spark.plans.queries import ORACLE_SQL, QUERY_FNS
+from georef_ar_etl_spark.plans.queries import QUERY_FNS, all_oracle_sql
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,4 +27,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    # includes lazily-built data-dependent oracles (q26 inlines an index
+    # trained on the sf0.01 embeddings — built here, not at import)
+    return all_oracle_sql()

@@ -34,6 +34,8 @@ HEADLINE = [
     "q18_cosine_topk",
     "q21_normalize_tokens",
     "q22_knn_join",
+    "q28_count_distinct",
+    "q29_grouped_payload_union",
 ]
 
 

@@ -255,11 +255,6 @@ class CdcEngine:
                 json.dumps(new_schema.jsonValue()),
                 epoch_dir,
             ).collect()
-            phases = {
-                "prepass": round(t_pre_done - t0, 2),
-                "quarantine_write": round(t_quar_done - t_pre_done, 2),
-                "merge_write": round(time.time() - t_quar_done, 2),
-            }
             written = {
                 int(r["bucket"]): os.path.relpath(os.path.dirname(r["path"]), self.table.root)
                 for r in results
@@ -314,12 +309,12 @@ class CdcEngine:
             bucket_lineage = None  # join path records counts only
             m_got = m_obs.get
             action_counts = {a: int(m_got[a]) for a in ACTIONS if m_got[a]}
-            phases = {
-                "prepass": round(t_pre_done - t0, 2),
-                "quarantine_write": round(t_quar_done - t_pre_done, 2),
-                "merge_write": round(time.time() - t_quar_done, 2),
-            }
 
+        phases = {
+            "prepass": round(t_pre_done - t0, 2),
+            "quarantine_write": round(t_quar_done - t_pre_done, 2),
+            "merge_write": round(time.time() - t_quar_done, 2),
+        }
         wall = time.time() - t0
         metrics = {
             "kind": "apply",

@@ -178,9 +178,16 @@ def minhash_lsh_pairs(
         bnd = pdf["band"].to_numpy()
         ids_all = pdf["id"].to_numpy()
         texts = pdf["t"].to_numpy()
+        # a doc arrives once per band; memoize its gram set by id so the
+        # CPU-bound hashing runs once per unique doc, not once per band-row
+        set_cache: dict = {}
         sets_all = np.empty(len(pdf), dtype=object)
         for i, s in enumerate(texts):
-            sets_all[i] = np.unique(grams(s))
+            doc = ids_all[i]
+            got = set_cache.get(doc)
+            if got is None:
+                got = set_cache[doc] = np.unique(grams(s))
+            sets_all[i] = got
         starts = np.flatnonzero(np.concatenate(([True], bnd[1:] != bnd[:-1])))
         ends = np.append(starts[1:], len(pdf))
         out_a, out_b, out_j = [], [], []

@@ -146,13 +146,22 @@ def export_ndjson_sharded(
     manifest+shards as one logical dataset; the manifest write is the
     atomic commit point (shards without a manifest are invisible),
     mirroring the snapshot table's rename protocol."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as _F
+
     data_dir = os.path.join(out_dir, "data")
-    w = df.write.mode("overwrite").option("compression", "gzip")
+    # row count observed ON the write pass itself: a separate df.count()
+    # would recompute the whole plan (and could disagree with the shards if
+    # the plan is nondeterministic) — the manifest must describe the bytes
+    # actually written
+    obs = Observation("export_ndjson_sharded")
+    observed = df.observe(obs, _F.count(_F.lit(1)).alias("n"))
+    w = observed.write.mode("overwrite").option("compression", "gzip")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.json(data_dir)
 
-    total = df.count()
+    total = int(obs.get["n"])
     shards = sorted(
         os.path.relpath(os.path.join(dp, fn), out_dir)
         for dp, _dns, fns in os.walk(data_dir)

@@ -21,8 +21,11 @@ class ArchiveError(ValueError):
 
 
 def _check_member(dest_dir: str, name: str) -> None:
+    base = os.path.realpath(dest_dir)
     target = os.path.realpath(os.path.join(dest_dir, name))
-    if not target.startswith(os.path.realpath(dest_dir) + os.sep):
+    # allow the destination itself: GNU tar archives legitimately carry
+    # '.'/'./' directory entries
+    if target != base and not target.startswith(base + os.sep):
         raise ArchiveError(f"unsafe archive member path: {name!r}")
 
 
@@ -50,7 +53,19 @@ def extract_archive(path: str, dest_dir: str | None = None) -> str:
         with tarfile.open(path) as t:
             for m in t.getmembers():
                 _check_member(dest_dir, m.name)
-            t.extractall(dest_dir)
+                # the name check alone is NOT enough for tar: a symlink
+                # member pointing outside dest followed by a member path
+                # THROUGH the link escapes (realpath of a not-yet-created
+                # link resolves to nothing) — reject link members whose
+                # target leaves the destination
+                if m.issym() or m.islnk():
+                    link_base = os.path.dirname(os.path.join(dest_dir, m.name))
+                    _check_member(dest_dir, os.path.join(
+                        os.path.relpath(link_base, dest_dir), m.linkname
+                    ) if not os.path.isabs(m.linkname) else m.linkname)
+            # Python 3.11.4+: the 'data' filter enforces the same class of
+            # constraints at extraction time (defense in depth)
+            t.extractall(dest_dir, filter="data")
     else:
         raise ArchiveError(f"not a zip or tar archive: {path}")
     return dest_dir

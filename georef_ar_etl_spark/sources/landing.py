@@ -105,7 +105,13 @@ def ingest_files(incoming: list[str], wal_dir: str) -> list[dict]:
             # crash recovery: ledger entry exists but the segment rename was
             # lost — fall through and redo the copy+rename (idempotent)
         tmp = dest + ".ingesting"
-        shutil.copyfile(src, tmp)
+        with open(src, "rb") as fin, open(tmp, "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+            fout.flush()
+            os.fsync(fout.fileno())  # the rename below must never publish
+            # a page-cache-only copy: a crash after rename but before
+            # writeback would otherwise leave a truncated segment that the
+            # skip path (ledger hit + dest exists) accepts forever
         # ledger first, segment rename second: a crash between the two is
         # repaired by the recovery branch above on the next run; a crash
         # before the ledger write leaves only an invisible .ingesting temp

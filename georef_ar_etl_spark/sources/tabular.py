@@ -33,6 +33,8 @@ def read_csv_tables(
     (the append mode). Malformed rows land in ``_corrupt`` (PERMISSIVE mode)
     for quarantine-style handling instead of failing the load; an optional
     lineage column records which input file each row came from."""
+    if not paths:
+        raise ValueError("read_csv_tables: no input files given")
     read_schema = T.StructType(
         list(schema.fields) + [T.StructField(RESCUE_COL, T.StringType())]
     )
@@ -55,13 +57,12 @@ def split_malformed(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good_rows_without_rescue_col, malformed_rows) — the ingest-side
     quarantine split.
 
-    The parsed frame is cached: Spark refuses plans that reference ONLY the
-    internal corrupt-record column of a live CSV scan (the malformed-row
-    count would), and caching the parse is the documented pattern. Staging
-    reads are bounded, so the cache is the cheap side of re-parsing twice
-    anyway; callers unpersist via the returned frames' parent when done.
+    The malformed side is EAGERLY materialized (localCheckpoint): Spark
+    refuses plans that reference ONLY the internal corrupt-record column of
+    a live CSV scan (a count on the bad side would), and the bad side is
+    the small side by construction. The good side stays a lazy streaming
+    scan — nothing is cached, so nothing leaks across ingests.
     """
-    df = df.cache()
     good = df.filter(F.col(RESCUE_COL).isNull()).drop(RESCUE_COL)
-    bad = df.filter(F.col(RESCUE_COL).isNotNull())
+    bad = df.filter(F.col(RESCUE_COL).isNotNull()).localCheckpoint(eager=True)
     return good, bad

@@ -164,3 +164,48 @@ def test_csv_ingest_append_and_malformed_split(spark, tmp_path):
     assert rows[3]["_source_file"] == p2  # append preserves file lineage
     assert bad.count() == 1  # the unparseable row is quarantined, not fatal
     assert good.schema["qty"].dataType.simpleString() == "int"
+
+
+def test_extract_archive_rejects_symlink_escape(tmp_path):
+    """A tar with a symlink member pointing outside the destination (or a
+    member path THROUGH such a link) must be rejected — name checks alone
+    don't catch it because realpath of a not-yet-created link resolves to
+    nothing."""
+    import io
+    import tarfile
+
+    from georef_ar_etl_spark.sources.archives import ArchiveError, extract_archive
+
+    evil = tmp_path / "evil.tar"
+    with tarfile.open(evil, "w") as t:
+        info = tarfile.TarInfo("lnk")
+        info.type = tarfile.SYMTYPE
+        info.linkname = str(tmp_path / "victim")
+        t.addfile(info)
+        data = b"pwned"
+        f = tarfile.TarInfo("lnk/evil.txt")
+        f.size = len(data)
+        t.addfile(f, io.BytesIO(data))
+    with pytest.raises(ArchiveError):
+        extract_archive(str(evil))
+    assert not os.path.exists(tmp_path / "victim")
+
+
+def test_extract_archive_accepts_gnu_dot_entries(tmp_path):
+    """GNU tar's './' directory members are benign and must extract."""
+    import io
+    import tarfile
+
+    from georef_ar_etl_spark.sources.archives import extract_archive
+
+    p = tmp_path / "dot.tar"
+    with tarfile.open(p, "w") as t:
+        d = tarfile.TarInfo(".")
+        d.type = tarfile.DIRTYPE
+        t.addfile(d)
+        data = b"ok"
+        f = tarfile.TarInfo("./inner.txt")
+        f.size = len(data)
+        t.addfile(f, io.BytesIO(data))
+    dest = extract_archive(str(p))
+    assert open(os.path.join(dest, "inner.txt")).read() == "ok"
