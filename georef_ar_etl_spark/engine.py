@@ -104,8 +104,16 @@ class CdcEngine:
         )
 
     # ------------------------------------------------------------------ state
-    def state(self) -> DataFrame:
-        return self.table.read_state().drop("bucket")
+    def state(self, epoch: int | None = None) -> DataFrame:
+        """Current state, or a time-travel read of a retained epoch."""
+        return self.table.read_state(epoch=epoch).drop("bucket")
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Expire old snapshots + remove unreferenced files (Iceberg
+        expire_snapshots/remove_orphan_files analogue); idempotent-redelivery
+        protection for expired batch ids is preserved via the expired-batch
+        ledger (see SnapshotTable.vacuum)."""
+        return self.table.vacuum(keep_last)
 
     def assert_size(self, target_size: int, op: str = "eq") -> int:
         """Row-count gate on the CURRENT committed state (reference:

@@ -95,9 +95,127 @@ class SnapshotTable:
         ms = self.manifests()
         return ms[-1] if ms else None
 
+    def manifest_for_epoch(self, epoch: int) -> dict:
+        """Time travel: the manifest committed at ``epoch`` (raises KeyError
+        for unknown/expired epochs)."""
+        for m in self.manifests():
+            if m["epoch"] == epoch:
+                return m
+        raise KeyError(f"no committed (or still-retained) manifest for epoch {epoch}")
+
     def committed_batches(self) -> dict[int, dict]:
-        """batch_id → manifest, for idempotent re-apply detection."""
-        return {m["batch_id"]: m for m in self.manifests() if m["batch_id"] is not None}
+        """batch_id → manifest (or expired-batch stub), for idempotent
+        re-apply detection. Includes batches whose snapshots were vacuumed:
+        exactly-once must survive snapshot expiry, so ``vacuum`` preserves
+        the (batch_id, digest) pairs of expired manifests in a ledger."""
+        out: dict[int, dict] = dict(self._expired_batches())
+        out.update(
+            {m["batch_id"]: m for m in self.manifests() if m["batch_id"] is not None}
+        )
+        return out
+
+    def _expired_path(self) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, "expired-batches.json")
+
+    def _expired_batches(self) -> dict[int, dict]:
+        p = self._expired_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            raw = json.load(f)
+        return {int(k): v for k, v in raw.items()}
+
+    # ---------------------------------------------------------------- vacuum
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Expire all but the last ``keep_last`` snapshots: delete manifests
+        older than the retained set and every data/quarantine directory no
+        retained manifest references (the Iceberg expire_snapshots +
+        remove_orphan_files maintenance pair — without it a CDC table's COW
+        epochs accumulate forever).
+
+        Exactly-once is preserved across expiry: the (batch_id, digest)
+        pairs of expired manifests move into an fsync'd ledger consulted by
+        ``committed_batches``, so re-delivering an ancient batch is still a
+        verified no-op (or ConflictError), never a silent re-apply. Time
+        travel to expired epochs is gone — that's what expiry means.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ms = self.manifests()
+        retained, expired = ms[-keep_last:], ms[:-keep_last]
+
+        # 1. record expired batch ids BEFORE removing anything
+        ledger = self._expired_batches()
+        for m in expired:
+            if m["batch_id"] is not None:
+                ledger[int(m["batch_id"])] = {
+                    "batch_id": m["batch_id"],
+                    "batch_digest": m["batch_digest"],
+                    "epoch": m["epoch"],
+                    "expired": True,
+                }
+        tmp = self._expired_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in ledger.items()}, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._expired_path())
+
+        # 2. delete unreferenced data/quarantine dirs (orphans included)
+        referenced = {
+            d for m in retained for d in m["buckets"].values() if d is not None
+        }
+        referenced |= {
+            m["quarantine_path"] for m in retained if m.get("quarantine_path")
+        }
+        removed_dirs, freed = [], 0
+        data_root = os.path.join(self.root, DATA_DIR)
+        for edir in sorted(os.listdir(data_root)):
+            efull = os.path.join(data_root, edir)
+            if not os.path.isdir(efull):
+                continue
+            for bdir in sorted(os.listdir(efull)):
+                rel = os.path.join(DATA_DIR, edir, bdir)
+                full = os.path.join(self.root, rel)
+                # skip writer marker files (_SUCCESS) and anything non-bucket
+                if not os.path.isdir(full) or not bdir.startswith("bucket="):
+                    continue
+                if rel not in referenced:
+                    freed += sum(
+                        os.path.getsize(os.path.join(dp, fn))
+                        for dp, _d, fns in os.walk(full) for fn in fns
+                    )
+                    shutil.rmtree(full)
+                    removed_dirs.append(rel)
+            # if nothing in this epoch dir is referenced anymore, drop it
+            # whole (sweeps writer markers along)
+            prefix = os.path.join(DATA_DIR, edir) + os.sep
+            if not any(r.startswith(prefix) for r in referenced):
+                shutil.rmtree(efull, ignore_errors=True)
+        qroot = os.path.join(self.root, QUARANTINE_DIR)
+        if os.path.isdir(qroot):
+            for edir in sorted(os.listdir(qroot)):
+                rel = os.path.join(QUARANTINE_DIR, edir)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(self.root, rel))
+                    removed_dirs.append(rel)
+
+        # 3. drop the expired manifests last (retained history stays intact)
+        removed_manifests = []
+        for m in expired:
+            p = self._manifest_path(m["epoch"])
+            if os.path.exists(p):
+                os.remove(p)
+            self._manifest_cache.pop(os.path.basename(p), None)
+            removed_manifests.append(m["epoch"])
+        return {
+            "removed_manifests": removed_manifests,
+            "removed_dirs": removed_dirs,
+            "freed_bytes": freed,
+            "retained_epochs": [m["epoch"] for m in retained],
+        }
 
     def schema(self) -> T.StructType | None:
         m = self.latest_manifest()
@@ -105,14 +223,22 @@ class SnapshotTable:
 
     # ------------------------------------------------------------------ read
     def read_state(
-        self, buckets: list[int] | None = None, manifest: dict | None = None
+        self,
+        buckets: list[int] | None = None,
+        manifest: dict | None = None,
+        epoch: int | None = None,
     ) -> DataFrame:
-        """Current state as a DataFrame (payload columns + ``bucket``).
+        """State as a DataFrame (payload columns + ``bucket``).
 
         ``buckets`` prunes the read to the listed buckets — partition pruning
         on the change batch's key range, the Spark form of the reference's
         source-side CQL_FILTER pruning (georef_ar_etl/streets.py:24-31).
+        ``epoch`` time-travels to a retained snapshot (manifests are
+        immutable and carry the full bucket map, so any retained epoch reads
+        exactly as it committed).
         """
+        if epoch is not None and manifest is None:
+            manifest = self.manifest_for_epoch(epoch)
         m = manifest or self.latest_manifest()
         schema = T.StructType.fromJson(m["schema"])
         dirs = []

@@ -1,0 +1,102 @@
+"""Snapshot maintenance: time travel + vacuum (the Iceberg
+expire_snapshots / remove_orphan_files pair) with exactly-once preserved
+across expiry."""
+
+import os
+
+import pytest
+
+from georef_ar_etl_spark import datagen
+from georef_ar_etl_spark.engine import CdcEngine
+from georef_ar_etl_spark.oracle import apply_events, state_as_sorted_rows
+from georef_ar_etl_spark.sinks.snapshot_table import ConflictError
+
+
+def _state_rows(df):
+    return [
+        (r["doc_id"], list(r["tokens"]), r["n_tok"], r["source"])
+        for r in df.orderBy("doc_id").collect()
+    ]
+
+
+def _oracle_rows(initial, events, upto_batch):
+    sub = [e for e in events if e["batch_id"] <= upto_batch]
+    state, _ = apply_events({r["doc_id"]: dict(r) for r in initial}, sub)
+    return [
+        (r["doc_id"], list(r["tokens"]), r["n_tok"], r["source"])
+        for r in state_as_sorted_rows(state)
+    ]
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    initial = datagen.gen_initial_state(120, seed=71, max_len=12)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=600, n_batches=4, seed=72, max_len=12
+    )
+    root = str(tmp_path_factory.mktemp("vac") / "t")
+    eng = CdcEngine(spark, root, n_buckets=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    eng.replay(datagen.events_to_df(spark, events))
+    return eng, initial, events
+
+
+def test_time_travel_reads_match_oracle(spark, table):
+    eng, initial, events = table
+    # epoch k = state after batch k-1 (bootstrap = epoch 0)
+    for epoch, upto in ((2, 1), (4, 3)):
+        got = _state_rows(eng.state(epoch=epoch))
+        assert got == _oracle_rows(initial, events, upto), f"epoch {epoch}"
+    # epoch 0 is the bootstrap snapshot
+    boot = _state_rows(eng.state(epoch=0))
+    assert boot == sorted(
+        (r["doc_id"], list(r["tokens"]), r["n_tok"], r["source"]) for r in initial
+    )
+
+
+def test_vacuum_expires_and_preserves_exactly_once(spark, table):
+    eng, initial, events = table
+    before = _state_rows(eng.state())
+    n_files_before = sum(len(fs) for _, ds, fs in os.walk(eng.table.root))
+
+    report = eng.vacuum(keep_last=2)
+    assert report["removed_manifests"] == [0, 1, 2]
+    assert report["retained_epochs"] == [3, 4]
+    assert report["removed_dirs"] and report["freed_bytes"] > 0
+
+    # current state identical after vacuum
+    assert _state_rows(eng.state()) == before
+    # retained epoch still time-travels; expired epoch does not
+    assert _state_rows(eng.state(epoch=3)) == _oracle_rows(initial, events, 2)
+    with pytest.raises(KeyError):
+        eng.state(epoch=1)
+    # files actually removed
+    n_files_after = sum(len(fs) for _, ds, fs in os.walk(eng.table.root))
+    assert n_files_after < n_files_before
+
+    # exactly-once SURVIVES expiry: re-delivering an expired batch is a
+    # verified no-op; tampered content still conflicts
+    b0 = [e for e in events if e["batch_id"] == 0]
+    m = eng.apply_batch(datagen.events_to_df(spark, b0), 0)
+    assert m.get("expired") is True and m["batch_id"] == 0
+    assert _state_rows(eng.state()) == before
+    tampered = [dict(e) for e in b0]
+    tampered[0]["source"] = "tampered"
+    with pytest.raises(ConflictError):
+        eng.apply_batch(datagen.events_to_df(spark, tampered), 0)
+
+    # vacuum is idempotent
+    report2 = eng.vacuum(keep_last=2)
+    assert report2["removed_manifests"] == []
+
+    # and the engine keeps working after maintenance
+    nxt = [{"batch_id": 9, "seq": 1, "op": "update",
+            "doc_id": initial[0]["doc_id"], "tokens": [5], "n_tok": 1,
+            "source": "wal"}]
+    eng.apply_batch(datagen.events_to_df(spark, nxt), 9)
+    st = eng.state()
+    got = st.filter(st.doc_id == initial[0]["doc_id"]).collect()[0]
+    assert list(got["tokens"]) == [5]
+
+    with pytest.raises(ValueError):
+        eng.vacuum(keep_last=0)
