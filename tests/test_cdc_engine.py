@@ -301,3 +301,30 @@ def test_bucket_lineage_ids_match_oracle(spark, tmp_path):
         for v in actions.values():
             for i in v:
                 assert got[i] == int(bucket), (i, bucket)
+
+
+def test_hot_key_burst_single_batch(spark, tmp_path):
+    """Pathological in-batch hot key: tens of thousands of updates to ONE
+    doc_id inside a single batch. The copartitioned merge concentrates the
+    burst in one task (documented contract) — it must stay correct (last
+    writer wins by seq) and the burst must not poison sibling keys."""
+    initial = datagen.gen_initial_state(100, seed=81, max_len=8)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    hot = initial[0]["doc_id"]
+    other = initial[1]["doc_id"]
+    ev = [
+        {"batch_id": 0, "seq": i, "op": "update", "doc_id": hot,
+         "tokens": [i % 97 + 1], "n_tok": 1, "source": "wal"}
+        for i in range(1, 30001)
+    ]
+    ev.append({"batch_id": 0, "seq": 30001, "op": "update", "doc_id": other,
+               "tokens": [7], "n_tok": 1, "source": "wal"})
+    m = eng.apply_batch(datagen.events_to_df(spark, ev), 0)
+    assert m["metrics"]["actions"].get("update") == 2  # dedup collapsed the burst
+    st = eng.state()
+    got = {r["doc_id"]: list(r["tokens"]) for r in st.filter(
+        st.doc_id.isin(hot, other)).collect()}
+    assert got[hot] == [30000 % 97 + 1]  # highest seq won
+    assert got[other] == [7]
+    assert st.count() == len(initial)

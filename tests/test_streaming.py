@@ -71,3 +71,63 @@ def test_stream_apply_drain_and_resume(spark, tmp_path):
         g["doc_id"] == w["doc_id"] and list(g["tokens"]) == list(w["tokens"])
         for g, w in zip(got, expected)
     )
+
+
+def test_running_key_stats_stateful_across_triggers(spark, tmp_path):
+    """applyInPandasWithState: per-key running stats must ACCUMULATE across
+    triggers (state survives micro-batches), verified against a plain
+    recount of everything ingested."""
+    from pyspark.sql import functions as F
+
+    from georef_ar_etl_spark.streaming.stateful import running_key_stats
+
+    initial = datagen.gen_initial_state(80, seed=23, max_len=8)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=400, n_batches=4, seed=24, max_len=8
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out: dict[str, tuple] = {}
+
+    def run_available(n_batches_present):
+        from georef_ar_etl_spark.schemas import EVENT_SCHEMA
+
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(land))
+        stats = running_key_stats(stream, key="source")
+        q = (
+            stats.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _eid: out.update(
+                {r["key"]: (r["n_events"], r["max_seq"], r["n_deletes"])
+                 for r in df.collect()}
+            ))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # trigger 1: batches 0-1 present
+    for b in (0, 1):
+        _write_batch_file(events, b, str(land))
+    run_available(2)
+    seen = [e for e in events if e["batch_id"] <= 1]
+    for src in {e["source"] for e in seen}:
+        grp = [e for e in seen if e["source"] == src]
+        assert out[src] == (
+            len(grp),
+            max(e["seq"] for e in grp),
+            sum(e["op"] == "delete" for e in grp),
+        ), f"trigger1 {src}"
+
+    # trigger 2: batches 2-3 arrive later — state must CARRY OVER
+    for b in (2, 3):
+        _write_batch_file(events, b, str(land))
+    run_available(4)
+    for src in {e["source"] for e in events}:
+        grp = [e for e in events if e["source"] == src]
+        assert out[src] == (
+            len(grp),
+            max(e["seq"] for e in grp),
+            sum(e["op"] == "delete" for e in grp),
+        ), f"trigger2 {src}"
