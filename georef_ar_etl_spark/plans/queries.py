@@ -1028,10 +1028,11 @@ def _ivf_sql(n_clusters=8, n_iter=5, seed=7, nprobe=3, k=10) -> str | None:
             for x in t.filter(np.asarray(t.column("vec_id")) == 0)
             .column("embedding").to_pylist()[0]
         ]
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         return None  # testdata absent: q26 degrades to a rows-only check
-        # (any OTHER failure propagates — a broken index trainer must fail
-        # the oracle build loudly, not silently weaken the check)
+        # (any OTHER failure propagates — a broken index trainer, an
+        # unreadable/corrupt file, anything — must fail the oracle build
+        # loudly, not silently weaken the check)
     probe = similarity.probe_clusters(C, qv, nprobe)
     lits = [("[" + ", ".join(repr(float(x)) for x in row) + "]") for row in C]
     dists = ", ".join(f"list_distance(v, {lit})" for lit in lits)

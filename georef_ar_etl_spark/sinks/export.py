@@ -154,7 +154,11 @@ def export_ndjson_sharded(
     # would recompute the whole plan (and could disagree with the shards if
     # the plan is nondeterministic) — the manifest must describe the bytes
     # actually written
-    obs = Observation("export_ndjson_sharded")
+    import uuid
+
+    # unique per call: Observations resolve metrics BY NAME session-wide, so
+    # two concurrent exports with a shared name could read each other's count
+    obs = Observation(f"export_ndjson_sharded-{uuid.uuid4().hex[:12]}")
     observed = df.observe(obs, _F.count(_F.lit(1)).alias("n"))
     w = observed.write.mode("overwrite").option("compression", "gzip")
     if partition_by:

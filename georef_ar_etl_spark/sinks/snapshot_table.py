@@ -68,6 +68,7 @@ class SnapshotTable:
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
         self._manifest_cache: dict[str, dict] = {}
+        self._expired_cache: dict[int, dict] | None = None
         os.makedirs(os.path.join(self.root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
 
@@ -118,12 +119,20 @@ class SnapshotTable:
         return os.path.join(self.root, MANIFEST_DIR, "expired-batches.json")
 
     def _expired_batches(self) -> dict[int, dict]:
+        # cached like manifests: committed_batches() runs once per
+        # apply_batch, and a per-batch re-read of the ledger is the same
+        # O(epochs) IO class the manifest cache exists to avoid. vacuum()
+        # (the only writer) invalidates.
+        if self._expired_cache is not None:
+            return self._expired_cache
         p = self._expired_path()
         if not os.path.exists(p):
-            return {}
+            self._expired_cache = {}
+            return self._expired_cache
         with open(p) as f:
             raw = json.load(f)
-        return {int(k): v for k, v in raw.items()}
+        self._expired_cache = {int(k): v for k, v in raw.items()}
+        return self._expired_cache
 
     # ---------------------------------------------------------------- vacuum
     def vacuum(self, keep_last: int = 2) -> dict:
@@ -146,7 +155,10 @@ class SnapshotTable:
         ms = self.manifests()
         retained, expired = ms[-keep_last:], ms[:-keep_last]
 
-        # 1. record expired batch ids BEFORE removing anything
+        # 1. record expired batch ids BEFORE removing anything. Stubs are
+        # manifest-SHAPED (metrics/total_rows/buckets keys present) so an
+        # expired-redelivery return from apply_batch doesn't KeyError
+        # callers that inspect the usual manifest fields.
         ledger = self._expired_batches()
         for m in expired:
             if m["batch_id"] is not None:
@@ -155,6 +167,10 @@ class SnapshotTable:
                     "batch_digest": m["batch_digest"],
                     "epoch": m["epoch"],
                     "expired": True,
+                    "metrics": {"kind": "expired_redelivery"},
+                    "total_rows": None,
+                    "buckets": None,
+                    "quarantine_rows": 0,
                 }
         tmp = self._expired_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -162,8 +178,21 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._expired_path())
+        self._expired_cache = ledger
 
-        # 2. delete unreferenced data/quarantine dirs (orphans included)
+        # 2. drop the expired MANIFESTS before touching any data: the
+        # table's crash invariant is "a data dir without a manifest is
+        # invisible and harmless" — deleting data first would let a crash
+        # leave a still-visible manifest referencing deleted files
+        removed_manifests = []
+        for m in expired:
+            p = self._manifest_path(m["epoch"])
+            if os.path.exists(p):
+                os.remove(p)
+            self._manifest_cache.pop(os.path.basename(p), None)
+            removed_manifests.append(m["epoch"])
+
+        # 3. delete unreferenced data/quarantine dirs (orphans included)
         referenced = {
             d for m in retained for d in m["buckets"].values() if d is not None
         }
@@ -202,14 +231,6 @@ class SnapshotTable:
                     shutil.rmtree(os.path.join(self.root, rel))
                     removed_dirs.append(rel)
 
-        # 3. drop the expired manifests last (retained history stays intact)
-        removed_manifests = []
-        for m in expired:
-            p = self._manifest_path(m["epoch"])
-            if os.path.exists(p):
-                os.remove(p)
-            self._manifest_cache.pop(os.path.basename(p), None)
-            removed_manifests.append(m["epoch"])
         return {
             "removed_manifests": removed_manifests,
             "removed_dirs": removed_dirs,

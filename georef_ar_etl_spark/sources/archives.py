@@ -57,15 +57,26 @@ def extract_archive(path: str, dest_dir: str | None = None) -> str:
                 # member pointing outside dest followed by a member path
                 # THROUGH the link escapes (realpath of a not-yet-created
                 # link resolves to nothing) — reject link members whose
-                # target leaves the destination
+                # target leaves the destination. SYMlink targets resolve
+                # relative to the link's own directory; HARDlink targets
+                # resolve from the extraction root (tarfile semantics).
                 if m.issym() or m.islnk():
-                    link_base = os.path.dirname(os.path.join(dest_dir, m.name))
-                    _check_member(dest_dir, os.path.join(
-                        os.path.relpath(link_base, dest_dir), m.linkname
-                    ) if not os.path.isabs(m.linkname) else m.linkname)
+                    if os.path.isabs(m.linkname):
+                        rel_target = m.linkname
+                    elif m.issym():
+                        rel_target = os.path.join(
+                            os.path.dirname(m.name), m.linkname
+                        )
+                    else:
+                        rel_target = m.linkname
+                    _check_member(dest_dir, rel_target)
             # Python 3.11.4+: the 'data' filter enforces the same class of
-            # constraints at extraction time (defense in depth)
-            t.extractall(dest_dir, filter="data")
+            # constraints at extraction time (defense in depth); map its
+            # rejections onto this module's contract exception
+            try:
+                t.extractall(dest_dir, filter="data")
+            except tarfile.TarError as exc:
+                raise ArchiveError(f"unsafe or unreadable tar member: {exc}") from exc
     else:
         raise ArchiveError(f"not a zip or tar archive: {path}")
     return dest_dir

@@ -57,12 +57,17 @@ def split_malformed(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good_rows_without_rescue_col, malformed_rows) — the ingest-side
     quarantine split.
 
-    The malformed side is EAGERLY materialized (localCheckpoint): Spark
-    refuses plans that reference ONLY the internal corrupt-record column of
-    a live CSV scan (a count on the bad side would), and the bad side is
-    the small side by construction. The good side stays a lazy streaming
-    scan — nothing is cached, so nothing leaks across ingests.
+    The PARSE is materialized once (eager localCheckpoint) and both sides
+    split from the materialized rows. This is load-bearing, not a cache
+    nicety: on a live CSV scan (a) plans whose only required column is the
+    internal corrupt-record column are rejected by Spark, and (b) column
+    pruning changes WHICH rows are malformed — a projection of the good
+    side that skips the unparseable column re-parses nothing and lets the
+    bad row through, so the same row appears on BOTH sides. Materializing
+    the full parse fixes both; staging reads are bounded by design (this is
+    the ingest edge, not the data plane).
     """
-    good = df.filter(F.col(RESCUE_COL).isNull()).drop(RESCUE_COL)
-    bad = df.filter(F.col(RESCUE_COL).isNotNull()).localCheckpoint(eager=True)
+    snap = df.localCheckpoint(eager=True)
+    good = snap.filter(F.col(RESCUE_COL).isNull()).drop(RESCUE_COL)
+    bad = snap.filter(F.col(RESCUE_COL).isNotNull())
     return good, bad

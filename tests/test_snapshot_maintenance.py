@@ -28,13 +28,16 @@ def _oracle_rows(initial, events, upto_batch):
     ]
 
 
-@pytest.fixture(scope="module")
-def table(spark, tmp_path_factory):
+@pytest.fixture()
+def table(spark, tmp_path):
+    # function-scoped on purpose: the vacuum test MUTATES the table
+    # (expires epochs, applies a new batch) — sharing one instance would
+    # order-couple the tests
     initial = datagen.gen_initial_state(120, seed=71, max_len=12)
     events = datagen.gen_events(
         [r["doc_id"] for r in initial], n_events=600, n_batches=4, seed=72, max_len=12
     )
-    root = str(tmp_path_factory.mktemp("vac") / "t")
+    root = str(tmp_path / "t")
     eng = CdcEngine(spark, root, n_buckets=8)
     eng.bootstrap(datagen.state_to_df(spark, initial))
     eng.replay(datagen.events_to_df(spark, events))

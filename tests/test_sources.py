@@ -159,11 +159,15 @@ def test_csv_ingest_append_and_malformed_split(spark, tmp_path):
     ])
     df = read_csv_tables(spark, [p1, p2], schema)
     good, bad = split_malformed(df)
+    assert good.count() == 3  # counting the good side must not throw
     rows = {r["id"]: r for r in good.collect()}
     assert sorted(rows) == [1, 2, 3]
     assert rows[3]["_source_file"] == p2  # append preserves file lineage
     assert bad.count() == 1  # the unparseable row is quarantined, not fatal
     assert good.schema["qty"].dataType.simpleString() == "int"
+    # pruned projections must NOT resurrect the malformed row on the good
+    # side (a live CSV scan would re-parse only the projected columns)
+    assert sorted(r["name"] for r in good.select("name").collect()) == ["aa", "bb", "cc"]
 
 
 def test_extract_archive_rejects_symlink_escape(tmp_path):
@@ -209,3 +213,28 @@ def test_extract_archive_accepts_gnu_dot_entries(tmp_path):
         t.addfile(f, io.BytesIO(data))
     dest = extract_archive(str(p))
     assert open(os.path.join(dest, "inner.txt")).read() == "ok"
+
+
+def test_extract_archive_rejects_hardlink_escape(tmp_path):
+    """Hardlink linknames resolve from the extraction ROOT (tarfile
+    semantics), not the member's directory — an escaping hardlink must be
+    rejected with the module's contract exception, not a raw tarfile error
+    after partial extraction."""
+    import io
+    import tarfile
+
+    from georef_ar_etl_spark.sources.archives import ArchiveError, extract_archive
+
+    victim = tmp_path / "secret.txt"
+    victim.write_text("s3cret")
+    evil = tmp_path / "hl.tar"
+    with tarfile.open(evil, "w") as t:
+        d = tarfile.TarInfo("a")
+        d.type = tarfile.DIRTYPE
+        t.addfile(d)
+        info = tarfile.TarInfo("a/lnk")
+        info.type = tarfile.LNKTYPE
+        info.linkname = "../secret.txt"  # from extraction root: OUTSIDE dest
+        t.addfile(info)
+    with pytest.raises(ArchiveError):
+        extract_archive(str(evil), str(tmp_path / "out"))
