@@ -69,19 +69,41 @@ class CdcEngine:
         strict_dup: bool = False,
         normalize_impl: str = "pandas",
         merge_impl: str = "copartitioned",
+        mor_max_deltas: int = 4,
+        mor_rewrite_ratio: float = 0.5,
+        hot_route_share: float = 0.5,
+        hot_route_min_events: int = 100_000,
     ):
         """``merge_impl``:
         * ``copartitioned`` (default) — storage-partitioned merge (Iceberg
           SPJ emulation, operators/copart_merge.py): state never shuffles.
         * ``join`` — full-outer DataFrame join (operators/merge.py): simplest
           Catalyst plan; shuffles the touched state every batch.
-        Both are tested equal against the oracle."""
+        Both are tested equal against the oracle.
+
+        Merge-on-read (copartitioned impl only): a bucket whose change group
+        is <= ``mor_rewrite_ratio`` of its live rows gets a DELTA file
+        instead of a full rewrite, up to ``mor_max_deltas`` pending deltas
+        per bucket (then the next touch compacts inline). Cuts COW write
+        amplification: a batch touching 1% of a bucket writes ~1% of it.
+        ``mor_rewrite_ratio=0`` disables MOR (pure copy-on-write).
+
+        Hot-bucket auto-route: the pre-pass counts valid events per bucket;
+        when one bucket holds > ``hot_route_share`` of a batch of >=
+        ``hot_route_min_events`` valid events (a pathological single-key or
+        single-prefix burst that would serialize in one copartitioned merge
+        task), THAT batch falls back to the join merge, whose dedup
+        pre-aggregates map-side and spreads across shuffle partitions."""
         self.spark = spark
         self.table = SnapshotTable(spark, table_root, n_buckets)
         self.dim = dim
         self.strict_dup = strict_dup
         self.normalize_impl = normalize_impl
         self.merge_impl = merge_impl
+        self.mor_max_deltas = mor_max_deltas
+        self.mor_rewrite_ratio = mor_rewrite_ratio
+        self.hot_route_share = hot_route_share
+        self.hot_route_min_events = hot_route_min_events
 
     # ------------------------------------------------------------- bootstrap
     def bootstrap(self, initial: DataFrame) -> dict:
@@ -114,6 +136,13 @@ class CdcEngine:
         protection for expired batch ids is preserved via the expired-batch
         ledger (see SnapshotTable.vacuum)."""
         return self.table.vacuum(keep_last)
+
+    def compact(self, min_deltas: int = 1, buckets: list[int] | None = None) -> dict | None:
+        """Rewrite buckets carrying pending merge-on-read deltas into fresh
+        base files (Iceberg rewrite_data_files analogue) — visible state
+        unchanged, delta chains cleared; run with ``vacuum`` as the table's
+        maintenance pair."""
+        return self.table.compact(min_deltas=min_deltas, buckets=buckets)
 
     def assert_size(self, target_size: int, op: str = "eq") -> int:
         """Row-count gate on the CURRENT committed state (reference:
@@ -193,7 +222,6 @@ class CdcEngine:
 
         nb = self.table.n_buckets
         tagged = tag_invalid(events, self.dim)
-        event_cols = [F.col(c) for c in orig_cols]
         digest_aggs = [
             F.expr(
                 "bit_xor(xxhash64(%s))" % ", ".join(f"`{c}`" for c in orig_cols)
@@ -205,33 +233,53 @@ class CdcEngine:
             ],
         ]
 
-        # Pre-pass (job 1): ONE codegen'd hash aggregate over the batch
-        # computes the content digest, the quarantine-reason histogram and
-        # the touched-bucket set. This was briefly folded into the merge
-        # job as .observe() metrics ("one Spark job per batch") — measured
-        # 20% SLOWER end-to-end at local[4]: CollectMetrics evaluates its
-        # expressions interpreted, per row, on the merge stage's critical
-        # path, while a dedicated HashAggregate runs whole-stage-codegen'd.
-        # Two cheap jobs beat one job with an interpreted hot loop.
-        pre = tagged.agg(
-            *digest_aggs,
-            F.collect_set(
+        # Pre-pass (job 1): ONE codegen'd hash aggregate over the batch,
+        # grouped by target bucket (invalid rows group under null), computes
+        # the content digest (bit_xor is associative — per-bucket partials
+        # xor-combine on the driver), the quarantine-reason histogram, the
+        # touched-bucket set AND the per-bucket valid-event counts that feed
+        # the hot-bucket route. The exchange carries at most n_buckets+1
+        # rows per map partition — fixed-size regardless of batch size.
+        # (Folding this into the merge job as .observe() metrics was
+        # measured 20% SLOWER end-to-end at local[4]: CollectMetrics
+        # evaluates its expressions interpreted, per row, on the merge
+        # stage's critical path, while a dedicated HashAggregate runs
+        # whole-stage-codegen'd. Two cheap jobs beat one job with an
+        # interpreted hot loop.)
+        pre_rows = (
+            tagged.groupBy(
                 F.when(
                     F.col("reason").isNull(), bucket_expr(F.col("doc_id"), nb)
-                )
-            ).alias("_buckets"),
-        ).collect()[0]
-        digest = f"{pre['_x']}:{pre['_n']}"
+                ).alias("_bucket")
+            )
+            .agg(*digest_aggs)
+            .collect()
+        )
+        mask = (1 << 64) - 1
+        x, events_in = 0, 0
+        q_counts: dict[str, int] = {}
+        bucket_events: dict[int, int] = {}
+        for r in pre_rows:
+            x ^= r["_x"] & mask
+            events_in += r["_n"]
+            for reason in QUARANTINE_REASONS:
+                if r[reason]:
+                    q_counts[reason] = q_counts.get(reason, 0) + int(r[reason])
+            if r["_bucket"] is not None:
+                bucket_events[int(r["_bucket"])] = int(r["_n"])
+        x &= mask
+        if x >= 1 << 63:
+            x -= 1 << 64  # two's complement, matching Spark's signed bit_xor
+        digest = f"{x if pre_rows else None}:{events_in}"
         if batch_id in committed:
             if committed[batch_id]["batch_digest"] != digest:
                 raise ConflictError(
                     f"batch {batch_id} re-delivered with different content"
                 )
             return committed[batch_id]
-        events_in = pre["_n"]
-        q_counts = {r: int(pre[r]) for r in QUARANTINE_REASONS if pre[r]}
         q_rows = sum(q_counts.values())
-        touched = sorted(pre["_buckets"])
+        touched = sorted(bucket_events)
+        valid_rows = events_in - q_rows
         t_pre_done = time.time()
 
         # quarantine side-output, written only when non-empty
@@ -244,7 +292,24 @@ class CdcEngine:
         valid = tagged.filter(F.col("reason").isNull()).drop("reason")
         t_quar_done = time.time()
 
-        if self.merge_impl == "copartitioned":
+        # hot-bucket auto-route: one bucket carrying most of a large batch
+        # would serialize in a single copartitioned merge task — send THAT
+        # batch through the join merge (map-side pre-aggregated dedup,
+        # spread across shuffle partitions) instead of relying on manual
+        # configuration
+        merge_impl = self.merge_impl
+        merge_route = None
+        if (
+            merge_impl == "copartitioned"
+            and valid_rows >= self.hot_route_min_events
+            and bucket_events
+            and max(bucket_events.values()) > self.hot_route_share * valid_rows
+        ):
+            merge_impl = "join"
+            merge_route = "join_hot_bucket"
+
+        written_deltas: dict[int, list[str]] = {}
+        if merge_impl == "copartitioned":
             if self.strict_dup:
                 latest_per_key(valid, strict=True)  # raises on duplicates
             # dedup AND normalization happen inside the merge tasks (post-
@@ -255,6 +320,10 @@ class CdcEngine:
                 *payload_cols
             )
             bucket_files = self.table.bucket_file_paths(touched, manifest=latest)
+            bucket_delta_files = self.table.bucket_delta_paths(touched, manifest=latest)
+            bucket_live = {
+                b: int(latest["bucket_counts"].get(str(b), 0)) for b in touched
+            }
             epoch_dir = self.table.epoch_dir(epoch)
             results = merge_copartitioned(
                 batch_b,
@@ -262,11 +331,24 @@ class CdcEngine:
                 payload_cols,
                 json.dumps(new_schema.jsonValue()),
                 epoch_dir,
+                bucket_deltas=bucket_delta_files,
+                bucket_live=bucket_live,
+                mor_max_deltas=self.mor_max_deltas,
+                mor_rewrite_ratio=self.mor_rewrite_ratio,
             ).collect()
-            written = {
-                int(r["bucket"]): os.path.relpath(os.path.dirname(r["path"]), self.table.root)
-                for r in results
-            }
+            parent_bases = latest["buckets"]
+            parent_deltas = latest.get("bucket_deltas") or {}
+            written, merge_modes = {}, {"delta": 0, "rewrite": 0}
+            for r in results:
+                b = int(r["bucket"])
+                rel = os.path.relpath(os.path.dirname(r["path"]), self.table.root)
+                if r["mode"] == "delta":
+                    # base carried from the parent; the chain grows by one
+                    written[b] = parent_bases.get(str(b))
+                    written_deltas[b] = list(parent_deltas.get(str(b)) or []) + [rel]
+                else:
+                    written[b] = rel  # full rewrite clears any pending chain
+                merge_modes[r["mode"]] += 1
             written_counts = {int(r["bucket"]): int(r["rows"]) for r in results}
             # per-bucket action ID lineage (capped, sorted samples straight
             # from the merge tasks — no extra pass). Reference reports the
@@ -315,6 +397,7 @@ class CdcEngine:
             written = self.table.write_data(epoch, new_buckets_df)
             written_counts = None
             bucket_lineage = None  # join path records counts only
+            merge_modes = {"delta": 0, "rewrite": len(written)}
             m_got = m_obs.get
             action_counts = {a: int(m_got[a]) for a in ACTIONS if m_got[a]}
 
@@ -330,6 +413,8 @@ class CdcEngine:
             "quarantined": q_counts,
             "actions": action_counts,
             "touched_buckets": len(touched),
+            "merge_modes": merge_modes,
+            **({"merge_route": merge_route} if merge_route else {}),
             "bucket_lineage": bucket_lineage,
             "schema_added_columns": [
                 f.name for f in new_schema.fields
@@ -350,6 +435,7 @@ class CdcEngine:
             quarantine_path=q_path,
             quarantine_rows=q_rows,
             written_counts=written_counts,
+            written_deltas=written_deltas,
         )
         return manifest
 

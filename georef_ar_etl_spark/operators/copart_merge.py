@@ -37,9 +37,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from georef_ar_etl_spark.functions.tokens import normalize_series
+from georef_ar_etl_spark.sinks.mor import live_keys, resolve_live, write_delta
 
 RESULT_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
+    # physical write mode chosen per bucket: "rewrite" (full COW base, also
+    # the inline-compaction path) or "delta" (merge-on-read delta file)
+    T.StructField("mode", T.StringType()),
     T.StructField("rows", T.LongType()),
     T.StructField("inserted", T.LongType()),
     T.StructField("updated", T.LongType()),
@@ -66,19 +70,38 @@ def merge_copartitioned(
     normalize: bool = True,
     dedup_order: str | None = "seq",
     id_sample_cap: int = 16,
+    bucket_deltas: dict[int, list[str]] | None = None,
+    bucket_live: dict[int, int] | None = None,
+    mor_max_deltas: int = 4,
+    mor_rewrite_ratio: float = 0.5,
 ) -> DataFrame:
     """``batch``: validated change rows with ``op``, ``bucket`` and (when
     ``dedup_order``) the event-order column. ``bucket_files``: bucket →
-    current data file paths (absolute). Returns the per-bucket result frame
-    (one row per touched bucket).
+    current BASE data file paths (absolute); ``bucket_deltas``: bucket →
+    merge-on-read delta file paths in epoch order; ``bucket_live``: bucket →
+    live row count from the parent manifest (lets the write-mode decision
+    cost zero IO). Returns the per-bucket result frame (one row per touched
+    bucket).
 
     In-task dedup (``dedup_order="seq"``): last-writer-wins runs as a pandas
     ``drop_duplicates(keep="last")`` AFTER the bucket shuffle — all events of
     a key land in its bucket's task, so no winners aggregation, no
     driver-built broadcast, no semi-join. The whole apply is one shuffle and
     one stage pair. (A key's in-batch burst concentrates in one task —
-    bounded by batch size; for pathological single-key batches use the join
-    merge path whose dedup pre-aggregates map-side.)
+    bounded by batch size; the engine's pre-pass auto-routes pathological
+    single-key batches to the join merge, whose dedup pre-aggregates
+    map-side.)
+
+    Write-mode decision per bucket (merge-on-read, sinks/mor.py): when the
+    change group is small relative to the bucket (``len(grp) <=
+    mor_rewrite_ratio * live``) and the delta chain is short
+    (``< mor_max_deltas``), the task writes a DELTA file — it reads only the
+    bucket's key column to classify actions, never the payload, so a batch
+    touching 1% of a bucket costs ~1% of a rewrite instead of 100%.
+    Otherwise it rewrites the bucket whole (resolving any pending deltas —
+    inline compaction), which also bounds read amplification: no bucket ever
+    carries more than ``mor_max_deltas`` deltas. ``mor_rewrite_ratio=0``
+    disables MOR (pure COW).
     """
     n_buckets = max(bucket_files.keys(), default=0) + 1 if bucket_files else 1
     arrow_schema = pa.schema(
@@ -87,10 +110,15 @@ def merge_copartitioned(
             for f in T.StructType.fromJson(__import__("json").loads(payload_schema_json))
         ]
     )
+    bucket_deltas = bucket_deltas or {}
+    bucket_live = bucket_live or {}
     # the file map now covers ALL buckets (bucket pruning happens in-task:
     # a task opens a bucket's files only if it holds events for it), so ship
     # it once per executor as a broadcast instead of once per task closure
-    bf_bc = batch.sparkSession.sparkContext.broadcast(bucket_files)
+    sc = batch.sparkSession.sparkContext
+    bf_bc = sc.broadcast(bucket_files)
+    bd_bc = sc.broadcast(bucket_deltas)
+    bl_bc = sc.broadcast(bucket_live)
 
     def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [c for c in batches if not c.empty]
@@ -105,14 +133,8 @@ def merge_copartitioned(
         for bucket, grp in pdf.groupby("bucket", sort=True):
             bucket = int(bucket)
             files = bf_bc.value.get(bucket, [])
-            if files:
-                state = pq.read_table(files).to_pandas()
-                for c in payload_cols:
-                    if c not in state.columns:
-                        state[c] = None  # additive evolution: old rows → null
-                state = state[payload_cols]
-            else:
-                state = pd.DataFrame({c: pd.Series(dtype=object) for c in payload_cols})
+            dfiles = bd_bc.value.get(bucket, [])
+            live = int(bl_bc.value.get(bucket, 0))
 
             # last-writer-wins already applied upstream → unique keys per side
             dels = grp.loc[grp["op"] == "delete", key]
@@ -123,7 +145,23 @@ def merge_copartitioned(
                 # a separate pandas_udf stage (same numpy kernel either way)
                 ups["tokens"] = normalize_series(ups["tokens"])
                 ups["n_tok"] = ups["tokens"].map(len).astype("int32")
-            state_keys = pd.Index(state[key])
+
+            use_delta = (
+                mor_rewrite_ratio > 0
+                and bool(files)
+                and len(dfiles) < mor_max_deltas
+                and len(grp) <= mor_rewrite_ratio * live
+            )
+            if use_delta:
+                # keys-only read of base + delta chain: classify actions
+                # without touching the payload columns at all
+                state_keys = live_keys(files, dfiles, key)
+                state = None
+            else:
+                # full resolve (base + pending deltas) — the COW/inline-
+                # compaction path; writing the new base clears the chain
+                state = resolve_live(files, dfiles, payload_cols, key)
+                state_keys = pd.Index(state[key])
             del_mask = state_keys.isin(dels)
             deleted = int(del_mask.sum())
             delete_noop = int(len(dels) - deleted)
@@ -144,21 +182,37 @@ def merge_copartitioned(
 
             inserted_ids = sample(ups.loc[~up_mask, key]) if len(ups) else []
             updated_ids = sample(ups.loc[up_mask, key]) if len(ups) else []
-            deleted_ids = sample(state.loc[del_mask, key])
+            deleted_ids = sample(state_keys[del_mask])
 
-            keep = state[~state_keys.isin(dels) & ~state_keys.isin(ups[key])]
-            merged = pd.concat([keep, ups], ignore_index=True).sort_values(key)
-
-            bdir = os.path.join(epoch_dir, f"bucket={bucket}")
-            os.makedirs(bdir, exist_ok=True)
-            path = os.path.join(bdir, "part-00000.parquet")
-            table = pa.Table.from_pandas(
-                merged.reset_index(drop=True), schema=arrow_schema, preserve_index=False
-            )
-            pq.write_table(table, path, compression="lz4", row_group_size=65536)
+            if use_delta:
+                ddir = os.path.join(epoch_dir, f"delta={bucket}")
+                os.makedirs(ddir, exist_ok=True)
+                path = os.path.join(ddir, "delta-00000.parquet")
+                # noop tombstones are dropped: a key absent from state needs
+                # no delete marker, and LWW dedup means no later in-batch op
+                # could resurrect it
+                write_delta(
+                    path, ups, dels[dels.isin(state_keys)], payload_cols,
+                    arrow_schema, key,
+                )
+                rows_after = len(state_keys) - deleted + inserted
+                mode = "delta"
+            else:
+                keep = state[~state_keys.isin(dels) & ~state_keys.isin(ups[key])]
+                merged = pd.concat([keep, ups], ignore_index=True).sort_values(key)
+                bdir = os.path.join(epoch_dir, f"bucket={bucket}")
+                os.makedirs(bdir, exist_ok=True)
+                path = os.path.join(bdir, "part-00000.parquet")
+                table = pa.Table.from_pandas(
+                    merged.reset_index(drop=True), schema=arrow_schema,
+                    preserve_index=False,
+                )
+                pq.write_table(table, path, compression="lz4", row_group_size=65536)
+                rows_after = len(merged)
+                mode = "rewrite"
             out.append((
-                bucket, len(merged), inserted, updated, deleted, delete_noop,
-                path, inserted_ids, updated_ids, deleted_ids,
+                bucket, mode, rows_after, inserted, updated, deleted,
+                delete_noop, path, inserted_ids, updated_ids, deleted_ids,
             ))
         yield pd.DataFrame(
             out, columns=[f.name for f in RESULT_SCHEMA.fields]

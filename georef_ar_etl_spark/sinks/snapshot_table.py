@@ -2,10 +2,20 @@
 
 Layout::
 
-    <root>/data/epoch=K/bucket=B/part-*.parquet   # only buckets touched at K
+    <root>/data/epoch=K/bucket=B/part-*.parquet   # full (base) bucket rewrites
+    <root>/data/epoch=K/delta=B/delta-*.parquet   # merge-on-read delta files
     <root>/quarantine/epoch=K/*.parquet           # invalid-event side-output
     <root>/manifests/epoch-000000042.json         # THE commit point
     <root>/metrics.jsonl                          # per-commit lineage/metrics
+
+Physical write modes (chosen per bucket per batch by the merge,
+operators/copart_merge.py): copy-on-write rewrites the bucket's base files;
+merge-on-read appends a delta file (upserts + equality-delete tombstones on
+``doc_id``, sinks/mor.py) and leaves the base untouched — the manifest's
+``bucket_deltas`` map lists each bucket's pending delta dirs in epoch order.
+Readers resolve base + deltas last-writer-wins; ``compact()`` (or any
+full-bucket rewrite) clears the chain. This is the Iceberg MOR model
+(delete files + rewrite_data_files) at bucket granularity.
 
 Commit protocol (exactly-once without a transactional catalog):
 
@@ -147,6 +157,15 @@ class SnapshotTable:
         ``committed_batches``, so re-delivering an ancient batch is still a
         verified no-op (or ConflictError), never a silent re-apply. Time
         travel to expired epochs is gone — that's what expiry means.
+
+        Concurrency: the table is SINGLE-WRITER (one engine applies batches;
+        the reference's pipeline is likewise a single sequential process,
+        georef_ar_etl/process.py:206-257). As defense in depth the orphan
+        sweep additionally skips epoch dirs NEWER than the latest retained
+        manifest — data a concurrent (or crashed-and-restarting) writer may
+        be staging for its not-yet-committed epoch is never swept; only a
+        later vacuum, run after that epoch either commits or is superseded,
+        may remove it.
         """
         import shutil
 
@@ -197,19 +216,34 @@ class SnapshotTable:
             d for m in retained for d in m["buckets"].values() if d is not None
         }
         referenced |= {
+            d
+            for m in retained
+            for chain in (m.get("bucket_deltas") or {}).values()
+            for d in chain
+        }
+        referenced |= {
             m["quarantine_path"] for m in retained if m.get("quarantine_path")
         }
+        max_retained_epoch = retained[-1]["epoch"]
         removed_dirs, freed = [], 0
         data_root = os.path.join(self.root, DATA_DIR)
         for edir in sorted(os.listdir(data_root)):
             efull = os.path.join(data_root, edir)
             if not os.path.isdir(efull):
                 continue
+            # never sweep epochs newer than the latest retained manifest:
+            # that's pre-commit data an in-flight writer may be staging
+            try:
+                if int(edir.split("=", 1)[1]) > max_retained_epoch:
+                    continue
+            except (IndexError, ValueError):
+                continue
             for bdir in sorted(os.listdir(efull)):
                 rel = os.path.join(DATA_DIR, edir, bdir)
                 full = os.path.join(self.root, rel)
-                # skip writer marker files (_SUCCESS) and anything non-bucket
-                if not os.path.isdir(full) or not bdir.startswith("bucket="):
+                # skip writer marker files (_SUCCESS) and anything that isn't
+                # a bucket base or delta dir
+                if not os.path.isdir(full) or not bdir.startswith(("bucket=", "delta=")):
                     continue
                 if rel not in referenced:
                     freed += sum(
@@ -238,6 +272,49 @@ class SnapshotTable:
             "retained_epochs": [m["epoch"] for m in retained],
         }
 
+    # --------------------------------------------------------------- compact
+    def compact(self, min_deltas: int = 1, buckets: list[int] | None = None) -> dict | None:
+        """Rewrite every bucket carrying >= ``min_deltas`` pending
+        merge-on-read deltas into fresh base files and commit the result as a
+        new epoch — Iceberg's ``rewrite_data_files`` for MOR tables, and the
+        natural companion to ``vacuum`` (compaction un-references old delta
+        dirs; vacuum then reclaims them once their manifests expire).
+
+        The rewrite reads through the MOR-resolving ``read_state`` so the
+        visible state is unchanged by construction. Returns the committed
+        manifest, or None when no bucket qualifies. Commit is the usual
+        atomic manifest rename (batch_id None, kind "compaction"); a crash
+        mid-compaction leaves an invisible orphan epoch dir.
+        """
+        m = self.latest_manifest()
+        if m is None:
+            return None
+        deltas_map = m.get("bucket_deltas") or {}
+        dirty = sorted(
+            int(b)
+            for b, chain in deltas_map.items()
+            if len(chain) >= min_deltas and (buckets is None or int(b) in set(buckets))
+        )
+        if not dirty:
+            return None
+        schema = T.StructType.fromJson(m["schema"])
+        epoch = m["epoch"] + 1
+        t0 = time.time()
+        written = self.write_data(epoch, self.read_state(buckets=dirty, manifest=m))
+        return self.write_manifest(
+            epoch=epoch,
+            schema=schema,
+            written=written,
+            touched_buckets=dirty,
+            batch_id=None,
+            batch_digest=f"compact:{m['epoch']}:{dirty}",
+            metrics={
+                "kind": "compaction",
+                "compacted_buckets": dirty,
+                "wall_sec": round(time.time() - t0, 3),
+            },
+        )
+
     def schema(self) -> T.StructType | None:
         m = self.latest_manifest()
         return T.StructType.fromJson(m["schema"]) if m else None
@@ -257,27 +334,84 @@ class SnapshotTable:
         ``epoch`` time-travels to a retained snapshot (manifests are
         immutable and carry the full bucket map, so any retained epoch reads
         exactly as it committed).
+
+        Buckets with pending merge-on-read deltas resolve base + delta chain
+        in one task per bucket (sinks/mor.py) — the MOR read path; clean
+        buckets stay on the native vectorized parquet scan with full
+        pushdown/pruning, so a mostly-compacted table reads at COW speed.
         """
         if epoch is not None and manifest is None:
             manifest = self.manifest_for_epoch(epoch)
         m = manifest or self.latest_manifest()
         schema = T.StructType.fromJson(m["schema"])
-        dirs = []
+        deltas_map = m.get("bucket_deltas") or {}
+        bset = set(buckets) if buckets is not None else None
+        dirs, mor_specs = [], []
         for b_str, d in m["buckets"].items():
-            if d is None:
+            if bset is not None and int(b_str) not in bset:
                 continue
-            if buckets is None or int(b_str) in set(buckets):
+            dl = deltas_map.get(b_str) or []
+            if dl:
+                base = self._dir_files(d) if d else []
+                dfiles = [f for dd in dl for f in self._dir_files(dd)]
+                mor_specs.append((int(b_str), base, dfiles))
+            elif d is not None:
                 dirs.append(os.path.join(self.root, d))
-        if not dirs:
+        parts = []
+        if dirs:
+            parts.append(
+                self.spark.read.option("basePath", os.path.join(self.root, DATA_DIR))
+                .schema(
+                    # list() copy: StructType holds the field list by
+                    # reference and .add() mutates it in place
+                    T.StructType(list(schema.fields))
+                    .add("epoch", T.IntegerType())
+                    .add("bucket", T.IntegerType())
+                )
+                .parquet(*dirs)
+                .drop("epoch")
+            )
+        if mor_specs:
+            parts.append(self._read_mor(mor_specs, schema))
+        if not parts:
             empty = self.spark.createDataFrame([], schema)
             return empty.withColumn("bucket", F.lit(None).cast("int"))
-        df = (
-            self.spark.read.option("basePath", os.path.join(self.root, DATA_DIR))
-            .schema(schema.add("epoch", T.IntegerType()).add("bucket", T.IntegerType()))
-            .parquet(*dirs)
-            .drop("epoch")
-        )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
+
+    def _dir_files(self, rel_dir: str) -> list[str]:
+        full = os.path.join(self.root, rel_dir)
+        return sorted(
+            os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
+        )
+
+    def _read_mor(self, specs: list[tuple[int, list[str], list[str]]], schema: T.StructType) -> DataFrame:
+        """Merge-on-read scan: one task per dirty bucket resolves base +
+        delta chain (pyarrow + pandas, last-writer-wins) and streams the live
+        rows out via Arrow. Read amplification is bounded by the merge's
+        ``mor_max_deltas`` chain cap; at cluster scale each task reads only
+        its own bucket's files — same contract as the copartitioned merge."""
+        from georef_ar_etl_spark.sinks.mor import resolve_live
+
+        payload_cols = [f.name for f in schema.fields]
+        out_schema = T.StructType(list(schema.fields)).add("bucket", T.IntegerType())
+        spec_df = self.spark.createDataFrame(
+            [(b, base, dfiles) for b, base, dfiles in specs],
+            "bucket int, base_files array<string>, delta_files array<string>",
+        ).repartition(len(specs))
+
+        def read_merge(batches):
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    live = resolve_live(
+                        list(r.base_files), list(r.delta_files), payload_cols
+                    )
+                    live["bucket"] = int(r.bucket)
+                    yield live
+
+        return spec_df.mapInPandas(read_merge, out_schema)
 
     def bucket_file_paths(
         self, buckets: list[int], manifest: dict | None = None
@@ -290,11 +424,19 @@ class SnapshotTable:
             if d is None:
                 out[b] = []
                 continue
-            full = os.path.join(self.root, d)
-            out[b] = sorted(
-                os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
-            )
+            out[b] = self._dir_files(d)
         return out
+
+    def bucket_delta_paths(
+        self, buckets: list[int], manifest: dict | None = None
+    ) -> dict[int, list[str]]:
+        """bucket → absolute delta file paths in epoch (resolution) order."""
+        m = manifest or self.latest_manifest()
+        deltas_map = m.get("bucket_deltas") or {}
+        return {
+            b: [f for dd in (deltas_map.get(str(b)) or []) for f in self._dir_files(dd)]
+            for b in buckets
+        }
 
     def epoch_dir(self, epoch: int) -> str:
         d = os.path.join(self.root, DATA_DIR, f"epoch={epoch}")
@@ -359,13 +501,19 @@ class SnapshotTable:
         quarantine_path: str | None = None,
         quarantine_rows: int = 0,
         written_counts: dict[int, int] | None = None,
+        written_deltas: dict[int, list[str]] | None = None,
     ) -> dict:
         """Atomically publish the manifest — THE commit point. Idempotent:
         same epoch + same digest returns the existing manifest.
 
         ``written_counts``: per-bucket row counts if the writer already knows
         them (the copartitioned merge returns them from the tasks); otherwise
-        they are read from the parquet footers."""
+        they are read from the parquet footers.
+
+        ``written_deltas``: for merge-on-read commits, touched bucket → its
+        FULL delta-dir list after this epoch (relative paths, resolution
+        order). A touched bucket absent from the map had its base rewritten,
+        which clears any pending chain."""
         path = self._manifest_path(epoch)
         if os.path.exists(path):
             with open(path) as f:
@@ -383,10 +531,19 @@ class SnapshotTable:
         bucket_counts: dict[str, int] = (
             dict(parent["bucket_counts"]) if parent else {str(b): 0 for b in range(self.n_buckets)}
         )
+        # sparse map: only buckets with a pending delta chain appear
+        bucket_deltas: dict[str, list[str]] = (
+            dict(parent.get("bucket_deltas") or {}) if parent else {}
+        )
         new_counts = written_counts if written_counts is not None else self._bucket_counts(written)
         for b in touched_buckets:
             buckets[str(b)] = written.get(b)  # None → bucket emptied out
             bucket_counts[str(b)] = new_counts.get(b, 0)
+            dl = (written_deltas or {}).get(b) or []
+            if dl:
+                bucket_deltas[str(b)] = dl
+            else:
+                bucket_deltas.pop(str(b), None)  # base rewrite clears the chain
 
         manifest = {
             "epoch": epoch,
@@ -396,6 +553,7 @@ class SnapshotTable:
             "schema": schema.jsonValue(),
             "n_buckets": self.n_buckets,
             "buckets": buckets,
+            "bucket_deltas": bucket_deltas,
             "bucket_counts": bucket_counts,
             "total_rows": sum(bucket_counts.values()),
             "touched_buckets": sorted(touched_buckets),
