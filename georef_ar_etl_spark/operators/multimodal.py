@@ -52,6 +52,11 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("duration_s", T.DoubleType()),
     T.StructField("rms", T.DoubleType()),
+    # per-row quarantine: a corrupt blob or unsupported codec must never
+    # poison the batch (reference skips+reports invalid rows,
+    # georef_ar_etl/transformers.py:96-101) — byte stats survive, decoded
+    # features stay null, the reason lands here
+    T.StructField("decode_error", T.StringType()),
 ])
 
 
@@ -159,7 +164,13 @@ def decode_media(payload: bytes, media_type: str) -> dict:
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, media_meta):
     byte stats for every payload plus per-modality decoded features
-    (width/height/px_mean for BMP, rate/duration/rms for WAV)."""
+    (width/height/px_mean for BMP, rate/duration/rms for WAV).
+
+    Decode failures are quarantined per row, not raised: a corrupt header,
+    truncated raster, or unsupported codec yields null decoded features and
+    the reason in ``decode_error`` while byte stats are still computed —
+    one bad blob in 100 TB must not kill the job. The direct
+    ``decode_media`` API keeps the hard raise for callers that want it."""
     cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -177,7 +188,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "first_byte": int(arr[0]) if arr.size else None,
                     "byte_mean": round(float(arr.mean()), 6) if arr.size else None,
                 }
-                row.update(decode_media(raw, meta["media_type"]))
+                try:
+                    row.update(decode_media(raw, meta["media_type"]))
+                except (ValueError, NotImplementedError, struct.error, IndexError) as e:
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
                 feats.append([row.get(c) for c in cols])
             yield pd.DataFrame(feats, columns=cols)
 

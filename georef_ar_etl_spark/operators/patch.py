@@ -42,8 +42,13 @@ def patch_update(
     given column assignments applied (reference: update_field, patch.py:1-15,
     and apply_fn, patch.py:18-44 — an arbitrary Column expression covers the
     per-row-function case, e.g. ``F.col('id').startswith('94014')`` for the
-    reference's LIKE patches)."""
+    reference's LIKE patches).
+
+    Patched rows are stamped with the patch ``source`` (matching
+    patch_delete) so lineage attributes them to the patch — unless the
+    caller's assignments set ``source`` themselves, which wins."""
     updated = state.filter(predicate)
+    assignments = {"source": F.lit(source), **assignments}
     for name, expr in assignments.items():
         updated = updated.withColumn(name, expr)
     return updated.select(

@@ -103,11 +103,14 @@ def knn_join_cosine(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k corpus neighbors for each probe vector (probe set fits in
-    memory → shipped to every partition; per-partition numpy matmul via
-    mapInPandas, then a global top-k per probe)."""
+    memory → broadcast once per executor, not serialized into every task
+    closure; per-partition numpy matmul via mapInPandas, then a global
+    top-k per probe)."""
     probe_ids = probes_pd["probe_id"].to_numpy()
     P = np.stack(probes_pd["vec"].to_numpy()).astype(np.float64)
-    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    probes_bc = corpus.sparkSession.sparkContext.broadcast(
+        (probe_ids, P / np.linalg.norm(P, axis=1, keepdims=True))
+    )
 
     out_schema = T.StructType([
         T.StructField("probe_id", T.LongType()),
@@ -116,6 +119,7 @@ def knn_join_cosine(
     ])
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        probe_ids, Pn = probes_bc.value
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -148,32 +148,97 @@ def poly_kgram_hashes_p31(b: np.ndarray, k: int, powers: np.ndarray) -> np.ndarr
     return (win * powers[None, :]).sum(axis=1) % P31
 
 
+def winnow_series(text: pd.Series, k: int, window: int, powers: np.ndarray) -> pd.Series:
+    """Winnowing fingerprints for a whole Series at once — the flattened-
+    buffer segment technique (same as functions/tokens.normalize_series):
+    all documents' bytes concatenate into ONE buffer, the k-gram rolling
+    hash and the window-min run as single sliding-window ops over it with
+    document-boundary-crossing windows masked out, per-doc short-doc minima
+    come from one ``minimum.reduceat``, and the per-doc unique+sort is one
+    global lexsort + adjacent-dedup. No per-document Python on any path —
+    the only O(rows) Python is the utf-8 encode and the final array split.
+
+    Per-document semantics (identical to the scalar definition):
+    null → null; fewer than k bytes → empty set; fewer than ``window``
+    k-grams → the single global-min hash; else the deduplicated set of
+    window minima, sorted ascending."""
+    n = len(text)
+    out = np.empty(n, dtype=object)
+    notnull = text.notna().to_numpy()
+    out[~notnull] = None
+    docs = [s.lower().encode("utf-8", "ignore") for s in text[notnull]]
+    nd = len(docs)
+    if nd == 0:
+        return pd.Series(out, dtype=object, index=text.index)
+    lens = np.fromiter((len(b) for b in docs), dtype=np.int64, count=nd)
+    flat = np.frombuffer(b"".join(docs), dtype=np.uint8).astype(np.uint64)
+    offsets = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    hcounts = np.maximum(lens - (k - 1), 0)
+    hoffsets = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(hcounts, out=hoffsets[1:])
+
+    # valid k-gram hashes, concatenated in doc order (boundary-crossers cut)
+    if flat.size >= k:
+        all_h = poly_kgram_hashes(flat, k, powers)
+        npos = flat.size - k + 1
+        doc_of_pos = np.repeat(np.arange(nd), lens)[:npos]
+        valid = np.arange(npos) + k <= offsets[doc_of_pos + 1]
+        vh = all_h[valid]
+    else:
+        vh = np.empty(0, dtype=np.uint64)
+
+    # per-doc global min (consecutive nonempty segments → one reduceat)
+    nonempty_idx = np.flatnonzero(hcounts > 0)
+    doc_min = (
+        np.minimum.reduceat(vh, hoffsets[:-1][nonempty_idx])
+        if nonempty_idx.size
+        else np.empty(0, dtype=np.uint64)
+    )
+
+    # window minima for docs with >= window hashes, again one sliding op
+    if vh.size >= window:
+        nmpos = vh.size - window + 1
+        doc_of_h = np.repeat(np.arange(nd), hcounts)[:nmpos]
+        mvalid = np.arange(nmpos) + window <= hoffsets[doc_of_h + 1]
+        mrows = doc_of_h[mvalid]
+        mins = np.lib.stride_tricks.sliding_window_view(vh, window).min(axis=1)[mvalid]
+    else:
+        mrows = np.empty(0, dtype=np.int64)
+        mins = np.empty(0, dtype=np.uint64)
+
+    # short docs (0 < hashes < window) contribute their single global min
+    short_rows = np.flatnonzero((hcounts > 0) & (hcounts < window))
+    short_mins = doc_min[np.searchsorted(nonempty_idx, short_rows)]
+
+    rows_all = np.concatenate([mrows, short_rows])
+    vals_all = np.concatenate([mins, short_mins])
+    order = np.lexsort((vals_all, rows_all))
+    r, v = rows_all[order], vals_all[order]
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+    r, v = r[keep], v[keep]
+    counts = np.bincount(r, minlength=nd)
+    pieces = np.split(v.astype(np.int64), np.cumsum(counts)[:-1])
+    results = np.empty(nd, dtype=object)
+    results[:] = pieces
+    out[notnull] = results
+    return pd.Series(out, dtype=object, index=text.index)
+
+
 def winnow_fingerprints_udf(k: int = 8, window: int = 4):
     """Factory for a winnowing document-fingerprint UDF (rolling hash).
 
     Classic winnowing (Schleimer et al., MOSS): polynomial rolling hash over
     all k-grams, then the minimum hash of every ``window`` consecutive grams,
     deduplicated — a position-robust fingerprint set for near-dup detection.
-    Vectorized numpy per Arrow batch (sliding windows, no per-char Python).
+    Fully vectorized across the Arrow batch (winnow_series): no per-document
+    Python loop remains on the data path.
     """
     powers = poly_powers(k)
 
-    def one(s: str):
-        if s is None:
-            return None
-        b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-        hashes = poly_kgram_hashes(b, k, powers)
-        if len(hashes) == 0:
-            return np.zeros(0, dtype=np.int64)
-        if len(hashes) < window:
-            sel = np.array([hashes.min()])
-        else:
-            mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
-            sel = np.unique(mins)
-        return sel.astype(np.int64)
-
     @pandas_udf(T.ArrayType(T.LongType()))
     def winnow(text: pd.Series) -> pd.Series:
-        return text.map(one)
+        return winnow_series(text, k, window, powers)
 
     return winnow

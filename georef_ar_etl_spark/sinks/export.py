@@ -132,6 +132,60 @@ def export_csv(df: DataFrame, path: str) -> int:
     return n
 
 
+def _observed_count(df: DataFrame):
+    """(observed_df, getter): row count observed ON the write pass itself —
+    a separate df.count() would recompute the whole plan (and could disagree
+    with the shards if the plan is nondeterministic); the manifest must
+    describe the bytes actually written. The Observation name is unique per
+    call: Observations resolve metrics BY NAME session-wide, so two
+    concurrent exports with a shared name could read each other's count."""
+    import uuid
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as _F
+
+    obs = Observation(f"sharded_export-{uuid.uuid4().hex[:12]}")
+    return df.observe(obs, _F.count(_F.lit(1)).alias("n")), lambda: int(obs.get["n"])
+
+
+def _commit_sharded(out_dir: str, write, suffixes: tuple[str, ...], body: dict) -> dict:
+    """Shared commit protocol for the distributed sinks: shards are written
+    into a FRESH generation dir (``data-<nonce>/``), then ``_manifest.json``
+    is atomically flipped to reference it, then superseded generation dirs
+    are swept. A re-export never overwrites the live generation in place —
+    readers either see the old complete dataset or the new one, and a crash
+    mid-write leaves the old manifest + old shards fully intact (the
+    half-written new generation is invisible and reclaimed by the next
+    successful export). Same old-visible-until-flip model as the snapshot
+    table's manifest rename."""
+    import shutil
+    import uuid
+
+    gen = f"data-{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(out_dir, gen)
+    total = write(data_dir)
+    shards = sorted(
+        os.path.relpath(os.path.join(dp, fn), out_dir)
+        for dp, _dns, fns in os.walk(data_dir)
+        for fn in fns
+        if fn.endswith(suffixes)
+    )
+    manifest = {**body, "cantidad": total, "data_dir": gen, "shards": shards}
+    mpath = os.path.join(out_dir, "_manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mpath)
+    # the flip is durable; now sweep superseded generations (and the legacy
+    # un-generationed "data" dir) — best-effort, failure leaves only garbage
+    for d in os.listdir(out_dir):
+        if d != gen and (d == "data" or d.startswith("data-")):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    return manifest
+
+
 def export_ndjson_sharded(
     df: DataFrame, out_dir: str, version: str, created: str,
     partition_by: str | None = None,
@@ -143,59 +197,37 @@ def export_ndjson_sharded(
     and the driver then publishes a tiny ``_manifest.json`` carrying the
     same metadata header the single-file format puts on line one (shard
     list, row count, version, creation time). Readers treat
-    manifest+shards as one logical dataset; the manifest write is the
-    atomic commit point (shards without a manifest are invisible),
-    mirroring the snapshot table's rename protocol."""
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as _F
+    manifest+shards as one logical dataset; see ``_commit_sharded`` for the
+    crash/re-export atomicity story."""
 
-    data_dir = os.path.join(out_dir, "data")
-    # row count observed ON the write pass itself: a separate df.count()
-    # would recompute the whole plan (and could disagree with the shards if
-    # the plan is nondeterministic) — the manifest must describe the bytes
-    # actually written
-    import uuid
+    def write(data_dir: str) -> int:
+        observed, count = _observed_count(df)
+        w = observed.write.option("compression", "gzip")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.json(data_dir)
+        return count()
 
-    # unique per call: Observations resolve metrics BY NAME session-wide, so
-    # two concurrent exports with a shared name could read each other's count
-    obs = Observation(f"export_ndjson_sharded-{uuid.uuid4().hex[:12]}")
-    observed = df.observe(obs, _F.count(_F.lit(1)).alias("n"))
-    w = observed.write.mode("overwrite").option("compression", "gzip")
-    if partition_by:
-        w = w.partitionBy(partition_by)
-    w.json(data_dir)
-
-    total = int(obs.get["n"])
-    shards = sorted(
-        os.path.relpath(os.path.join(dp, fn), out_dir)
-        for dp, _dns, fns in os.walk(data_dir)
-        for fn in fns
-        if fn.endswith(".json.gz") or fn.endswith(".json")
+    return _commit_sharded(
+        out_dir, write, (".json.gz", ".json"),
+        {"fecha_creacion": created, "timestamp": created, "version": version},
     )
-    manifest = {
-        "fecha_creacion": created,
-        "timestamp": created,
-        "version": version,
-        "cantidad": total,
-        "shards": shards,
-    }
-    mpath = os.path.join(out_dir, "_manifest.json")
-    tmp = mpath + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, mpath)
-    return manifest
 
 
-def export_csv_sharded(df: DataFrame, out_dir: str) -> int:
+def export_csv_sharded(df: DataFrame, out_dir: str) -> dict:
     """Distributed CSV export: struct columns flattened exactly like the
     single-file sink, shards written by executors with headers
-    (``df.write.csv``). Returns the row count."""
+    (``df.write.csv``), committed behind the same atomic ``_manifest.json``
+    flip as the NDJSON twin — count observed on the write pass, never a
+    second plan execution. Returns the manifest."""
     flat = flatten_struct_columns(df)
-    flat.write.mode("overwrite").option("header", True).csv(os.path.join(out_dir, "data"))
-    return flat.count()
+
+    def write(data_dir: str) -> int:
+        observed, count = _observed_count(flat)
+        observed.write.option("header", True).csv(data_dir)
+        return count()
+
+    return _commit_sharded(out_dir, write, (".csv",), {"columns": flat.columns})
 
 
 def publish(src: str, dest_dir: str) -> str:

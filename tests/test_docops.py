@@ -175,6 +175,57 @@ def test_multimodal_unknown_codec_raises():
         multimodal.decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
+def test_multimodal_extract_quarantines_bad_blobs(spark):
+    """One corrupt blob or unknown codec must not kill the batch: bad rows
+    get decode_error + byte stats, good rows still decode fully
+    (VERDICT r02 ask #3; reference skips+reports invalid rows,
+    transformers.py:96-101)."""
+    px = np.full((2, 3, 3), 100, dtype=np.uint8)
+    good_bmp = multimodal.encode_bmp(px)
+    rows = [
+        (0, bytearray(good_bmp), ("image/bmp", len(good_bmp), "x")),
+        # truncated BMP: header promises a raster the payload doesn't have
+        (1, bytearray(good_bmp[:20]), ("image/bmp", 20, "x")),
+        # declared BMP but not one
+        (2, bytearray(b"nope"), ("image/bmp", 4, "x")),
+        # codec format with no decoder in this environment
+        (3, bytearray(b"\xff\xd8\xff\xe0jpegbytes"), ("image/jpeg", 12, "x")),
+        # empty payload
+        (4, bytearray(b""), ("audio/wav", 0, "x")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "media_meta struct<media_type: string, n_bytes: int, checksum: string>",
+    )
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert len(feats) == 5
+    ok = feats[0]
+    assert ok["decode_error"] is None
+    assert (ok["width"], ok["height"]) == (3, 2) and ok["px_mean"] == 100.0
+    for i in (1, 2, 3, 4):
+        r = feats[i]
+        assert r["decode_error"], i
+        assert r["width"] is None and r["sample_rate"] is None, i
+        assert r["n_bytes"] == len(bytes(rows[i][1])), i  # byte stats survive
+    assert "NotImplementedError" in feats[3]["decode_error"]
+
+
+def test_knn_join_large_probe_set_broadcast(spark, emb):
+    """Few-hundred-probe set through the broadcast path (VERDICT r02 ask #6):
+    every probe gets exactly k ranked neighbors and self is nearest."""
+    pdf = emb.limit(200).toPandas()
+    probes = pd.DataFrame({
+        "probe_id": pdf["vec_id"].astype("int64"),
+        "vec": pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)),
+    })
+    out = similarity.knn_join_cosine(emb, probes, k=2).collect()
+    assert len(out) == 2 * len(probes)
+    nearest = {r["probe_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert len(nearest) == len(probes)
+    assert all(pid == vid for pid, vid in nearest.items())
+
+
 def test_ivf_ann_recall_vs_bruteforce(spark, emb):
     pdf = emb.toPandas()
     q = list(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0])
@@ -205,3 +256,50 @@ def test_winnow_fingerprints_near_dup_overlap(spark):
     j12 = len(fp[1] & fp[2]) / len(fp[1] | fp[2])
     j13 = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
     assert j12 > 0.6 > j13
+
+
+def test_winnow_series_matches_scalar_definition():
+    """The flattened cross-document winnow (VERDICT r02 ask #7) must equal
+    the per-document scalar definition on every edge: null, empty, < k
+    bytes, k-grams < window, exact-window, long docs, unicode, repeats."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from georef_ar_etl_spark.operators import text as t
+
+    k, window = 8, 4
+    powers = t.poly_powers(k)
+
+    def scalar_one(s):
+        if s is None:
+            return None
+        b = np.frombuffer(
+            s.lower().encode("utf-8", "ignore"), dtype=np.uint8
+        ).astype(np.uint64)
+        hashes = t.poly_kgram_hashes(b, k, powers)
+        if len(hashes) == 0:
+            return []
+        if len(hashes) < window:
+            return [int(np.int64(hashes.min()))]
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+        return [int(x) for x in np.unique(mins).astype(np.int64)]
+
+    fixed = [
+        None, "", "a", "short", "exactly8", "exactly8c", "exactly8ch9",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaa", "ñandú über café " * 3, "\x00\x01binary\x02ish",
+    ]
+    got = t.winnow_series(pd.Series(fixed, dtype=object), k, window, powers)
+    for s, g in zip(fixed, got):
+        want = scalar_one(s)
+        assert (g is None and want is None) or list(g) == want, repr(s)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=60)), max_size=12))
+    def prop(texts):
+        out = t.winnow_series(pd.Series(texts, dtype=object), k, window, powers)
+        for s, g in zip(texts, out):
+            want = scalar_one(s)
+            assert (g is None and want is None) or list(g) == want, repr(s)
+
+    prop()

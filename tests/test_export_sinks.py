@@ -101,6 +101,8 @@ def test_export_ndjson_sharded_manifest(spark, tmp_path):
 
 
 def test_export_csv_sharded_roundtrip(spark, tmp_path):
+    import os
+
     from georef_ar_etl_spark.sinks.export import export_csv_sharded
 
     df = spark.createDataFrame(
@@ -108,7 +110,40 @@ def test_export_csv_sharded_roundtrip(spark, tmp_path):
         "id int, s struct<name: string, v: double>",
     )
     out = str(tmp_path / "csvpub")
-    assert export_csv_sharded(df, out) == 2
-    back = spark.read.option("header", True).csv(out + "/data")
+    m = export_csv_sharded(df, out)
+    # count observed on the write pass, manifest = commit point
+    assert m["cantidad"] == 2
+    assert m["shards"] and all(s.endswith(".csv") for s in m["shards"])
+    assert sorted(m["columns"]) == ["id", "s_name", "s_v"]
+    back = spark.read.option("header", True).csv(os.path.join(out, m["data_dir"]))
     assert sorted(back.columns) == ["id", "s_name", "s_v"]
     assert back.count() == 2
+
+
+def test_sharded_reexport_is_atomic(spark, tmp_path):
+    """ADVICE r02 (medium): a re-export must never clobber the live
+    generation in place — the old manifest's shards stay readable until the
+    new manifest flips, and the flip sweeps the superseded generation."""
+    import os
+
+    from georef_ar_etl_spark.sinks.export import export_ndjson_sharded
+
+    out = str(tmp_path / "pub")
+    m1 = export_ndjson_sharded(
+        spark.range(10).selectExpr("id"), out, version="1", created="2020-01-01"
+    )
+    # every shard the live manifest references exists on disk
+    assert all(os.path.exists(os.path.join(out, s)) for s in m1["shards"])
+
+    m2 = export_ndjson_sharded(
+        spark.range(20).selectExpr("id"), out, version="2", created="2020-01-02"
+    )
+    assert m2["data_dir"] != m1["data_dir"]  # fresh generation, not in-place
+    assert m2["cantidad"] == 20
+    assert all(os.path.exists(os.path.join(out, s)) for s in m2["shards"])
+    # superseded generation swept after the flip
+    assert not os.path.exists(os.path.join(out, m1["data_dir"]))
+    import json as _json
+
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert _json.load(f)["version"] == "2"
