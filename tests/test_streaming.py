@@ -131,3 +131,71 @@ def test_running_key_stats_stateful_across_triggers(spark, tmp_path):
             max(e["seq"] for e in grp),
             sum(e["op"] == "delete" for e in grp),
         ), f"trigger2 {src}"
+
+
+def test_stream_apply_continuous_tail(spark, tmp_path):
+    """The production WAL-tail mode (VERDICT r02 ask #5): start
+    stream_apply(available_now=False, maxFilesPerTrigger=1), drop segment
+    files WHILE it runs, assert manifests advance in batch order, stop
+    cleanly, and finish with oracle-equal state."""
+    import time
+
+    initial = datagen.gen_initial_state(150, seed=31, max_len=16)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=600, n_batches=6, seed=32, max_len=16
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    # two segments are already waiting when the tail starts
+    for b in (0, 1):
+        _write_batch_file(events, b, str(landing))
+
+    q = stream_apply(
+        spark, eng, str(landing), ckpt,
+        available_now=False, max_files_per_trigger=1,
+    )
+    try:
+        def wait_for_batch(bid, timeout=90):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                m = eng.table.latest_manifest()
+                if m["batch_id"] is not None and m["batch_id"] >= bid:
+                    return m
+                time.sleep(0.5)
+            raise AssertionError(
+                f"tail never reached batch {bid}; at {eng.table.latest_manifest()['batch_id']}"
+            )
+
+        wait_for_batch(1)
+        # segments arriving WHILE the tail runs are picked up without restart
+        _write_batch_file(events, 2, str(landing))
+        wait_for_batch(2)
+        for b in (3, 4, 5):
+            _write_batch_file(events, b, str(landing))
+        wait_for_batch(5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    # manifests committed strictly in batch order, one epoch per batch
+    ms = [m for m in eng.table.manifests() if m["batch_id"] is not None]
+    assert [m["batch_id"] for m in ms] == list(range(6))
+    assert [m["epoch"] for m in ms] == sorted(m["epoch"] for m in ms)
+
+    oracle_state, _ = apply_events({r["doc_id"]: dict(r) for r in initial}, events)
+    expected = state_as_sorted_rows(oracle_state)
+    got = [r.asDict(recursive=True) for r in eng.state().orderBy("doc_id").collect()]
+    assert len(got) == len(expected)
+    assert all(
+        g["doc_id"] == w["doc_id"] and list(g["tokens"]) == list(w["tokens"])
+        for g, w in zip(got, expected)
+    )
+
+    # a post-stop drain with the same checkpoint re-reads nothing new
+    epochs_before = [m["epoch"] for m in eng.table.manifests()]
+    stream_apply(spark, eng, str(landing), ckpt)
+    assert [m["epoch"] for m in eng.table.manifests()] == epochs_before
