@@ -8,8 +8,9 @@ local[N] and local[4N] — and efficiency = (tput_4N / tput_N) / 4.
 Each level runs in a fresh JVM via spark-submit --py-files (the production
 launch mode). Results → BENCH/BASELINE.md.
 
-Usage: python BENCH/run_scaling.py [N] [events] [mean_tokens]
-(default N=2 → local[2] vs local[8]; SCALING_TRIALS env, default 3)
+Usage: python BENCH/run_scaling.py [N] [events] [mean_tokens] [initial] [batches]
+(default N=2 → local[2] vs local[8], initial=events/4, batches=8;
+SCALING_TRIALS env, default 3)
 """
 
 from __future__ import annotations
@@ -60,8 +61,8 @@ def main() -> None:
     # realistic training-sequence payloads (mean 256 tokens ≈ 1 KiB/row):
     # the north-rule workload is compute/IO-dominated, not scheduler-dominated
     mean_tokens = float(sys.argv[3]) if len(sys.argv) > 3 else 64.0
-    n_initial = n_events // 4
-    n_batches = 8
+    n_initial = int(sys.argv[4]) if len(sys.argv) > 4 else n_events // 4
+    n_batches = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/cdc_bench_cache")
     zip_path = make_zip("/tmp/engine_scaling.zip")
 

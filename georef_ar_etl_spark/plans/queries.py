@@ -958,12 +958,21 @@ def _q24_inputs(spark, sf_dir):
 
 @query("q24_cdc_replay_state", _Q24_SQL)
 def q24(spark, sf_dir):
+    import os
     import tempfile
 
     from georef_ar_etl_spark.engine import CdcEngine
 
     initial, events = _q24_inputs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    # one deterministic root per sf, wiped on entry: the returned DataFrame
+    # reads the table lazily so the dir must outlive this function — a
+    # fresh mkdtemp per invocation would leak a dir per run
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"cdc_replay_q24_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
     eng = CdcEngine(spark, root, n_buckets=16)
     eng.bootstrap(initial)
     eng.replay(events, batch_ids=[0, 1, 2, 3])
