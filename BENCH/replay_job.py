@@ -37,7 +37,12 @@ def main() -> None:
     )
     try:
         n_buckets = int(os.environ.get("SCALING_N_BUCKETS", max(64, cores * 2)))
-        eng = CdcEngine(spark, root, n_buckets=n_buckets)
+        # SCALING_MOR_RATIO=0 forces pure copy-on-write — the A/B control
+        # for attributing merge-on-read gains on the same box, same day
+        eng = CdcEngine(
+            spark, root, n_buckets=n_buckets,
+            mor_rewrite_ratio=float(os.environ.get("SCALING_MOR_RATIO", "0.5")),
+        )
         eng.bootstrap(initial)
         t0 = time.time()
         eng.replay_segments(edir)
