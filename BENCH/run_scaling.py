@@ -58,8 +58,8 @@ def run_level(zip_path: str, cores: int, n_initial: int, n_events: int,
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
-    # realistic training-sequence payloads (mean 256 tokens ≈ 1 KiB/row):
-    # the north-rule workload is compute/IO-dominated, not scheduler-dominated
+    # token payload size: default 64 (the bench workload); pass 256 for the
+    # heavy ~1 KiB/row variant — compute/IO-dominated either way
     mean_tokens = float(sys.argv[3]) if len(sys.argv) > 3 else 64.0
     n_initial = int(sys.argv[4]) if len(sys.argv) > 4 else n_events // 4
     n_batches = int(sys.argv[5]) if len(sys.argv) > 5 else 8
@@ -106,8 +106,9 @@ same input, at two parallelism levels, each in a fresh JVM via
 
 Workload: {n_events:,} change events over {n_initial:,} initial rows,
 {n_batches} micro-batches, mean {mean_tokens:.0f} tokens per sequence
-(realistic pre-tokenized training payloads, ≈1 KiB/row), seeded generator
-(benchgen.py), identical input files for both levels.
+(pre-tokenized training payloads, ≈{mean_tokens * 4:.0f} B/row of int32
+tokens), seeded generator (benchgen.py), identical input files for both
+levels.
 
 Best of {trials} alternating trials per level (single shared-VM box:
 ±2× run-to-run noise observed, best-of controls for it):

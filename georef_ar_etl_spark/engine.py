@@ -338,9 +338,17 @@ class CdcEngine:
             ).collect()
             parent_bases = latest["buckets"]
             parent_deltas = latest.get("bucket_deltas") or {}
-            written, merge_modes = {}, {"delta": 0, "rewrite": 0}
+            written, merge_modes = {}, {"delta": 0, "rewrite": 0, "noop": 0}
             for r in results:
                 b = int(r["bucket"])
+                if r["mode"] == "noop":
+                    # all-no-op change group: base AND chain carry unchanged
+                    written[b] = parent_bases.get(str(b))
+                    pchain = parent_deltas.get(str(b))
+                    if pchain:
+                        written_deltas[b] = list(pchain)
+                    merge_modes["noop"] += 1
+                    continue
                 rel = os.path.relpath(os.path.dirname(r["path"]), self.table.root)
                 if r["mode"] == "delta":
                     # base carried from the parent; the chain grows by one
@@ -397,7 +405,7 @@ class CdcEngine:
             written = self.table.write_data(epoch, new_buckets_df)
             written_counts = None
             bucket_lineage = None  # join path records counts only
-            merge_modes = {"delta": 0, "rewrite": len(written)}
+            merge_modes = {"delta": 0, "rewrite": len(written), "noop": 0}
             m_got = m_obs.get
             action_counts = {a: int(m_got[a]) for a in ACTIONS if m_got[a]}
 

@@ -42,7 +42,8 @@ from georef_ar_etl_spark.sinks.mor import live_keys, resolve_live, write_delta
 RESULT_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
     # physical write mode chosen per bucket: "rewrite" (full COW base, also
-    # the inline-compaction path) or "delta" (merge-on-read delta file)
+    # the inline-compaction path), "delta" (merge-on-read delta file) or
+    # "noop" (every event was a no-op — nothing written, path is null)
     T.StructField("mode", T.StringType()),
     T.StructField("rows", T.LongType()),
     T.StructField("inserted", T.LongType()),
@@ -185,18 +186,22 @@ def merge_copartitioned(
             deleted_ids = sample(state_keys[del_mask])
 
             if use_delta:
-                ddir = os.path.join(epoch_dir, f"delta={bucket}")
-                os.makedirs(ddir, exist_ok=True)
-                path = os.path.join(ddir, "delta-00000.parquet")
                 # noop tombstones are dropped: a key absent from state needs
                 # no delete marker, and LWW dedup means no later in-batch op
                 # could resurrect it
-                write_delta(
-                    path, ups, dels[dels.isin(state_keys)], payload_cols,
-                    arrow_schema, key,
-                )
+                eff_dels = dels[dels.isin(state_keys)]
                 rows_after = len(state_keys) - deleted + inserted
-                mode = "delta"
+                if len(ups) == 0 and len(eff_dels) == 0:
+                    # the whole change group was no-ops (e.g. deletes of
+                    # absent keys): writing an empty delta would burn a
+                    # chain slot and tax every later read for nothing
+                    path, mode = None, "noop"
+                else:
+                    ddir = os.path.join(epoch_dir, f"delta={bucket}")
+                    os.makedirs(ddir, exist_ok=True)
+                    path = os.path.join(ddir, "delta-00000.parquet")
+                    write_delta(path, ups, eff_dels, payload_cols, arrow_schema, key)
+                    mode = "delta"
             else:
                 keep = state[~state_keys.isin(dels) & ~state_keys.isin(ups[key])]
                 merged = pd.concat([keep, ups], ignore_index=True).sort_values(key)

@@ -137,6 +137,8 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + csize + (csize % 2)  # chunks are word-aligned
     if rate is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if not rate or not channels:
+        raise ValueError("corrupt WAV fmt chunk: zero sample_rate/channels")
     n_frames = len(samples) // channels
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
     return {
@@ -190,7 +192,13 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
                 try:
                     row.update(decode_media(raw, meta["media_type"]))
-                except (ValueError, NotImplementedError, struct.error, IndexError) as e:
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    struct.error,
+                    IndexError,
+                    ZeroDivisionError,
+                ) as e:
                     row["decode_error"] = f"{type(e).__name__}: {e}"
                 feats.append([row.get(c) for c in cols])
             yield pd.DataFrame(feats, columns=cols)

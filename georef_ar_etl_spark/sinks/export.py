@@ -163,6 +163,19 @@ def _commit_sharded(out_dir: str, write, suffixes: tuple[str, ...], body: dict) 
 
     gen = f"data-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(out_dir, gen)
+    # remember which generation the CURRENT manifest references — that is
+    # the only dir this export may sweep after its flip. Sweeping every
+    # other data-* dir would delete a CONCURRENT export's half-written
+    # generation (concurrent exports are accommodated: Observation names
+    # are already per-call unique).
+    prev_gen = None
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(mpath):
+        try:
+            with open(mpath, encoding="utf-8") as f:
+                prev_gen = json.load(f).get("data_dir")
+        except (OSError, json.JSONDecodeError):
+            prev_gen = None
     total = write(data_dir)
     shards = sorted(
         os.path.relpath(os.path.join(dp, fn), out_dir)
@@ -171,17 +184,19 @@ def _commit_sharded(out_dir: str, write, suffixes: tuple[str, ...], body: dict) 
         if fn.endswith(suffixes)
     )
     manifest = {**body, "cantidad": total, "data_dir": gen, "shards": shards}
-    mpath = os.path.join(out_dir, "_manifest.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, mpath)
-    # the flip is durable; now sweep superseded generations (and the legacy
-    # un-generationed "data" dir) — best-effort, failure leaves only garbage
-    for d in os.listdir(out_dir):
-        if d != gen and (d == "data" or d.startswith("data-")):
+    # the flip is durable; now sweep ONLY the generation the previous
+    # manifest referenced (plus the legacy un-generationed "data" dir) —
+    # never other data-* dirs, which may belong to a concurrent export
+    # still writing. A crashed export's orphan generation is invisible
+    # (no manifest references it) and left for out-of-band cleanup.
+    for d in ("data", prev_gen):
+        if d and d != gen:
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     return manifest
 

@@ -303,3 +303,25 @@ def test_winnow_series_matches_scalar_definition():
             assert (g is None and want is None) or list(g) == want, repr(s)
 
     prop()
+
+
+def test_multimodal_zero_rate_wav_is_quarantined(spark):
+    """A WAV whose fmt chunk declares sample_rate=0 (or channels=0) must be
+    quarantined, not ZeroDivisionError the batch (code-review r03)."""
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 1, 0, 0, 0, 2, 16)  # channels=0, rate=0
+    data = (np.zeros(8, dtype="<i2")).tobytes()
+    bad = (
+        _struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + _struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + _struct.pack("<4sI", b"data", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(bad), ("audio/wav", len(bad), "x"))],
+        "doc_id long, payload binary, "
+        "media_meta struct<media_type: string, n_bytes: int, checksum: string>",
+    )
+    r = multimodal.extract_features(df).collect()[0]
+    assert r["decode_error"] and "corrupt WAV" in r["decode_error"]
+    assert r["sample_rate"] is None and r["n_bytes"] == len(bad)

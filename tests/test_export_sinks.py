@@ -147,3 +147,29 @@ def test_sharded_reexport_is_atomic(spark, tmp_path):
 
     with open(os.path.join(out, "_manifest.json")) as f:
         assert _json.load(f)["version"] == "2"
+
+
+def test_sharded_sweep_spares_concurrent_generation(spark, tmp_path):
+    """The post-flip sweep may remove ONLY the generation the previous
+    manifest referenced — never other data-* dirs, which can belong to a
+    concurrent export still writing (code-review r03 finding)."""
+    import os
+
+    from georef_ar_etl_spark.sinks.export import export_ndjson_sharded
+
+    out = str(tmp_path / "pub")
+    m1 = export_ndjson_sharded(
+        spark.range(5).selectExpr("id"), out, version="1", created="2020-01-01"
+    )
+    # a concurrent export's half-written generation appears on disk
+    foreign = os.path.join(out, "data-concurrent0")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "part-00000.json.gz"), "wb") as f:
+        f.write(b"half-written shard bytes")
+
+    m2 = export_ndjson_sharded(
+        spark.range(7).selectExpr("id"), out, version="2", created="2020-01-02"
+    )
+    assert not os.path.exists(os.path.join(out, m1["data_dir"]))  # predecessor swept
+    assert os.path.exists(foreign), "sweep deleted a concurrent export's generation"
+    assert os.path.exists(os.path.join(out, m2["data_dir"]))

@@ -248,3 +248,46 @@ def test_hot_bucket_batch_auto_routes_to_join_merge(spark, tmp_path):
         (r["doc_id"], list(r["tokens"]), r["n_tok"], r["source"])
         for r in state_as_sorted_rows(oracle_state)
     ]
+
+
+def test_all_noop_batch_writes_no_delta(spark, tmp_path):
+    """A change group that is entirely no-ops (deletes of absent keys) must
+    not write an empty delta file or burn a chain slot — and must leave any
+    existing chain intact (code-review r03 finding)."""
+    initial, events = _mor_workload()
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    eng.apply_batch(
+        datagen.events_to_df(spark, [e for e in events if e["batch_id"] == 0]), 0
+    )
+    chains_before = eng.table.latest_manifest().get("bucket_deltas") or {}
+    assert chains_before
+    state_before = _state_rows(eng.state())
+
+    # valid-format doc_ids that are guaranteed absent from the state
+    existing = {r["doc_id"] for r in initial}
+    ghost_ids = []
+    for r in initial:
+        for last in "0123456789":
+            cand = r["doc_id"][:-1] + last
+            if cand not in existing and cand not in ghost_ids:
+                ghost_ids.append(cand)
+                break
+        if len(ghost_ids) >= 12:
+            break
+    ghost = [
+        {"batch_id": 1, "seq": i, "op": "delete", "doc_id": g,
+         "tokens": None, "n_tok": None, "source": "wal"}
+        for i, g in enumerate(ghost_ids)
+    ]
+    m = eng.apply_batch(datagen.events_to_df(spark, ghost), 1)
+    assert m["metrics"]["merge_modes"]["noop"] > 0
+    assert m["metrics"]["merge_modes"]["delta"] == 0
+    assert m["metrics"]["merge_modes"]["rewrite"] == 0
+    # chains unchanged, no delta dirs written for this epoch
+    assert (m.get("bucket_deltas") or {}) == chains_before
+    edir = os.path.join(str(tmp_path / "t"), "data", f"epoch={m['epoch']}")
+    assert not os.path.isdir(edir) or not os.listdir(edir)
+    assert _state_rows(eng.state()) == state_before
+    # and the batch is still committed exactly-once (digest recorded)
+    assert m["batch_id"] == 1
