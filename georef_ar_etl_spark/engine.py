@@ -144,6 +144,13 @@ class CdcEngine:
         maintenance pair."""
         return self.table.compact(min_deltas=min_deltas, buckets=buckets)
 
+    def changes(self, from_epoch: int, to_epoch: int | None = None) -> DataFrame:
+        """Incremental changelog of committed changes in ``(from_epoch,
+        to_epoch]`` (Iceberg incremental scan / changelog view analogue) —
+        what a downstream consumer polls instead of re-reading the state.
+        See SnapshotTable.read_changes for semantics and cost model."""
+        return self.table.read_changes(from_epoch, to_epoch)
+
     def assert_size(self, target_size: int, op: str = "eq") -> int:
         """Row-count gate on the CURRENT committed state (reference:
         ValidateTableSizeStep, georef_ar_etl/utils.py:94-118). Reads the

@@ -51,7 +51,11 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -412,6 +416,143 @@ class SnapshotTable:
                     yield live
 
         return spec_df.mapInPandas(read_merge, out_schema)
+
+    # ------------------------------------------------------------- changelog
+    def read_changes(self, from_epoch: int, to_epoch: int | None = None) -> DataFrame:
+        """Row-level changelog of committed changes in ``(from_epoch,
+        to_epoch]`` — the Iceberg incremental-scan / create_changelog_view
+        analogue, the read API a downstream incremental consumer (index
+        refresh, cache invalidation, replica sync) subscribes to.
+
+        One output row per NET change per epoch: ``op='upsert'`` carries the
+        new payload, ``op='delete'`` carries the key with null payload.
+        Columns: ``(change_epoch, batch_id, op, <payload cols>, bucket)``.
+
+        Physical strategy, one task per (epoch, touched bucket):
+
+        * **delta epochs** stream their delta files directly — after no-op
+          suppression in the merge they contain exactly the effective
+          changes, so the changelog read costs only the bytes that changed;
+        * **rewrite epochs** diff the bucket's resolved rows against the
+          parent epoch (the unavoidable cost of a physical rewrite);
+        * **bootstrap / compaction epochs** (``batch_id`` null) emit
+          nothing — initial state is read via ``read_state(epoch=...)`` and
+          compaction changes nothing visible.
+
+        Every manifest in ``[from_epoch, to_epoch]`` must still be retained
+        (KeyError after ``vacuum`` expired one — same contract as time
+        travel). Payloads are aligned to the ``to_epoch`` schema (rows from
+        pre-evolution epochs read as null in added columns)."""
+        if to_epoch is None:
+            to_epoch = self.latest_manifest()["epoch"]
+        if to_epoch < from_epoch:
+            raise ValueError(f"to_epoch {to_epoch} < from_epoch {from_epoch}")
+        schema = T.StructType.fromJson(self.manifest_for_epoch(to_epoch)["schema"])
+        payload_cols = [f.name for f in schema.fields]
+
+        specs = []  # (epoch, batch_id, bucket, kind, nb, nc, ob, oc)
+        prev = self.manifest_for_epoch(from_epoch)
+        for e in range(from_epoch + 1, to_epoch + 1):
+            m = self.manifest_for_epoch(e)
+            if m["batch_id"] is None:  # bootstrap / compaction
+                prev = m
+                continue
+            new_deltas = m.get("bucket_deltas") or {}
+            old_deltas = prev.get("bucket_deltas") or {}
+            for b in m["touched_buckets"]:
+                bs = str(b)
+                nchain = new_deltas.get(bs) or []
+                ochain = old_deltas.get(bs) or []
+                same_base = m["buckets"].get(bs) == prev["buckets"].get(bs)
+                if same_base and nchain == ochain:
+                    continue  # no-op bucket: nothing changed
+                if same_base and nchain[:-1] == ochain and len(nchain) == len(ochain) + 1:
+                    specs.append((
+                        e, m["batch_id"], b, "delta",
+                        self._dir_files(nchain[-1]), [], [], [],
+                    ))
+                else:
+                    nb = self._dir_files(m["buckets"][bs]) if m["buckets"].get(bs) else []
+                    ob = self._dir_files(prev["buckets"][bs]) if prev["buckets"].get(bs) else []
+                    specs.append((
+                        e, m["batch_id"], b, "diff",
+                        nb, [f for d in nchain for f in self._dir_files(d)],
+                        ob, [f for d in ochain for f in self._dir_files(d)],
+                    ))
+            prev = m
+
+        out_schema = T.StructType(
+            [
+                T.StructField("change_epoch", T.IntegerType()),
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("op", T.StringType()),
+            ]
+            # delete rows carry null payload → every payload field nullable
+            + [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        ).add("bucket", T.IntegerType())
+        if not specs:
+            return self.spark.createDataFrame([], out_schema)
+
+        from georef_ar_etl_spark.sinks.mor import OP_COL, OP_DELETE, resolve_live
+
+        key = payload_cols[0]  # doc_id by schema contract
+        out_cols = [f.name for f in out_schema.fields]
+
+        def canon(v):
+            if isinstance(v, (list, tuple, np.ndarray)):
+                return tuple(v)
+            return None if pd.isna(v) else v
+
+        def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for sp in batches:
+                for r in sp.itertuples(index=False):
+                    if r.kind == "delta":
+                        d = pq.read_table(list(r.nb)).to_pandas()
+                        for c in payload_cols:
+                            if c not in d.columns:
+                                d[c] = None
+                        chg = d[payload_cols].copy()
+                        chg["op"] = np.where(
+                            d[OP_COL].to_numpy() == OP_DELETE, "delete", "upsert"
+                        )
+                    else:
+                        new = resolve_live(list(r.nb), list(r.nc), payload_cols, key)
+                        old = resolve_live(list(r.ob), list(r.oc), payload_cols, key)
+                        ni, oi = new.set_index(key), old.set_index(key)
+                        dels = oi.index[~oi.index.isin(ni.index)]
+                        ins_mask = ~ni.index.isin(oi.index)
+                        common = ni.index[~ins_mask]
+                        a, b2 = ni.loc[common], oi.loc[common]
+                        diff = np.zeros(len(common), dtype=bool)
+                        for c in payload_cols:
+                            if c == key:
+                                continue
+                            diff |= (
+                                a[c].map(canon).to_numpy()
+                                != b2[c].map(canon).to_numpy()
+                            )
+                        ups = pd.concat(
+                            [ni.loc[ins_mask], a.loc[diff]]
+                        ).reset_index()
+                        tomb = pd.DataFrame(
+                            {c: [None] * len(dels) for c in payload_cols}
+                        )
+                        tomb[key] = list(dels)
+                        chg = pd.concat([ups, tomb], ignore_index=True)
+                        chg["op"] = ["upsert"] * (len(chg) - len(dels)) + [
+                            "delete"
+                        ] * len(dels)
+                    chg["change_epoch"] = int(r.epoch)
+                    chg["batch_id"] = int(r.batch_id)
+                    chg["bucket"] = int(r.bucket)
+                    yield chg.sort_values(key)[out_cols]
+
+        spec_df = self.spark.createDataFrame(
+            specs,
+            "epoch int, batch_id long, bucket int, kind string, "
+            "nb array<string>, nc array<string>, ob array<string>, oc array<string>",
+        ).repartition(len(specs))
+        return spec_df.mapInPandas(emit, out_schema)
 
     def bucket_file_paths(
         self, buckets: list[int], manifest: dict | None = None
