@@ -42,6 +42,8 @@ def main() -> None:
         eng = CdcEngine(
             spark, root, n_buckets=n_buckets,
             mor_rewrite_ratio=float(os.environ.get("SCALING_MOR_RATIO", "0.5")),
+            # opt-in batch caching (wide-payload pipelines; see engine docstring)
+            cache_batch=os.environ.get("SCALING_CACHE_BATCH", "0") == "1",
         )
         eng.bootstrap(initial)
         t0 = time.time()

@@ -73,6 +73,7 @@ class CdcEngine:
         mor_rewrite_ratio: float = 0.5,
         hot_route_share: float = 0.5,
         hot_route_min_events: int = 100_000,
+        cache_batch: bool = False,
     ):
         """``merge_impl``:
         * ``copartitioned`` (default) — storage-partitioned merge (Iceberg
@@ -93,7 +94,14 @@ class CdcEngine:
         ``hot_route_min_events`` valid events (a pathological single-key or
         single-prefix burst that would serialize in one copartitioned merge
         task), THAT batch falls back to the join merge, whose dedup
-        pre-aggregates map-side and spreads across shuffle partitions."""
+        pre-aggregates map-side and spreads across shuffle partitions.
+
+        ``cache_batch``: persist the validated batch between the pre-pass
+        and the merge job (they otherwise scan+parse+tag the events twice).
+        A/B-measured: 8-22% faster replay on wide ~1 KiB token payloads, a
+        wash on small 64-token rows — enable for wide-payload pipelines;
+        costs one columnar-cached copy of each in-flight batch per
+        executor."""
         self.spark = spark
         self.table = SnapshotTable(spark, table_root, n_buckets)
         self.dim = dim
@@ -104,6 +112,7 @@ class CdcEngine:
         self.mor_rewrite_ratio = mor_rewrite_ratio
         self.hot_route_share = hot_route_share
         self.hot_route_min_events = hot_route_min_events
+        self.cache_batch = cache_batch
 
     # ------------------------------------------------------------- bootstrap
     def bootstrap(self, initial: DataFrame) -> dict:
@@ -229,230 +238,241 @@ class CdcEngine:
 
         nb = self.table.n_buckets
         tagged = tag_invalid(events, self.dim)
-        digest_aggs = [
-            F.expr(
-                "bit_xor(xxhash64(%s))" % ", ".join(f"`{c}`" for c in orig_cols)
-            ).alias("_x"),
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
-                for r in QUARANTINE_REASONS
-            ],
-        ]
-
-        # Pre-pass (job 1): ONE codegen'd hash aggregate over the batch,
-        # grouped by target bucket (invalid rows group under null), computes
-        # the content digest (bit_xor is associative — per-bucket partials
-        # xor-combine on the driver), the quarantine-reason histogram, the
-        # touched-bucket set AND the per-bucket valid-event counts that feed
-        # the hot-bucket route. The exchange carries at most n_buckets+1
-        # rows per map partition — fixed-size regardless of batch size.
-        # (Folding this into the merge job as .observe() metrics was
-        # measured 20% SLOWER end-to-end at local[4]: CollectMetrics
-        # evaluates its expressions interpreted, per row, on the merge
-        # stage's critical path, while a dedicated HashAggregate runs
-        # whole-stage-codegen'd. Two cheap jobs beat one job with an
-        # interpreted hot loop.)
-        pre_rows = (
-            tagged.groupBy(
-                F.when(
-                    F.col("reason").isNull(), bucket_expr(F.col("doc_id"), nb)
-                ).alias("_bucket")
-            )
-            .agg(*digest_aggs)
-            .collect()
-        )
-        mask = (1 << 64) - 1
-        x, events_in = 0, 0
-        q_counts: dict[str, int] = {}
-        bucket_events: dict[int, int] = {}
-        for r in pre_rows:
-            x ^= r["_x"] & mask
-            events_in += r["_n"]
-            for reason in QUARANTINE_REASONS:
-                if r[reason]:
-                    q_counts[reason] = q_counts.get(reason, 0) + int(r[reason])
-            if r["_bucket"] is not None:
-                bucket_events[int(r["_bucket"])] = int(r["_n"])
-        x &= mask
-        if x >= 1 << 63:
-            x -= 1 << 64  # two's complement, matching Spark's signed bit_xor
-        digest = f"{x if pre_rows else None}:{events_in}"
-        if batch_id in committed:
-            if committed[batch_id]["batch_digest"] != digest:
-                raise ConflictError(
-                    f"batch {batch_id} re-delivered with different content"
-                )
-            return committed[batch_id]
-        q_rows = sum(q_counts.values())
-        touched = sorted(bucket_events)
-        valid_rows = events_in - q_rows
-        t_pre_done = time.time()
-
-        # quarantine side-output, written only when non-empty
-        epoch = latest["epoch"] + 1
-        q_path = None
-        if q_rows:
-            q_path = self.table.write_quarantine(
-                tagged.filter(F.col("reason").isNotNull()), epoch
-            )
-        valid = tagged.filter(F.col("reason").isNull()).drop("reason")
-        t_quar_done = time.time()
-
-        # hot-bucket auto-route: one bucket carrying most of a large batch
-        # would serialize in a single copartitioned merge task — send THAT
-        # batch through the join merge (map-side pre-aggregated dedup,
-        # spread across shuffle partitions) instead of relying on manual
-        # configuration
-        merge_impl = self.merge_impl
-        merge_route = None
-        if (
-            merge_impl == "copartitioned"
-            and valid_rows >= self.hot_route_min_events
-            and bucket_events
-            and max(bucket_events.values()) > self.hot_route_share * valid_rows
-        ):
-            merge_impl = "join"
-            merge_route = "join_hot_bucket"
-
-        written_deltas: dict[int, list[str]] = {}
-        if merge_impl == "copartitioned":
-            if self.strict_dup:
-                latest_per_key(valid, strict=True)  # raises on duplicates
-            # dedup AND normalization happen inside the merge tasks (post-
-            # shuffle, full parallelism, no winners broadcast) — see
-            # copart_merge.merge_copartitioned
-            batch_b = valid.select(
-                "op", "seq", bucket_expr(F.col("doc_id"), nb).alias("bucket"),
-                *payload_cols
-            )
-            bucket_files = self.table.bucket_file_paths(touched, manifest=latest)
-            bucket_delta_files = self.table.bucket_delta_paths(touched, manifest=latest)
-            bucket_live = {
-                b: int(latest["bucket_counts"].get(str(b), 0)) for b in touched
-            }
-            epoch_dir = self.table.epoch_dir(epoch)
-            results = merge_copartitioned(
-                batch_b,
-                bucket_files,
-                payload_cols,
-                json.dumps(new_schema.jsonValue()),
-                epoch_dir,
-                bucket_deltas=bucket_delta_files,
-                bucket_live=bucket_live,
-                mor_max_deltas=self.mor_max_deltas,
-                mor_rewrite_ratio=self.mor_rewrite_ratio,
-            ).collect()
-            parent_bases = latest["buckets"]
-            parent_deltas = latest.get("bucket_deltas") or {}
-            written, merge_modes = {}, {"delta": 0, "rewrite": 0, "noop": 0}
-            for r in results:
-                b = int(r["bucket"])
-                if r["mode"] == "noop":
-                    # all-no-op change group: base AND chain carry unchanged
-                    written[b] = parent_bases.get(str(b))
-                    pchain = parent_deltas.get(str(b))
-                    if pchain:
-                        written_deltas[b] = list(pchain)
-                    merge_modes["noop"] += 1
-                    continue
-                rel = os.path.relpath(os.path.dirname(r["path"]), self.table.root)
-                if r["mode"] == "delta":
-                    # base carried from the parent; the chain grows by one
-                    written[b] = parent_bases.get(str(b))
-                    written_deltas[b] = list(parent_deltas.get(str(b)) or []) + [rel]
-                else:
-                    written[b] = rel  # full rewrite clears any pending chain
-                merge_modes[r["mode"]] += 1
-            written_counts = {int(r["bucket"]): int(r["rows"]) for r in results}
-            # per-bucket action ID lineage (capped, sorted samples straight
-            # from the merge tasks — no extra pass). Reference reports the
-            # added/updated/deleted ID lists per run, transformers.py:145-149.
-            bucket_lineage = {
-                int(r["bucket"]): {
-                    a: list(r[f"{a}_ids"])
-                    for a in ("inserted", "updated", "deleted")
-                    if len(r[f"{a}_ids"])
-                }
-                for r in results
-            }
-            bucket_lineage = {b: v for b, v in bucket_lineage.items() if v}
-            total_after = sum(written_counts.values())
-            action_counts = {
-                a: s
-                for a, s in (
-                    ("insert", sum(int(r["inserted"]) for r in results)),
-                    ("update", sum(int(r["updated"]) for r in results)),
-                    ("delete", sum(int(r["deleted"]) for r in results)),
-                    ("delete_noop", sum(int(r["delete_noop"]) for r in results)),
-                )
-                if s
-            }
-            keep = total_after - action_counts.get("insert", 0) - action_counts.get("update", 0)
-            if keep:
-                action_counts["keep"] = keep
-        else:
-            deduped = latest_per_key(valid, strict=self.strict_dup)
-            normalized = with_normalized_tokens(deduped, impl=self.normalize_impl)
-            state_touched = align_columns(
-                self.table.read_state(buckets=touched, manifest=latest), new_schema
-            )
-            merged = merge_upsert(state_touched, normalized, payload_cols)
-            m_obs = Observation(f"merge-{batch_id}")
-            m_aggs = [
-                F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
-                for a in ACTIONS
+        if self.cache_batch:
+            # persist the tagged batch between the pre-pass and the merge:
+            # the two jobs otherwise scan+parse+tag the events twice. A/B
+            # at local[4]: consistent 8-22% replay win on ~1 KiB-token rows
+            # (three alternating pairs), a wash on 64-token rows (mixed
+            # 1.26/0.86/0.97) -- hence opt-in, for wide-payload pipelines.
+            tagged = tagged.persist()
+        try:
+            digest_aggs = [
+                F.expr(
+                    "bit_xor(xxhash64(%s))" % ", ".join(f"`{c}`" for c in orig_cols)
+                ).alias("_x"),
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
+                    for r in QUARANTINE_REASONS
+                ],
             ]
-            observed = merged.tagged.observe(m_obs, *m_aggs)
-            new_buckets_df = observed.filter(
-                ~F.col("_action").isin("delete", "delete_noop")
-            ).drop("_key", "_action").withColumn(
-                "bucket", bucket_expr(F.col("doc_id"), nb)
-            )
-            written = self.table.write_data(epoch, new_buckets_df)
-            written_counts = None
-            bucket_lineage = None  # join path records counts only
-            merge_modes = {"delta": 0, "rewrite": len(written), "noop": 0}
-            m_got = m_obs.get
-            action_counts = {a: int(m_got[a]) for a in ACTIONS if m_got[a]}
 
-        phases = {
-            "prepass": round(t_pre_done - t0, 2),
-            "quarantine_write": round(t_quar_done - t_pre_done, 2),
-            "merge_write": round(time.time() - t_quar_done, 2),
-        }
-        wall = time.time() - t0
-        metrics = {
-            "kind": "apply",
-            "events_in": events_in,
-            "quarantined": q_counts,
-            "actions": action_counts,
-            "touched_buckets": len(touched),
-            "merge_modes": merge_modes,
-            **({"merge_route": merge_route} if merge_route else {}),
-            "bucket_lineage": bucket_lineage,
-            "schema_added_columns": [
-                f.name for f in new_schema.fields
-                if f.name not in {x.name for x in state_schema.fields}
-            ],
-            "wall_sec": wall,
-            "events_per_sec": events_in / wall if wall > 0 else None,
-            "phase_sec": phases,
-        }
-        manifest = self.table.write_manifest(
-            epoch=epoch,
-            schema=new_schema,
-            written=written,
-            touched_buckets=touched,
-            batch_id=batch_id,
-            batch_digest=digest,
-            metrics=metrics,
-            quarantine_path=q_path,
-            quarantine_rows=q_rows,
-            written_counts=written_counts,
-            written_deltas=written_deltas,
-        )
-        return manifest
+            # Pre-pass (job 1): ONE codegen'd hash aggregate over the batch,
+            # grouped by target bucket (invalid rows group under null), computes
+            # the content digest (bit_xor is associative — per-bucket partials
+            # xor-combine on the driver), the quarantine-reason histogram, the
+            # touched-bucket set AND the per-bucket valid-event counts that feed
+            # the hot-bucket route. The exchange carries at most n_buckets+1
+            # rows per map partition — fixed-size regardless of batch size.
+            # (Folding this into the merge job as .observe() metrics was
+            # measured 20% SLOWER end-to-end at local[4]: CollectMetrics
+            # evaluates its expressions interpreted, per row, on the merge
+            # stage's critical path, while a dedicated HashAggregate runs
+            # whole-stage-codegen'd. Two cheap jobs beat one job with an
+            # interpreted hot loop.)
+            pre_rows = (
+                tagged.groupBy(
+                    F.when(
+                        F.col("reason").isNull(), bucket_expr(F.col("doc_id"), nb)
+                    ).alias("_bucket")
+                )
+                .agg(*digest_aggs)
+                .collect()
+            )
+            mask = (1 << 64) - 1
+            x, events_in = 0, 0
+            q_counts: dict[str, int] = {}
+            bucket_events: dict[int, int] = {}
+            for r in pre_rows:
+                x ^= r["_x"] & mask
+                events_in += r["_n"]
+                for reason in QUARANTINE_REASONS:
+                    if r[reason]:
+                        q_counts[reason] = q_counts.get(reason, 0) + int(r[reason])
+                if r["_bucket"] is not None:
+                    bucket_events[int(r["_bucket"])] = int(r["_n"])
+            x &= mask
+            if x >= 1 << 63:
+                x -= 1 << 64  # two's complement, matching Spark's signed bit_xor
+            digest = f"{x if pre_rows else None}:{events_in}"
+            if batch_id in committed:
+                if committed[batch_id]["batch_digest"] != digest:
+                    raise ConflictError(
+                        f"batch {batch_id} re-delivered with different content"
+                    )
+                return committed[batch_id]
+            q_rows = sum(q_counts.values())
+            touched = sorted(bucket_events)
+            valid_rows = events_in - q_rows
+            t_pre_done = time.time()
+
+            # quarantine side-output, written only when non-empty
+            epoch = latest["epoch"] + 1
+            q_path = None
+            if q_rows:
+                q_path = self.table.write_quarantine(
+                    tagged.filter(F.col("reason").isNotNull()), epoch
+                )
+            valid = tagged.filter(F.col("reason").isNull()).drop("reason")
+            t_quar_done = time.time()
+
+            # hot-bucket auto-route: one bucket carrying most of a large batch
+            # would serialize in a single copartitioned merge task — send THAT
+            # batch through the join merge (map-side pre-aggregated dedup,
+            # spread across shuffle partitions) instead of relying on manual
+            # configuration
+            merge_impl = self.merge_impl
+            merge_route = None
+            if (
+                merge_impl == "copartitioned"
+                and valid_rows >= self.hot_route_min_events
+                and bucket_events
+                and max(bucket_events.values()) > self.hot_route_share * valid_rows
+            ):
+                merge_impl = "join"
+                merge_route = "join_hot_bucket"
+
+            written_deltas: dict[int, list[str]] = {}
+            if merge_impl == "copartitioned":
+                if self.strict_dup:
+                    latest_per_key(valid, strict=True)  # raises on duplicates
+                # dedup AND normalization happen inside the merge tasks (post-
+                # shuffle, full parallelism, no winners broadcast) — see
+                # copart_merge.merge_copartitioned
+                batch_b = valid.select(
+                    "op", "seq", bucket_expr(F.col("doc_id"), nb).alias("bucket"),
+                    *payload_cols
+                )
+                bucket_files = self.table.bucket_file_paths(touched, manifest=latest)
+                bucket_delta_files = self.table.bucket_delta_paths(touched, manifest=latest)
+                bucket_live = {
+                    b: int(latest["bucket_counts"].get(str(b), 0)) for b in touched
+                }
+                epoch_dir = self.table.epoch_dir(epoch)
+                results = merge_copartitioned(
+                    batch_b,
+                    bucket_files,
+                    payload_cols,
+                    json.dumps(new_schema.jsonValue()),
+                    epoch_dir,
+                    bucket_deltas=bucket_delta_files,
+                    bucket_live=bucket_live,
+                    mor_max_deltas=self.mor_max_deltas,
+                    mor_rewrite_ratio=self.mor_rewrite_ratio,
+                ).collect()
+                parent_bases = latest["buckets"]
+                parent_deltas = latest.get("bucket_deltas") or {}
+                written, merge_modes = {}, {"delta": 0, "rewrite": 0, "noop": 0}
+                for r in results:
+                    b = int(r["bucket"])
+                    if r["mode"] == "noop":
+                        # all-no-op change group: base AND chain carry unchanged
+                        written[b] = parent_bases.get(str(b))
+                        pchain = parent_deltas.get(str(b))
+                        if pchain:
+                            written_deltas[b] = list(pchain)
+                        merge_modes["noop"] += 1
+                        continue
+                    rel = os.path.relpath(os.path.dirname(r["path"]), self.table.root)
+                    if r["mode"] == "delta":
+                        # base carried from the parent; the chain grows by one
+                        written[b] = parent_bases.get(str(b))
+                        written_deltas[b] = list(parent_deltas.get(str(b)) or []) + [rel]
+                    else:
+                        written[b] = rel  # full rewrite clears any pending chain
+                    merge_modes[r["mode"]] += 1
+                written_counts = {int(r["bucket"]): int(r["rows"]) for r in results}
+                # per-bucket action ID lineage (capped, sorted samples straight
+                # from the merge tasks — no extra pass). Reference reports the
+                # added/updated/deleted ID lists per run, transformers.py:145-149.
+                bucket_lineage = {
+                    int(r["bucket"]): {
+                        a: list(r[f"{a}_ids"])
+                        for a in ("inserted", "updated", "deleted")
+                        if len(r[f"{a}_ids"])
+                    }
+                    for r in results
+                }
+                bucket_lineage = {b: v for b, v in bucket_lineage.items() if v}
+                total_after = sum(written_counts.values())
+                action_counts = {
+                    a: s
+                    for a, s in (
+                        ("insert", sum(int(r["inserted"]) for r in results)),
+                        ("update", sum(int(r["updated"]) for r in results)),
+                        ("delete", sum(int(r["deleted"]) for r in results)),
+                        ("delete_noop", sum(int(r["delete_noop"]) for r in results)),
+                    )
+                    if s
+                }
+                keep = total_after - action_counts.get("insert", 0) - action_counts.get("update", 0)
+                if keep:
+                    action_counts["keep"] = keep
+            else:
+                deduped = latest_per_key(valid, strict=self.strict_dup)
+                normalized = with_normalized_tokens(deduped, impl=self.normalize_impl)
+                state_touched = align_columns(
+                    self.table.read_state(buckets=touched, manifest=latest), new_schema
+                )
+                merged = merge_upsert(state_touched, normalized, payload_cols)
+                m_obs = Observation(f"merge-{batch_id}")
+                m_aggs = [
+                    F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
+                    for a in ACTIONS
+                ]
+                observed = merged.tagged.observe(m_obs, *m_aggs)
+                new_buckets_df = observed.filter(
+                    ~F.col("_action").isin("delete", "delete_noop")
+                ).drop("_key", "_action").withColumn(
+                    "bucket", bucket_expr(F.col("doc_id"), nb)
+                )
+                written = self.table.write_data(epoch, new_buckets_df)
+                written_counts = None
+                bucket_lineage = None  # join path records counts only
+                merge_modes = {"delta": 0, "rewrite": len(written), "noop": 0}
+                m_got = m_obs.get
+                action_counts = {a: int(m_got[a]) for a in ACTIONS if m_got[a]}
+
+            phases = {
+                "prepass": round(t_pre_done - t0, 2),
+                "quarantine_write": round(t_quar_done - t_pre_done, 2),
+                "merge_write": round(time.time() - t_quar_done, 2),
+            }
+            wall = time.time() - t0
+            metrics = {
+                "kind": "apply",
+                "events_in": events_in,
+                "quarantined": q_counts,
+                "actions": action_counts,
+                "touched_buckets": len(touched),
+                "merge_modes": merge_modes,
+                **({"merge_route": merge_route} if merge_route else {}),
+                "bucket_lineage": bucket_lineage,
+                "schema_added_columns": [
+                    f.name for f in new_schema.fields
+                    if f.name not in {x.name for x in state_schema.fields}
+                ],
+                "wall_sec": wall,
+                "events_per_sec": events_in / wall if wall > 0 else None,
+                "phase_sec": phases,
+            }
+            manifest = self.table.write_manifest(
+                epoch=epoch,
+                schema=new_schema,
+                written=written,
+                touched_buckets=touched,
+                batch_id=batch_id,
+                batch_digest=digest,
+                metrics=metrics,
+                quarantine_path=q_path,
+                quarantine_rows=q_rows,
+                written_counts=written_counts,
+                written_deltas=written_deltas,
+            )
+            return manifest
+        finally:
+            if self.cache_batch:
+                tagged.unpersist()
 
     # ---------------------------------------------------------------- replay
     def replay(self, events: DataFrame, batch_ids: list[int] | None = None) -> list[dict]:

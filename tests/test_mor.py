@@ -291,3 +291,21 @@ def test_all_noop_batch_writes_no_delta(spark, tmp_path):
     assert _state_rows(eng.state()) == state_before
     # and the batch is still committed exactly-once (digest recorded)
     assert m["batch_id"] == 1
+
+
+def test_cache_batch_engine_matches_oracle(spark, tmp_path):
+    """cache_batch=True (persist the tagged batch between pre-pass and
+    merge) must be purely physical: same manifests, same state, idempotent
+    redelivery intact."""
+    initial, events = _mor_workload()
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4, cache_batch=True)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    ms = eng.replay(datagen.events_to_df(spark, events))
+    assert len(ms) == 8
+    assert _state_rows(eng.state()) == _oracle_rows(initial, events)
+    # redelivery (early-return path must also unpersist cleanly)
+    before = _state_rows(eng.state())
+    eng.replay(datagen.events_to_df(spark, events))
+    assert _state_rows(eng.state()) == before
+    # no cached frames left behind
+    assert not spark.sparkContext._jsc.getPersistentRDDs()
