@@ -3,8 +3,8 @@
 ``queries()`` exposes the engine's operator catalog
 (georef_ar_etl_spark/plans/queries.py), one entry per operator family from
 SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` the matching DuckDB
-SQL. Keys without an oracle (q23 simhash, q24 full-engine replay) get the
-driver's rows-only check.
+SQL. Every entry has a full rows+schema+hash oracle — including the
+full-engine replay (q24) and the incremental changelog (q30).
 """
 
 from __future__ import annotations

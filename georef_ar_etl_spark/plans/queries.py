@@ -857,8 +857,10 @@ _Q24_TOKENS_SQL = """
       END
 """
 
-_Q24_SQL = f"""
-    WITH init AS (
+# shared CTE prefix: the derived initial state + event log + validation
+# rules, reused by the q24 full-replay oracle and the q30 changelog oracle
+_Q24_BASE_CTES = f"""
+    init AS (
       SELECT lpad(doc_id::varchar, 13, '0') AS doc_id,
              [(doc_id % 89 + 1)::INT, 0, (n_chars % 97 + 1)::INT,
               ((doc_id * 7) % 83 + 1)::INT] AS tokens,
@@ -884,13 +886,19 @@ _Q24_SQL = f"""
         AND (op = 'delete' OR (
              tokens IS NOT NULL AND len(tokens) > 0
              AND len(list_filter(tokens, x -> x IS NULL)) = 0
-             AND len(list_filter(tokens, x -> x > 0)) > 0))),
-    latest AS (
+             AND len(list_filter(tokens, x -> x > 0)) > 0)))"""
+
+
+def _q24_state_ctes(suffix: str, batch_filter: str) -> str:
+    """latest/upserts/state CTEs (suffixed) applying the valid events under
+    ``batch_filter`` onto init — latest-valid-event-wins + normalization."""
+    return f"""
+    latest{suffix} AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY doc_id
                                      ORDER BY batch_id DESC, seq DESC) AS rn
-        FROM valid) WHERE rn = 1),
-    upserts AS (
+        FROM valid WHERE {batch_filter}) WHERE rn = 1),
+    ups{suffix} AS (
       SELECT doc_id, nn[1:lastnz::int] AS tokens, lastnz::int AS n_tok, source
       FROM (
         SELECT doc_id, nn,
@@ -899,14 +907,18 @@ _Q24_SQL = f"""
                    i -> CASE WHEN nn[i::int] <> 0 THEN i ELSE 0 END)), 0) AS lastnz,
                source
         FROM (SELECT doc_id, list_filter(tokens, x -> x >= 0) AS nn, source
-              FROM latest WHERE op <> 'delete'))),
-    final AS (
+              FROM latest{suffix} WHERE op <> 'delete'))),
+    state{suffix} AS (
       SELECT i.doc_id, i.tokens, i.n_tok, i.source FROM init i
-      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = i.doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM latest{suffix} l WHERE l.doc_id = i.doc_id)
       UNION ALL
-      SELECT doc_id, tokens, n_tok, source FROM upserts)
+      SELECT doc_id, tokens, n_tok, source FROM ups{suffix})"""
+
+
+_Q24_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
     SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
-    FROM final
+    FROM state
 """
 
 
@@ -977,6 +989,72 @@ def q24(spark, sf_dir):
     eng.bootstrap(initial)
     eng.replay(events, batch_ids=[0, 1, 2, 3])
     return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )
+
+
+def _q30_sql(n_batches: int = 4) -> str:
+    """DuckDB mirror of the incremental changelog over the q24 replay.
+
+    The oracle derives per-epoch cumulative states (state0..state{k}) with
+    the same latest-valid-event-wins CTEs as q24, then emits each epoch's
+    VALUE DIFF vs its parent: new/changed rows as upserts, vanished keys as
+    deletes. The Spark side runs the engine in pure copy-on-write
+    (mor_rewrite_ratio=0) so every epoch takes the rewrite path, whose
+    changelog is value-diff-based — mode-independent rows, exactly what
+    this SQL computes (the delta path's event-based superset is covered by
+    tests/test_changelog.py's replay oracle)."""
+    states = "".join(
+        "," + _q24_state_ctes(str(k), f"batch_id <= {k}") for k in range(n_batches)
+    )
+    diffs = []
+    for k in range(n_batches):
+        prev = "init" if k == 0 else f"state{k - 1}"
+        diffs.append(f"""
+      SELECT {k + 1}::INT AS change_epoch, {k}::BIGINT AS batch_id,
+             'upsert' AS op, n.doc_id,
+             md5(array_to_string(n.tokens, ',')) AS tokens_fp,
+             n.n_tok::INT AS n_tok, n.source
+      FROM state{k} n LEFT JOIN {prev} o USING (doc_id)
+      WHERE o.doc_id IS NULL OR n.tokens <> o.tokens
+         OR n.n_tok <> o.n_tok OR n.source <> o.source
+      UNION ALL
+      SELECT {k + 1}::INT, {k}::BIGINT, 'delete', o.doc_id,
+             NULL::VARCHAR, NULL::INT, NULL::VARCHAR
+      FROM {prev} o
+      WHERE NOT EXISTS (SELECT 1 FROM state{k} n WHERE n.doc_id = o.doc_id)""")
+    return f"""
+    WITH {_Q24_BASE_CTES}{states}
+    {" UNION ALL ".join(diffs)}
+"""
+
+
+# the engine's incremental changelog (Iceberg incremental-scan analogue),
+# driver-checked end-to-end: replay 4 batches, read changes(0, 4), compare
+# every emitted row against the SQL-computed per-epoch state diffs.
+@query("q30_cdc_changelog", _q30_sql())
+def q30(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"cdc_changelog_q30_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CdcEngine(spark, root, n_buckets=16, mor_rewrite_ratio=0)
+    eng.bootstrap(initial)
+    eng.replay(events, batch_ids=[0, 1, 2, 3])
+    return eng.changes(0, 4).select(
+        "change_epoch",
+        "batch_id",
+        "op",
         "doc_id",
         _arr_fp(F.col("tokens")).alias("tokens_fp"),
         "n_tok",

@@ -442,7 +442,15 @@ class SnapshotTable:
         Every manifest in ``[from_epoch, to_epoch]`` must still be retained
         (KeyError after ``vacuum`` expired one — same contract as time
         travel). Payloads are aligned to the ``to_epoch`` schema (rows from
-        pre-evolution epochs read as null in added columns)."""
+        pre-evolution epochs read as null in added columns).
+
+        Consumer contract: rows are idempotent upserts/deletes. Delta
+        epochs are *event-based* — an update that wrote a value identical
+        to the previous one is still emitted (the merge does not compare
+        payloads; comparing would require reading the old payload and
+        destroy the changed-bytes-only cost model) — while rewrite epochs
+        are *value-diff-based* and omit same-value writes. Replaying the
+        changelog yields identical state either way."""
         if to_epoch is None:
             to_epoch = self.latest_manifest()["epoch"]
         if to_epoch < from_epoch:
