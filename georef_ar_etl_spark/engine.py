@@ -153,6 +153,13 @@ class CdcEngine:
         maintenance pair."""
         return self.table.compact(min_deltas=min_deltas, buckets=buckets)
 
+    def rescale(self, new_n_buckets: int) -> dict:
+        """Partition-spec evolution: rewrite the table under a new bucket
+        count (Iceberg bucket(doc_id, N) -> bucket(doc_id, M)). Visible
+        state unchanged; every subsequent batch merges under the new layout
+        automatically (the bucket count is manifest-authoritative)."""
+        return self.table.rescale(new_n_buckets)
+
     def changes(self, from_epoch: int, to_epoch: int | None = None) -> DataFrame:
         """Incremental changelog of committed changes in ``(from_epoch,
         to_epoch]`` (Iceberg incremental scan / changelog view analogue) —

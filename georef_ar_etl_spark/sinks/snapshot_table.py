@@ -80,11 +80,21 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
         self.spark = spark
         self.root = root.rstrip("/")
-        self.n_buckets = n_buckets
+        self._default_n_buckets = n_buckets
         self._manifest_cache: dict[str, dict] = {}
         self._expired_cache: dict[int, dict] | None = None
         os.makedirs(os.path.join(self.root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
+
+    @property
+    def n_buckets(self) -> int:
+        """The table's CURRENT bucket count — manifest-authoritative: once a
+        manifest exists its ``n_buckets`` wins over the constructor argument,
+        so a resumed engine can never silently mis-bucket an existing table
+        (the constructor value only seeds a brand-new table), and ``rescale``
+        takes effect for every subsequent reader/writer automatically."""
+        m = self.latest_manifest()
+        return int(m["n_buckets"]) if m else self._default_n_buckets
 
     # ------------------------------------------------------------- manifests
     def _manifest_path(self, epoch: int) -> str:
@@ -317,6 +327,58 @@ class SnapshotTable:
                 "compacted_buckets": dirty,
                 "wall_sec": round(time.time() - t0, 3),
             },
+        )
+
+    # --------------------------------------------------------------- rescale
+    def rescale(self, new_n_buckets: int) -> dict:
+        """Partition-spec evolution (Iceberg ``bucket(doc_id, N)`` →
+        ``bucket(doc_id, M)``): rewrite the whole table under a new bucket
+        count and commit it as one epoch. The operational answer to "the
+        table grew 100x and the bucket count no longer fits" — buckets
+        whose per-task working set outgrows executor memory get split
+        without any change to query or merge code, because everything
+        downstream (merges, pruned reads, MOR chains, the changelog) reads
+        the bucket count from the manifest, which this commit flips
+        atomically: readers and resumed writers see either the old layout
+        whole or the new layout whole.
+
+        Full-table rewrite by design (same as Iceberg's
+        rewrite_data_files after a spec change): rows move between buckets,
+        so there is nothing incremental to reuse. Visible state is
+        unchanged by construction (reads through the MOR-resolving
+        ``read_state``); pending delta chains resolve into the new bases.
+        """
+        m = self.latest_manifest()
+        if m is None:
+            raise ValueError("cannot rescale an empty table — bootstrap first")
+        if new_n_buckets == int(m["n_buckets"]) or new_n_buckets < 1:
+            raise ValueError(
+                f"new bucket count {new_n_buckets} must be >= 1 and differ "
+                f"from the current {m['n_buckets']}"
+            )
+        schema = T.StructType.fromJson(m["schema"])
+        epoch = m["epoch"] + 1
+        t0 = time.time()
+        df = (
+            self.read_state(manifest=m)
+            .drop("bucket")
+            .withColumn("bucket", bucket_expr(F.col("doc_id"), new_n_buckets))
+        )
+        written = self.write_data(epoch, df, n_buckets=new_n_buckets)
+        return self.write_manifest(
+            epoch=epoch,
+            schema=schema,
+            written=written,
+            touched_buckets=list(range(new_n_buckets)),
+            batch_id=None,
+            batch_digest=f"rescale:{m['epoch']}:{m['n_buckets']}->{new_n_buckets}",
+            metrics={
+                "kind": "rescale",
+                "from_n_buckets": int(m["n_buckets"]),
+                "to_n_buckets": new_n_buckets,
+                "wall_sec": round(time.time() - t0, 3),
+            },
+            rescale_to=new_n_buckets,
         )
 
     def schema(self) -> T.StructType | None:
@@ -593,12 +655,14 @@ class SnapshotTable:
         return d
 
     # ----------------------------------------------------------------- write
-    def _write_buckets(self, df: DataFrame, epoch: int) -> dict[int, str]:
+    def _write_buckets(
+        self, df: DataFrame, epoch: int, n_buckets: int | None = None
+    ) -> dict[int, str]:
         """Write (payload + bucket) rows under data/epoch=K, one directory per
         bucket, deterministically sorted by doc_id within files."""
         epoch_dir = os.path.join(self.root, DATA_DIR, f"epoch={epoch}")
         (
-            df.repartition(self.n_buckets, F.col("bucket"))
+            df.repartition(n_buckets or self.n_buckets, F.col("bucket"))
             .sortWithinPartitions("bucket", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
@@ -631,12 +695,14 @@ class SnapshotTable:
         return counts
 
     # ---------------------------------------------------------------- commit
-    def write_data(self, epoch: int, new_buckets_df: DataFrame | None) -> dict[int, str]:
+    def write_data(
+        self, epoch: int, new_buckets_df: DataFrame | None, n_buckets: int | None = None
+    ) -> dict[int, str]:
         """Write the epoch's touched-bucket data files (NOT yet committed —
         an orphan epoch dir without a manifest is invisible and harmless)."""
         if new_buckets_df is None:
             return {}
-        return self._write_buckets(new_buckets_df, epoch)
+        return self._write_buckets(new_buckets_df, epoch, n_buckets)
 
     def write_manifest(
         self,
@@ -651,6 +717,7 @@ class SnapshotTable:
         quarantine_rows: int = 0,
         written_counts: dict[int, int] | None = None,
         written_deltas: dict[int, list[str]] | None = None,
+        rescale_to: int | None = None,
     ) -> dict:
         """Atomically publish the manifest — THE commit point. Idempotent:
         same epoch + same digest returns the existing manifest.
@@ -674,16 +741,19 @@ class SnapshotTable:
             )
 
         parent = self.latest_manifest()
-        buckets: dict[str, str | None] = (
-            dict(parent["buckets"]) if parent else {str(b): None for b in range(self.n_buckets)}
-        )
-        bucket_counts: dict[str, int] = (
-            dict(parent["bucket_counts"]) if parent else {str(b): 0 for b in range(self.n_buckets)}
-        )
-        # sparse map: only buckets with a pending delta chain appear
-        bucket_deltas: dict[str, list[str]] = (
-            dict(parent.get("bucket_deltas") or {}) if parent else {}
-        )
+        if rescale_to is not None or parent is None:
+            # fresh maps: a brand-new table, or a rescale (every row was
+            # rewritten under the new bucket function — the parent's maps
+            # are in the OLD numbering and must not carry over)
+            n = rescale_to if rescale_to is not None else self.n_buckets
+            buckets: dict[str, str | None] = {str(b): None for b in range(n)}
+            bucket_counts: dict[str, int] = {str(b): 0 for b in range(n)}
+            bucket_deltas: dict[str, list[str]] = {}
+        else:
+            buckets = dict(parent["buckets"])
+            bucket_counts = dict(parent["bucket_counts"])
+            # sparse map: only buckets with a pending delta chain appear
+            bucket_deltas = dict(parent.get("bucket_deltas") or {})
         new_counts = written_counts if written_counts is not None else self._bucket_counts(written)
         for b in touched_buckets:
             buckets[str(b)] = written.get(b)  # None → bucket emptied out
@@ -700,7 +770,7 @@ class SnapshotTable:
             "batch_id": batch_id,
             "batch_digest": batch_digest,
             "schema": schema.jsonValue(),
-            "n_buckets": self.n_buckets,
+            "n_buckets": rescale_to if rescale_to is not None else self.n_buckets,
             "buckets": buckets,
             "bucket_deltas": bucket_deltas,
             "bucket_counts": bucket_counts,

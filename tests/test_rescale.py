@@ -1,0 +1,100 @@
+"""Partition-spec evolution (SnapshotTable.rescale) and the
+manifest-authoritative bucket count: state is preserved exactly across a
+rescale, subsequent batches merge under the new layout, and a resumed
+engine constructed with the WRONG n_buckets can no longer mis-bucket."""
+
+import os
+
+import pytest
+
+from georef_ar_etl_spark import datagen
+from georef_ar_etl_spark.engine import CdcEngine
+from georef_ar_etl_spark.oracle import apply_events, state_as_sorted_rows
+
+
+def _rows(df):
+    return [
+        (r["doc_id"], list(r["tokens"]), r["n_tok"], r["source"])
+        for r in df.orderBy("doc_id").collect()
+    ]
+
+
+def _oracle(initial, events):
+    state, _ = apply_events({r["doc_id"]: dict(r) for r in initial}, events)
+    return [
+        (r["doc_id"], list(r["tokens"]), r["n_tok"], r["source"])
+        for r in state_as_sorted_rows(state)
+    ]
+
+
+def test_rescale_preserves_state_and_later_batches_merge(spark, tmp_path):
+    initial = datagen.gen_initial_state(300, seed=91, max_len=12)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=160, n_batches=4, seed=92, max_len=12
+    )
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    # first half under 4 buckets, leaving pending MOR chains
+    for b in (0, 1):
+        eng.apply_batch(
+            datagen.events_to_df(spark, [e for e in events if e["batch_id"] == b]), b
+        )
+    assert eng.table.latest_manifest().get("bucket_deltas"), "want pending chains"
+    before = _rows(eng.state())
+
+    m = eng.rescale(16)
+    assert m["metrics"]["kind"] == "rescale"
+    assert m["n_buckets"] == 16 and eng.table.n_buckets == 16
+    assert m["bucket_deltas"] == {}  # chains resolved into the new bases
+    assert len(m["buckets"]) == 16
+    assert _rows(eng.state()) == before  # visible state unchanged
+    assert m["total_rows"] == len(before)
+    # physical layout actually uses the new numbering
+    edir = os.path.join(str(tmp_path / "t"), "data", f"epoch={m['epoch']}")
+    nums = sorted(int(n.split("=")[1]) for n in os.listdir(edir) if "=" in n)
+    assert nums and nums[-1] >= 4, "no bucket beyond the old count was written"
+
+    # second half merges under the NEW layout (engine picks it up live)
+    for b in (2, 3):
+        eng.apply_batch(
+            datagen.events_to_df(spark, [e for e in events if e["batch_id"] == b]), b
+        )
+    assert _rows(eng.state()) == _oracle(initial, events)
+    # changelog across the rescale: the rescale epoch itself emits nothing
+    assert eng.changes(m["epoch"] - 1, m["epoch"]).count() == 0
+
+
+def test_resumed_engine_with_wrong_n_buckets_is_safe(spark, tmp_path):
+    """The constructor count only seeds a brand-new table; a resumed engine
+    always reads the manifest's count — no silent mis-bucketing."""
+    initial = datagen.gen_initial_state(200, seed=93, max_len=10)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=100, n_batches=4, seed=94, max_len=10
+    )
+    root = str(tmp_path / "t")
+    eng = CdcEngine(spark, root, n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    for b in (0, 1):
+        eng.apply_batch(
+            datagen.events_to_df(spark, [e for e in events if e["batch_id"] == b]), b
+        )
+
+    wrong = CdcEngine(spark, root, n_buckets=32)  # mismatched constructor
+    assert wrong.table.n_buckets == 4  # manifest wins
+    for b in (2, 3):
+        wrong.apply_batch(
+            datagen.events_to_df(spark, [e for e in events if e["batch_id"] == b]), b
+        )
+    assert _rows(wrong.state()) == _oracle(initial, events)
+
+
+def test_rescale_guards(spark, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(ValueError, match="bootstrap first"):
+        eng.rescale(8)
+    initial = datagen.gen_initial_state(50, seed=95, max_len=8)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    with pytest.raises(ValueError, match="differ"):
+        eng.rescale(4)
+    with pytest.raises(ValueError):
+        eng.rescale(0)
