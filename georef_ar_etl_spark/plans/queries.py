@@ -1019,8 +1019,9 @@ def _q30_sql(n_batches: int = 4) -> str:
              md5(array_to_string(n.tokens, ',')) AS tokens_fp,
              n.n_tok::INT AS n_tok, n.source
       FROM state{k} n LEFT JOIN {prev} o USING (doc_id)
-      WHERE o.doc_id IS NULL OR n.tokens <> o.tokens
-         OR n.n_tok <> o.n_tok OR n.source <> o.source
+      WHERE o.doc_id IS NULL OR n.tokens IS DISTINCT FROM o.tokens
+         OR n.n_tok IS DISTINCT FROM o.n_tok
+         OR n.source IS DISTINCT FROM o.source
       UNION ALL
       SELECT {k + 1}::INT, {k}::BIGINT, 'delete', o.doc_id,
              NULL::VARCHAR, NULL::INT, NULL::VARCHAR

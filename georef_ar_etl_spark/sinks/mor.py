@@ -59,6 +59,16 @@ def live_keys(base_files: list[str], delta_files: list[str], key: str = "doc_id"
     return pd.Index(allf.loc[allf["_op"] != OP_DELETE, key])
 
 
+def align_payload(pdf: pd.DataFrame, payload_cols: list[str]) -> pd.DataFrame:
+    """Schema-evolution alignment: columns a (pre-evolution) file lacks read
+    as null. Shared by resolution and the changelog's delta read so the two
+    paths can't diverge."""
+    for c in payload_cols:
+        if c not in pdf.columns:
+            pdf[c] = None
+    return pdf
+
+
 def resolve_live(
     base_files: list[str],
     delta_files: list[str],
@@ -71,10 +81,7 @@ def resolve_live(
     frames = []
 
     def aligned(pdf: pd.DataFrame, op_series) -> pd.DataFrame:
-        for c in payload_cols:
-            if c not in pdf.columns:
-                pdf[c] = None
-        pdf = pdf[payload_cols].copy()
+        pdf = align_payload(pdf, payload_cols)[payload_cols].copy()
         pdf["_op"] = op_series
         return pdf
 

@@ -82,6 +82,7 @@ class SnapshotTable:
         self.root = root.rstrip("/")
         self._default_n_buckets = n_buckets
         self._manifest_cache: dict[str, dict] = {}
+        self._latest_cache: dict | None = None
         self._expired_cache: dict[int, dict] | None = None
         os.makedirs(os.path.join(self.root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
@@ -117,8 +118,15 @@ class SnapshotTable:
         return out
 
     def latest_manifest(self) -> dict | None:
-        ms = self.manifests()
-        return ms[-1] if ms else None
+        """Cached: write_manifest updates it on every commit, and commits
+        are the only way the head advances (vacuum never removes the head;
+        the table is single-writer). Keeps hot paths — notably the
+        manifest-authoritative ``n_buckets`` property — off the
+        O(epochs) manifests-dir listing."""
+        if self._latest_cache is None:
+            ms = self.manifests()
+            self._latest_cache = ms[-1] if ms else None
+        return self._latest_cache
 
     def manifest_for_epoch(self, epoch: int) -> dict:
         """Time travel: the manifest committed at ``epoch`` (raises KeyError
@@ -513,17 +521,31 @@ class SnapshotTable:
         destroy the changed-bytes-only cost model) — while rewrite epochs
         are *value-diff-based* and omit same-value writes. Replaying the
         changelog yields identical state either way."""
+        head = self.latest_manifest()
+        if head is None:
+            raise KeyError("no committed manifest — bootstrap the table first")
         if to_epoch is None:
-            to_epoch = self.latest_manifest()["epoch"]
+            to_epoch = head["epoch"]
         if to_epoch < from_epoch:
             raise ValueError(f"to_epoch {to_epoch} < from_epoch {from_epoch}")
-        schema = T.StructType.fromJson(self.manifest_for_epoch(to_epoch)["schema"])
+        # one listing for the whole range (manifest_for_epoch per epoch would
+        # rescan the manifests dir O(range x epochs) times)
+        by_epoch = {m["epoch"]: m for m in self.manifests()}
+
+        def m_for(e: int) -> dict:
+            if e not in by_epoch:
+                raise KeyError(
+                    f"no committed (or still-retained) manifest for epoch {e}"
+                )
+            return by_epoch[e]
+
+        schema = T.StructType.fromJson(m_for(to_epoch)["schema"])
         payload_cols = [f.name for f in schema.fields]
 
         specs = []  # (epoch, batch_id, bucket, kind, nb, nc, ob, oc)
-        prev = self.manifest_for_epoch(from_epoch)
+        prev = m_for(from_epoch)
         for e in range(from_epoch + 1, to_epoch + 1):
-            m = self.manifest_for_epoch(e)
+            m = m_for(e)
             if m["batch_id"] is None:  # bootstrap / compaction
                 prev = m
                 continue
@@ -563,7 +585,12 @@ class SnapshotTable:
         if not specs:
             return self.spark.createDataFrame([], out_schema)
 
-        from georef_ar_etl_spark.sinks.mor import OP_COL, OP_DELETE, resolve_live
+        from georef_ar_etl_spark.sinks.mor import (
+            OP_COL,
+            OP_DELETE,
+            align_payload,
+            resolve_live,
+        )
 
         key = payload_cols[0]  # doc_id by schema contract
         out_cols = [f.name for f in out_schema.fields]
@@ -577,10 +604,9 @@ class SnapshotTable:
             for sp in batches:
                 for r in sp.itertuples(index=False):
                     if r.kind == "delta":
-                        d = pq.read_table(list(r.nb)).to_pandas()
-                        for c in payload_cols:
-                            if c not in d.columns:
-                                d[c] = None
+                        d = align_payload(
+                            pq.read_table(list(r.nb)).to_pandas(), payload_cols
+                        )
                         chg = d[payload_cols].copy()
                         chg["op"] = np.where(
                             d[OP_COL].to_numpy() == OP_DELETE, "delete", "upsert"
@@ -682,8 +708,6 @@ class SnapshotTable:
         return os.path.join(QUARANTINE_DIR, f"epoch={epoch}")
 
     def _bucket_counts(self, dirs: dict[int, str]) -> dict[int, int]:
-        import pyarrow.parquet as pq
-
         counts: dict[int, int] = {}
         for b, rel in dirs.items():
             total = 0
@@ -788,6 +812,7 @@ class SnapshotTable:
             os.fsync(f.fileno())
         os.replace(tmp, path)  # ← the commit point
         self._manifest_cache[os.path.basename(path)] = manifest
+        self._latest_cache = manifest  # a new commit is always the new head
 
         with open(os.path.join(self.root, METRICS_LOG), "a") as f:
             f.write(
