@@ -98,3 +98,49 @@ def test_rescale_guards(spark, tmp_path):
         eng.rescale(4)
     with pytest.raises(ValueError):
         eng.rescale(0)
+
+
+def test_changelog_spans_rescale_and_vacuum_contract(spark, tmp_path):
+    """A changelog range crossing a rescale must replay correctly (the
+    rescale epoch emits nothing; later epochs diff against the new
+    numbering), and a range whose manifests were vacuumed raises KeyError —
+    the documented retention contract."""
+    initial = datagen.gen_initial_state(200, seed=96, max_len=10)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=120, n_batches=4, seed=97, max_len=10
+    )
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    for b in (0, 1):
+        eng.apply_batch(
+            datagen.events_to_df(spark, [e for e in events if e["batch_id"] == b]), b
+        )
+    rm = eng.rescale(8)
+    for b in (2, 3):
+        eng.apply_batch(
+            datagen.events_to_df(spark, [e for e in events if e["batch_id"] == b]), b
+        )
+    head = eng.table.latest_manifest()["epoch"]
+
+    replayed = {
+        r["doc_id"]: (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in eng.state(epoch=0).collect()
+    }
+    chg = eng.changes(0, head).collect()
+    assert not any(r["change_epoch"] == rm["epoch"] for r in chg)
+    for r in sorted(chg, key=lambda r: (r["change_epoch"], r["doc_id"])):
+        if r["op"] == "delete":
+            replayed.pop(r["doc_id"], None)
+        else:
+            replayed[r["doc_id"]] = (
+                r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"]
+            )
+    want = {
+        r["doc_id"]: (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in eng.state().collect()
+    }
+    assert replayed == want
+
+    eng.vacuum(keep_last=1)
+    with pytest.raises(KeyError, match="retained"):
+        eng.changes(0, head).count()
