@@ -108,8 +108,16 @@ def main() -> None:
 
     # warmup (untimed): session bring-up, JIT, parquet footer cache, Python
     # worker spawn — without this the first timed query absorbs ~4 s of
-    # one-time cost and regressions in it are invisible
+    # one-time cost and regressions in it are invisible. Touch EVERY table
+    # family a headline query reads, or the first reader of each file
+    # absorbs its cold footer/page-cache cost and the per-query numbers
+    # measure IO order instead of compute (observed: q12 "1.4 s" for three
+    # rounds was ~1.1 s of first-documents-read).
     QUERY_FNS["q10_group_minmax"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for t in ("documents", "embeddings", "events", "customer", "orders"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).format("noop").save()
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
 
     times: dict[str, float] = {}
