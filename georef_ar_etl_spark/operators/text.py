@@ -86,6 +86,80 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition ratios — the Gopher/MassiveText repetition
+    filters for pretraining corpora (Rae et al. 2021 §A1.1): documents
+    dominated by repeated words or n-grams are boilerplate/spam.
+
+    * ``dup_word_frac``   — 1 - distinct_words/total_words
+    * ``top_word_frac``   — occurrences of the most frequent word / total
+    * ``dup_2gram_frac``  — 1 - distinct_2grams/total_2grams
+
+    All pure Catalyst higher-order functions; the most-frequent-word count
+    is an O(n log n) sort + one O(n) ``aggregate`` run-length scan (NOT the
+    naive O(n^2) count-each-distinct-word-in-array), so it holds up on
+    book-length documents."""
+    t = norm_text(F.col(text_col))
+    words = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, " "))
+    total = F.size(words)
+    distinct = F.size(F.array_distinct(words))
+    sw = F.array_sort(words)
+    longest_run = F.aggregate(
+        sw,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    grams = F.when(
+        total >= 2,
+        F.transform(
+            F.sequence(F.lit(1), total - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gt = F.size(grams)
+    one = F.greatest(total, F.lit(1))
+    return df.select(
+        "*",
+        F.round((total - distinct) / one, 6).alias("dup_word_frac"),
+        F.round(longest_run / one, 6).alias("top_word_frac"),
+        F.round(
+            (gt - F.size(F.array_distinct(grams))) / F.greatest(gt, F.lit(1)), 6
+        ).alias("dup_2gram_frac"),
+    )
+
+
+# deliberately simple, RE2-compatible patterns (no backtracking constructs):
+# the same strings work in Spark (Java regex) and any re2-based scrubber
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{2,4}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace common PII shapes (emails, phone numbers, IPv4 addresses)
+    with typed placeholders — the standard scrub pass before pretraining.
+    Chained JVM ``regexp_replace`` (codegen'd, no UDF); patterns are
+    intentionally high-recall — scrubbing is the cheap, safe direction."""
+    out = col
+    for tag, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (md5 so the DuckDB oracle computes the identical value.)"""

@@ -567,6 +567,43 @@ def q14(spark, sf_dir):
     )
 
 
+# Gopher/MassiveText repetition filters (Rae et al. 2021): within-document
+# duplicate-word / top-word / duplicate-2gram fractions. The oracle counts
+# the most frequent word the O(n^2) way (fine for DuckDB on test scale);
+# the Spark side uses the sort + run-length scan that survives book-length
+# docs — both must agree to 6 decimals.
+@query(
+    "q31_repetition_quality",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN []::VARCHAR[]
+                  ELSE string_split({_NORM}, ' ') END AS words
+      FROM documents),
+    g AS (
+      SELECT doc_id, words, len(words) AS total,
+             len(list_distinct(words)) AS d,
+             coalesce(list_max(list_transform(list_distinct(words),
+                 x -> len(list_filter(words, y -> y = x)))), 0) AS best,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(generate_series(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i + 1])
+                  ELSE []::VARCHAR[] END AS grams
+      FROM w)
+    SELECT doc_id,
+           round((total - d) / greatest(total, 1)::DOUBLE, 6) AS dup_word_frac,
+           round(best / greatest(total, 1)::DOUBLE, 6) AS top_word_frac,
+           round((len(grams) - len(list_distinct(grams)))
+                 / greatest(len(grams), 1)::DOUBLE, 6) AS dup_2gram_frac
+    FROM g
+    """,
+)
+def q31(spark, sf_dir):
+    return text.repetition_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_word_frac", "top_word_frac", "dup_2gram_frac"
+    )
+
+
 @query(
     "q15_fingerprint_groups",
     f"""

@@ -325,3 +325,37 @@ def test_multimodal_zero_rate_wav_is_quarantined(spark):
     r = multimodal.extract_features(df).collect()[0]
     assert r["decode_error"] and "corrupt WAV" in r["decode_error"]
     assert r["sample_rate"] is None and r["n_bytes"] == len(bad)
+
+
+def test_repetition_features_known_values(spark):
+    """Gopher-style repetition ratios against hand-computed values,
+    including the run-length top-word count and edge cases."""
+    rows = [
+        (1, "a a a b"),        # words 4, distinct 2, top 'a'x3; 2grams: aa,aa,ab -> 3 total 2 distinct
+        (2, "x y z"),          # no repetition
+        (3, ""),               # empty -> all zero
+        (4, "w"),              # single word: top=1/1, no 2grams
+        (5, "p q p q p q"),    # alternating: words 6 d2 top3; grams 5, distinct 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert (out[1]["dup_word_frac"], out[1]["top_word_frac"], out[1]["dup_2gram_frac"]) == (0.5, 0.75, round(1 / 3, 6))
+    assert (out[2]["dup_word_frac"], out[2]["top_word_frac"], out[2]["dup_2gram_frac"]) == (0.0, round(1 / 3, 6), 0.0)
+    assert (out[3]["dup_word_frac"], out[3]["top_word_frac"], out[3]["dup_2gram_frac"]) == (0.0, 0.0, 0.0)
+    assert (out[4]["dup_word_frac"], out[4]["top_word_frac"], out[4]["dup_2gram_frac"]) == (0.0, 1.0, 0.0)
+    assert (out[5]["dup_word_frac"], out[5]["top_word_frac"], out[5]["dup_2gram_frac"]) == (round(4 / 6, 6), 0.5, 0.6)
+
+
+def test_redact_pii_placeholders(spark):
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or +1 (555) 123-4567"),
+        (2, "server at 192.168.0.1 responded"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", text.redact_pii(F.col("text")).alias("red")).collect()}
+    assert "<EMAIL>" in got[1] and "example" not in got[1]
+    assert "<PHONE>" in got[1] and "555" not in got[1]
+    assert got[2] == "server at <IP> responded"
+    assert got[3] == "no pii here at all"
