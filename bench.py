@@ -36,6 +36,7 @@ HEADLINE = [
     "q22_knn_join",
     "q28_count_distinct",
     "q29_grouped_payload_union",
+    "q31_repetition_quality",
 ]
 
 

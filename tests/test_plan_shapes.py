@@ -93,3 +93,12 @@ def test_minhash_plan_single_shuffle_no_pair_join(spark):
     p = plan(out)
     assert "Join" not in p, p
     assert p.count("FileScan") == 1
+
+
+def test_repetition_features_stay_jvm_side(spark):
+    """q31's repetition ratios must be pure Catalyst (higher-order
+    functions), never a Python UDF — one BatchEvalPython/ArrowEval node
+    here would put an interpreter on every row of a 100 TB corpus."""
+    p = plan(QUERY_FNS["q31_repetition_quality"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "mapInPandas" not in p.lower()
