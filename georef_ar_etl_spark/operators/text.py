@@ -98,11 +98,21 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     All pure Catalyst higher-order functions; the most-frequent-word count
     is an O(n log n) sort + one O(n) ``aggregate`` run-length scan (NOT the
     naive O(n^2) count-each-distinct-word-in-array), so it holds up on
-    book-length documents."""
+    book-length documents.
+
+    PERF: the word array is materialized as a real column in its own
+    projection FIRST — expressions referenced inside ``transform`` /
+    ``aggregate`` lambdas are re-evaluated PER ELEMENT (no CSE across the
+    lambda boundary), so inlining the split into the 2-gram lambda re-split
+    the whole document once per gram: measured 25.9 s -> sub-second at
+    sf0.1. CollapseProject keeps the projections separate because the
+    column is referenced many times."""
     t = norm_text(F.col(text_col))
-    words = F.when(
+    words_expr = F.when(
         F.length(t) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(t, " "))
+    staged = df.select("*", words_expr.alias("_rep_words"))
+    words = F.col("_rep_words")
     total = F.size(words)
     distinct = F.size(F.array_distinct(words))
     sw = F.array_sort(words)
@@ -130,8 +140,8 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     gt = F.size(grams)
     one = F.greatest(total, F.lit(1))
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         F.round((total - distinct) / one, 6).alias("dup_word_frac"),
         F.round(longest_run / one, 6).alias("top_word_frac"),
         F.round(
