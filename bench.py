@@ -115,7 +115,10 @@ def main() -> None:
     # measure IO order instead of compute (observed: q12 "1.4 s" for three
     # rounds was ~1.1 s of first-documents-read).
     QUERY_FNS["q10_group_minmax"](spark, sf_dir).write.mode("overwrite").format("noop").save()
-    for t in ("documents", "embeddings", "events", "customer", "orders"):
+    for t in (
+        "lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "documents", "embeddings", "events",
+    ):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
             "overwrite"
         ).format("noop").save()

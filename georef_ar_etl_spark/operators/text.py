@@ -129,15 +129,22 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
-    grams = F.when(
-        total >= 2,
-        F.transform(
-            F.sequence(F.lit(1), total - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
+    grams = (
+        # null text → null words → null grams, so all three output ratios
+        # are null together (the when().otherwise(empty) alone would
+        # swallow the null and emit an inconsistent 0.0 for the gram frac)
+        F.when(words.isNull(), F.lit(None).cast("array<string>"))
+        .when(
+            total >= 2,
+            F.transform(
+                F.sequence(F.lit(1), total - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
     gt = F.size(grams)
     one = F.greatest(total, F.lit(1))
     return staged.select(
@@ -151,11 +158,14 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # deliberately simple, RE2-compatible patterns (no backtracking constructs):
-# the same strings work in Spark (Java regex) and any re2-based scrubber
+# the same strings work in Spark (Java regex) and any re2-based scrubber.
+# ORDER MATTERS: IP must run before PHONE — dotted IPv4s with 3-digit
+# octets (10.120.130.140) otherwise match the phone shape and get the
+# wrong placeholder.
 PII_PATTERNS: dict[str, str] = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "PHONE": r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{2,4}",
     "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{2,4}",
 }
 
 

@@ -583,9 +583,11 @@ def q14(spark, sf_dir):
     g AS (
       SELECT doc_id, words, len(words) AS total,
              len(list_distinct(words)) AS d,
-             coalesce(list_max(list_transform(list_distinct(words),
-                 x -> len(list_filter(words, y -> y = x)))), 0) AS best,
-             CASE WHEN len(words) >= 2
+             CASE WHEN words IS NULL THEN NULL
+                  ELSE coalesce(list_max(list_transform(list_distinct(words),
+                       x -> len(list_filter(words, y -> y = x)))), 0) END AS best,
+             CASE WHEN words IS NULL THEN NULL
+                  WHEN len(words) >= 2
                   THEN list_transform(generate_series(1, len(words) - 1),
                        i -> words[i] || ' ' || words[i + 1])
                   ELSE []::VARCHAR[] END AS grams

@@ -351,6 +351,9 @@ def test_redact_pii_placeholders(spark):
         (1, "contact me at jane.doe+spam@example.co.uk or +1 (555) 123-4567"),
         (2, "server at 192.168.0.1 responded"),
         (3, "no pii here at all"),
+        # long-octet IPs match the phone shape too — IP must win (pattern
+        # order; code-review r03 pass 3)
+        (4, "edge node 10.120.130.140 timed out"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["red"] for r in df.select(
@@ -359,3 +362,4 @@ def test_redact_pii_placeholders(spark):
     assert "<PHONE>" in got[1] and "555" not in got[1]
     assert got[2] == "server at <IP> responded"
     assert got[3] == "no pii here at all"
+    assert got[4] == "edge node <IP> timed out"

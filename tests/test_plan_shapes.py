@@ -101,4 +101,4 @@ def test_repetition_features_stay_jvm_side(spark):
     here would put an interpreter on every row of a 100 TB corpus."""
     p = plan(QUERY_FNS["q31_repetition_quality"](spark, SF_DIR))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert "mapInPandas" not in p.lower()
+    assert "mapinpandas" not in p.lower()

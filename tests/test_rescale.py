@@ -122,24 +122,14 @@ def test_changelog_spans_rescale_and_vacuum_contract(spark, tmp_path):
         )
     head = eng.table.latest_manifest()["epoch"]
 
-    replayed = {
-        r["doc_id"]: (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
-        for r in eng.state(epoch=0).collect()
-    }
+    # reuse the changelog suite's replay helpers — one definition of the
+    # changelog row contract across suites
+    from test_changelog import _apply_changelog, _rows
+
     chg = eng.changes(0, head).collect()
     assert not any(r["change_epoch"] == rm["epoch"] for r in chg)
-    for r in sorted(chg, key=lambda r: (r["change_epoch"], r["doc_id"])):
-        if r["op"] == "delete":
-            replayed.pop(r["doc_id"], None)
-        else:
-            replayed[r["doc_id"]] = (
-                r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"]
-            )
-    want = {
-        r["doc_id"]: (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
-        for r in eng.state().collect()
-    }
-    assert replayed == want
+    replayed = _apply_changelog(dict(_rows(eng.state(epoch=0))), chg)
+    assert replayed == _rows(eng.state())
 
     eng.vacuum(keep_last=1)
     with pytest.raises(KeyError, match="retained"):
