@@ -1,0 +1,96 @@
+"""Corpus management: deterministic hash-based splits and samples.
+
+The standard way to carve train/validation/test sets (and debug samples)
+out of a pretraining corpus is NOT ``df.sample``/``rand()`` — those change
+membership under repartitioning, retries and corpus growth. Hash-based
+assignment is a pure function of the document key, so:
+
+* the same document lands in the same split on every run, every cluster
+  layout, every engine (reproducible experiments, no eval leakage);
+* adding new documents never moves existing ones between splits;
+* assignment is a codegen'd column expression — no shuffle, no state.
+
+Reference analogue: the reference pipeline partitions its outputs by
+deterministic entity attributes, never by randomness
+(georef_ar_etl/streets.py:33-41 per-province files); this is the same
+principle applied to corpus membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# assignment granularity: fractions resolve to whole buckets out of this
+# many (0.01 % of precision is plenty for split ratios)
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, hash_fn: str = "xxhash64", buckets: int = N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from a key column.
+
+    ``xxhash64`` (default) is the fast JVM production path. ``md5`` is
+    bit-identical across engines (Spark, DuckDB, Python) — use it when an
+    external system must reproduce the exact assignment; it costs one md5
+    + base-16 conv per row."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+    if hash_fn == "md5":
+        return (
+            F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % buckets
+        ).cast("int")
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def split_assignment(
+    key: Column,
+    fractions: list[tuple[str, float]],
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Split label for a key: cumulative fraction thresholds over the hash
+    bucket. ``fractions`` is an ordered list of (label, fraction) summing to
+    1.0; the last split absorbs the rounding remainder."""
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    b = hash_bucket(key, hash_fn)
+    expr = None
+    cum = 0.0
+    for label, frac in fractions[:-1]:
+        cum += frac
+        threshold = int(round(cum * N_BUCKETS))
+        cond = b < threshold
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = fractions[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: list[tuple[str, float]] | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Add a ``split`` column (default 98/1/1 train/val/test)."""
+    fractions = fractions or [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    return df.withColumn(
+        "split", split_assignment(F.col(key_col), fractions, hash_fn)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows by hash bucket — unlike ``df.sample`` the
+    kept set is a pure function of the key: stable across repartitioning,
+    task retries and corpus growth, and a sample is always a SUBSET of any
+    larger sample (nested samples for scaling-law runs)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(round(fraction * N_BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col), hash_fn) < threshold)

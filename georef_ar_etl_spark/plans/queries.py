@@ -606,6 +606,35 @@ def q31(spark, sf_dir):
     )
 
 
+# deterministic hash-based corpus split (train/val/test): assignment is a
+# pure function of the key — stable under repartitioning, retries and
+# corpus growth, reproducible across engines (md5 variant here so DuckDB
+# computes the identical buckets; production uses the xxhash64 fast path,
+# operators/corpus.py).
+@query(
+    "q32_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                  % 10000)::INT AS b
+          FROM documents)
+    """,
+)
+def q32(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus.hash_split(
+        docs,
+        fractions=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        hash_fn="md5",
+    )
+
+
 @query(
     "q15_fingerprint_groups",
     f"""

@@ -1,0 +1,67 @@
+"""Deterministic corpus splits/samples (operators/corpus.py): assignment is
+a pure function of the key — stable under repartitioning, nested samples,
+fractions approximately honored, md5 variant engine-reproducible."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark.operators import corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+
+
+def test_split_fractions_and_determinism(spark, docs):
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = corpus.hash_split(docs, fractions=fr)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    # hash uniformity: within a loose tolerance at n=500
+    assert abs(counts.get("train", 0) / total - 0.8) < 0.08
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+    # repartitioning must not move ANY document between splits
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in corpus.hash_split(docs.repartition(7), fractions=fr).collect()
+    }
+    assert a == b
+
+    # growing the corpus never reassigns existing documents
+    grown = docs.union(spark.range(10_000, 10_050).select(F.col("id").alias("doc_id")))
+    c = {r["doc_id"]: r["split"] for r in corpus.hash_split(grown, fractions=fr).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_nested_samples_and_bounds(spark, docs):
+    s10 = {r["doc_id"] for r in corpus.deterministic_sample(docs, 0.10).collect()}
+    s50 = {r["doc_id"] for r in corpus.deterministic_sample(docs, 0.50).collect()}
+    assert s10 <= s50  # smaller sample is a subset of the larger
+    n = docs.count()
+    assert 0 < len(s10) < len(s50) < n
+    assert abs(len(s50) / n - 0.5) < 0.1
+    with pytest.raises(ValueError):
+        corpus.deterministic_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        corpus.hash_split(docs, fractions=[("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError):
+        corpus.hash_bucket(F.col("doc_id"), hash_fn="nope")
+
+
+def test_md5_variant_matches_python(spark, docs):
+    """The engine-portable md5 bucket must equal a pure-Python recompute."""
+    import hashlib
+
+    rows = corpus.hash_split(docs, hash_fn="md5", fractions=[
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ]).collect()
+    for r in rows[:100]:
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 10_000
+        want = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert r["split"] == want, r["doc_id"]
