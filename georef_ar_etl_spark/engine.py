@@ -153,6 +153,11 @@ class CdcEngine:
         maintenance pair."""
         return self.table.compact(min_deltas=min_deltas, buckets=buckets)
 
+    def table_stats(self) -> dict | None:
+        """Zero-job operational snapshot (rows, skew, MOR chain health,
+        on-disk bytes) — what to look at before compact/vacuum/rescale."""
+        return self.table.table_stats()
+
     def rescale(self, new_n_buckets: int) -> dict:
         """Partition-spec evolution: rewrite the table under a new bucket
         count (Iceberg bucket(doc_id, N) -> bucket(doc_id, M)). Visible

@@ -389,6 +389,59 @@ class SnapshotTable:
             rescale_to=new_n_buckets,
         )
 
+    def table_stats(self) -> dict | None:
+        """Zero-Spark-job operational snapshot from the manifests + file
+        metadata: what an operator checks before deciding to compact,
+        vacuum or rescale. Returns None on an un-bootstrapped table.
+
+        Keys: epoch/total_rows/n_buckets straight from the head manifest;
+        row-count skew (max/mean bucket rows); MOR health (dirty buckets,
+        max/total chain depth, delta bytes vs base bytes); on-disk bytes
+        and file counts of everything the head references; retained epoch
+        span."""
+        m = self.latest_manifest()
+        if m is None:
+            return None
+        counts = [int(c) for c in m["bucket_counts"].values()]
+        mean = sum(counts) / max(len(counts), 1)
+        deltas = m.get("bucket_deltas") or {}
+
+        def dir_bytes(rels):
+            nb = nf = 0
+            for rel in rels:
+                full = os.path.join(self.root, rel)
+                if not os.path.isdir(full):
+                    continue
+                for name in os.listdir(full):
+                    if name.endswith(".parquet"):
+                        nb += os.path.getsize(os.path.join(full, name))
+                        nf += 1
+            return nb, nf
+
+        base_bytes, base_files = dir_bytes(
+            d for d in m["buckets"].values() if d is not None
+        )
+        delta_bytes, delta_files = dir_bytes(
+            d for chain in deltas.values() for d in chain
+        )
+        epochs = [mm["epoch"] for mm in self.manifests()]
+        return {
+            "epoch": m["epoch"],
+            "total_rows": m["total_rows"],
+            "n_buckets": int(m["n_buckets"]),
+            "max_bucket_rows": max(counts, default=0),
+            "mean_bucket_rows": round(mean, 1),
+            "bucket_row_skew": round(max(counts, default=0) / max(mean, 1), 3),
+            "dirty_buckets": len(deltas),
+            "max_delta_chain": max((len(c) for c in deltas.values()), default=0),
+            "base_files": base_files,
+            "base_bytes": base_bytes,
+            "delta_files": delta_files,
+            "delta_bytes": delta_bytes,
+            "retained_epochs": len(epochs),
+            "oldest_retained_epoch": epochs[0],
+        }
+
     def schema(self) -> T.StructType | None:
         m = self.latest_manifest()
         return T.StructType.fromJson(m["schema"]) if m else None

@@ -313,3 +313,34 @@ def test_cache_batch_engine_matches_oracle(spark, tmp_path):
     # shared session)
     cached_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     assert cached_after <= cached_before
+
+
+def test_table_stats_reflect_mor_and_maintenance(spark, tmp_path):
+    """table_stats is the zero-job maintenance dashboard: it must track
+    delta chains appearing, compaction clearing them, and stay consistent
+    with the oracle row count."""
+    initial, events = _mor_workload()
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    assert eng.table_stats() is None  # un-bootstrapped
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    eng.replay(datagen.events_to_df(spark, events))
+
+    s = eng.table_stats()
+    assert s["n_buckets"] == 4
+    assert s["total_rows"] == len(_oracle_rows(initial, events))
+    assert s["dirty_buckets"] > 0 and s["max_delta_chain"] >= 1
+    assert s["delta_files"] > 0 and s["delta_bytes"] > 0
+    assert s["base_files"] > 0 and s["base_bytes"] > s["delta_bytes"]
+    assert s["bucket_row_skew"] >= 1.0
+    assert s["retained_epochs"] == s["epoch"] + 1  # nothing vacuumed yet
+
+    eng.compact()
+    s2 = eng.table_stats()
+    assert s2["dirty_buckets"] == 0 and s2["max_delta_chain"] == 0
+    assert s2["delta_files"] == 0 and s2["delta_bytes"] == 0
+    assert s2["total_rows"] == s["total_rows"]
+
+    eng.vacuum(keep_last=1)
+    s3 = eng.table_stats()
+    assert s3["retained_epochs"] == 1
+    assert s3["oldest_retained_epoch"] == s3["epoch"]
