@@ -36,6 +36,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max(|v|)/127``,
+    ``q_i = round(v_i / scale)`` — 4x smaller embedding storage (the
+    difference between 100 TB and 25 TB of vectors) with bounded error
+    ``<= scale/2`` per component, recoverable via ``dequantize``.
+
+    Pure Catalyst higher-order functions. The scale is materialized as a
+    real column FIRST (its max-abs aggregate would otherwise re-run per
+    element inside the quantize lambda — the transform-lambda CSE trap).
+    Zero vectors get scale 0 and all-zero codes."""
+    scale = (
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda s, v: F.greatest(s, F.abs(v))
+        )
+        / 127.0
+    )
+    staged = df.withColumn(f"_{out_col}_scale", scale)
+    sc = F.col(f"_{out_col}_scale")
+    q = F.when(
+        sc == 0.0,
+        F.transform(F.col(vec_col), lambda _: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(F.col(vec_col), lambda x: F.round(x / sc).cast("tinyint"))
+    )
+    return staged.select(
+        *df.columns,
+        sc.alias(f"{out_col}_scale"),
+        q.alias(out_col),
+    )
+
+
+def dequantize(q_col: Column, scale_col: Column) -> Column:
+    """Reconstruct float vectors from int8 codes + per-vector scale."""
+    return F.transform(q_col, lambda x: x.cast("double") * scale_col)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],

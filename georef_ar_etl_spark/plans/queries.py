@@ -635,6 +635,40 @@ def q32(spark, sf_dir):
     )
 
 
+# symmetric int8 embedding quantization — 4x smaller vector storage with
+# bounded per-component error. The embedding is cast to double on BOTH
+# sides so scale/code arithmetic is bit-identical; codes hash via the
+# usual array -> md5(array_to_string) projection.
+@query(
+    "q33_quantize_embeddings",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+      FROM embeddings)
+    SELECT vec_id, round(scale, 6) AS q_scale,
+           md5(array_to_string(
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> 0::TINYINT)
+                    ELSE list_transform(v, x -> round(x / scale)::TINYINT) END,
+               ',')) AS q_fp
+    FROM s
+    """,
+)
+def q33(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.md5(
+            F.array_join(F.transform("q", lambda x: x.cast("string")), ",")
+        ).alias("q_fp"),
+    )
+
+
 @query(
     "q15_fingerprint_groups",
     f"""

@@ -363,3 +363,30 @@ def test_redact_pii_placeholders(spark):
     assert got[2] == "server at <IP> responded"
     assert got[3] == "no pii here at all"
     assert got[4] == "edge node <IP> timed out"
+
+
+def test_quantize_dequantize_error_bound(spark, emb):
+    """int8 quantization must be invertible within scale/2 per component,
+    and cosine rankings over dequantized vectors must stay close."""
+    embd = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = similarity.quantize_embeddings(embd)
+    back = q.select(
+        "vec_id", "embedding",
+        similarity.dequantize(F.col("q"), F.col("q_scale")).alias("deq"),
+        "q_scale",
+    ).collect()
+    assert len(back) > 0
+    for r in back:
+        bound = r["q_scale"] / 2 + 1e-12
+        for orig, rec in zip(r["embedding"], r["deq"]):
+            assert abs(orig - rec) <= bound, r["vec_id"]
+    # codes are genuinely int8-ranged
+    rng = q.select(
+        F.min(F.array_min("q")).alias("lo"), F.max(F.array_max("q")).alias("hi")
+    ).first()
+    assert -127 <= rng["lo"] and rng["hi"] <= 127
+
+    # zero vector edge: scale 0, all-zero codes, exact reconstruction
+    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    r = similarity.quantize_embeddings(z).collect()[0]
+    assert r["q_scale"] == 0.0 and list(r["q"]) == [0, 0, 0]
