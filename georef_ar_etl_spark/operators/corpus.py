@@ -26,20 +26,31 @@ from pyspark.sql import functions as F
 N_BUCKETS = 10_000
 
 
-def hash_bucket(key: Column, hash_fn: str = "xxhash64", buckets: int = N_BUCKETS) -> Column:
+def hash_bucket(
+    key: Column,
+    hash_fn: str = "xxhash64",
+    buckets: int = N_BUCKETS,
+    salt: str = "",
+) -> Column:
     """Deterministic bucket in [0, buckets) from a key column.
 
     ``xxhash64`` (default) is the fast JVM production path. ``md5`` is
     bit-identical across engines (Spark, DuckDB, Python) — use it when an
     external system must reproduce the exact assignment; it costs one md5
-    + base-16 conv per row."""
+    + base-16 conv per row.
+
+    ``salt`` decorrelates different USES of the hash on the same keys:
+    sampling salts with "sample" so a debug sample still contains every
+    split — with one shared unsalted hash, any sample of fraction <= the
+    first split's fraction would lie entirely inside that split (a 50%
+    sample of a 98/1/1 corpus would be 100% train, zero eval)."""
     if hash_fn == "xxhash64":
-        return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+        h = F.xxhash64(key, F.lit(salt)) if salt else F.xxhash64(key)
+        return F.pmod(h, F.lit(buckets)).cast("int")
     if hash_fn == "md5":
+        s = F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
         return (
-            F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % buckets
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % buckets
         ).cast("int")
     raise ValueError(f"unknown hash_fn: {hash_fn!r}")
 
@@ -85,12 +96,17 @@ def deterministic_sample(
     fraction: float,
     key_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    salt: str = "sample",
 ) -> DataFrame:
     """Keep ~``fraction`` of rows by hash bucket — unlike ``df.sample`` the
     kept set is a pure function of the key: stable across repartitioning,
     task retries and corpus growth, and a sample is always a SUBSET of any
-    larger sample (nested samples for scaling-law runs)."""
+    larger sample with the same salt (nested samples for scaling-law runs).
+
+    The hash is salted ("sample" by default) so it is independent of
+    ``hash_split``'s assignment: splitting a sample yields all splits in
+    their expected proportions. Different salts give independent samples."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     threshold = int(round(fraction * N_BUCKETS))
-    return df.filter(hash_bucket(F.col(key_col), hash_fn) < threshold)
+    return df.filter(hash_bucket(F.col(key_col), hash_fn, salt=salt) < threshold)

@@ -48,6 +48,12 @@ def quantize_embeddings(
     real column FIRST (its max-abs aggregate would otherwise re-run per
     element inside the quantize lambda — the transform-lambda CSE trap).
     Zero vectors get scale 0 and all-zero codes."""
+    clash = {out_col, f"{out_col}_scale"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"output column(s) {sorted(clash)} already exist — pass a "
+            f"different out_col (select would silently emit duplicates)"
+        )
     scale = (
         F.aggregate(
             F.col(vec_col), F.lit(0.0), lambda s, v: F.greatest(s, F.abs(v))

@@ -644,7 +644,10 @@ def q32(spark, sf_dir):
     """
     WITH s AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+             -- coalesce: list_max of an empty list is NULL in DuckDB while
+             -- Spark's aggregate returns its 0.0 initial value
+             coalesce(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 0.0)
+             / 127.0 AS scale
       FROM embeddings)
     SELECT vec_id, round(scale, 6) AS q_scale,
            md5(array_to_string(

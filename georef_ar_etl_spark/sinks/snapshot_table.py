@@ -431,7 +431,10 @@ class SnapshotTable:
             "n_buckets": int(m["n_buckets"]),
             "max_bucket_rows": max(counts, default=0),
             "mean_bucket_rows": round(mean, 1),
-            "bucket_row_skew": round(max(counts, default=0) / max(mean, 1), 3),
+            # guard only the empty-table zero, never clamp a small mean —
+            # clamping to 1 understated the skew of sparse tables by up to
+            # n_buckets (3 rows in one of 32 buckets read 3.0, not 32.0)
+            "bucket_row_skew": round(max(counts, default=0) / mean, 3) if mean else 0.0,
             "dirty_buckets": len(deltas),
             "max_delta_chain": max((len(c) for c in deltas.values()), default=0),
             "base_files": base_files,

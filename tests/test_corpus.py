@@ -65,3 +65,33 @@ def test_md5_variant_matches_python(spark, docs):
         b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 10_000
         want = "train" if b < 8000 else ("val" if b < 9000 else "test")
         assert r["split"] == want, r["doc_id"]
+
+
+def test_sample_then_split_is_not_degenerate(spark, docs):
+    """Sampling and splitting must use DECORRELATED hashes: with one shared
+    unsalted hash, any sample of fraction <= the first split's fraction
+    would be 100% train and zero eval (code-review r03 pass 4)."""
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    sampled = corpus.deterministic_sample(docs, 0.5)
+    counts = {
+        r["split"]: r["n"]
+        for r in corpus.hash_split(sampled, fractions=fr)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}, counts
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.8) < 0.12
+
+    # different salts give independent samples, same salt is deterministic
+    a = {r["doc_id"] for r in corpus.deterministic_sample(docs, 0.3, salt="a").collect()}
+    b = {r["doc_id"] for r in corpus.deterministic_sample(docs, 0.3, salt="b").collect()}
+    a2 = {r["doc_id"] for r in corpus.deterministic_sample(docs, 0.3, salt="a").collect()}
+    assert a == a2 and a != b
+
+
+def test_quantize_rejects_column_clash(spark):
+    from georef_ar_etl_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [1.0], 2.0)], "vec_id long, embedding array<double>, q double")
+    with pytest.raises(ValueError, match="already exist"):
+        similarity.quantize_embeddings(df)
