@@ -165,12 +165,16 @@ class CdcEngine:
         automatically (the bucket count is manifest-authoritative)."""
         return self.table.rescale(new_n_buckets)
 
-    def changes(self, from_epoch: int, to_epoch: int | None = None) -> DataFrame:
+    def changes(
+        self, from_epoch: int, to_epoch: int | None = None, value_diff: bool = False
+    ) -> DataFrame:
         """Incremental changelog of committed changes in ``(from_epoch,
         to_epoch]`` (Iceberg incremental scan / changelog view analogue) —
         what a downstream consumer polls instead of re-reading the state.
+        ``value_diff=True`` suppresses same-value writes everywhere (mode-
+        independent rows, at the cost of reading delta epochs' bucket bases).
         See SnapshotTable.read_changes for semantics and cost model."""
-        return self.table.read_changes(from_epoch, to_epoch)
+        return self.table.read_changes(from_epoch, to_epoch, value_diff=value_diff)
 
     def assert_size(self, target_size: int, op: str = "eq") -> int:
         """Row-count gate on the CURRENT committed state (reference:

@@ -37,6 +37,7 @@ def patch_update(
     batch_id: int,
     source: str = "patch",
     seq_offset: int = 0,
+    stamp_source: bool = False,
 ) -> DataFrame:
     """Update events for all state rows matching ``predicate``, with the
     given column assignments applied (reference: update_field, patch.py:1-15,
@@ -44,11 +45,15 @@ def patch_update(
     per-row-function case, e.g. ``F.col('id').startswith('94014')`` for the
     reference's LIKE patches).
 
-    Patched rows are stamped with the patch ``source`` (matching
-    patch_delete) so lineage attributes them to the patch — unless the
-    caller's assignments set ``source`` themselves, which wins."""
+    Reference-equivalent by default: ONLY the assigned columns change (the
+    reference's update_field mutates just the named field, so patched rows
+    keep their original ``source`` provenance). Pass ``stamp_source=True``
+    to additionally stamp the patch ``source`` on every patched row for
+    lineage (matching patch_delete's tombstones); an explicit ``source``
+    key in ``assignments`` always wins either way."""
     updated = state.filter(predicate)
-    assignments = {"source": F.lit(source), **assignments}
+    if stamp_source:
+        assignments = {"source": F.lit(source), **assignments}
     for name, expr in assignments.items():
         updated = updated.withColumn(name, expr)
     return updated.select(
@@ -89,6 +94,7 @@ def apply_patch(
     updates: list[tuple[Column, dict[str, Column]]] = (),
     deletes: list[Column] = (),
     source: str = "patch",
+    stamp_source: bool = False,
 ) -> dict:
     """Compile update/delete patches against the engine's current state into
     one change batch and apply it (full exactly-once semantics).
@@ -101,7 +107,10 @@ def apply_patch(
     parts: list[DataFrame] = []
     for predicate, assignments in updates:
         parts.append(
-            patch_update(state, predicate, assignments, batch_id, source, len(parts))
+            patch_update(
+                state, predicate, assignments, batch_id, source, len(parts),
+                stamp_source=stamp_source,
+            )
         )
     for predicate in deletes:
         parts.append(patch_delete(state, predicate, batch_id, source, len(parts)))

@@ -57,6 +57,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ephemeral_table_root(kind: str, sf_dir: str) -> str:
+    """Per-process scratch root for catalog queries that materialize a CDC
+    table (q24/q30/q34): the returned DataFrame reads the table LAZILY, so
+    the dir must outlive the query function — but two concurrent harness
+    processes over the same sf_dir (bench ∥ correctness) must never share
+    (and rmtree) each other's live roots, hence the pid in the name
+    (ADVICE r03). Wiped on entry (same-process re-runs rebuild) and at
+    process exit (no per-run leak)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"{kind}_{tag}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def _dec(col, p=18, s=2):
     return col.cast(f"decimal({p},{s})")
 
@@ -1075,21 +1096,10 @@ def _q24_inputs(spark, sf_dir):
 
 @query("q24_cdc_replay_state", _Q24_SQL)
 def q24(spark, sf_dir):
-    import os
-    import tempfile
-
     from georef_ar_etl_spark.engine import CdcEngine
 
     initial, events = _q24_inputs(spark, sf_dir)
-    # one deterministic root per sf, wiped on entry: the returned DataFrame
-    # reads the table lazily so the dir must outlive this function — a
-    # fresh mkdtemp per invocation would leak a dir per run
-    import hashlib
-    import shutil
-
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"cdc_replay_q24_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _ephemeral_table_root("cdc_replay_q24", sf_dir)
     eng = CdcEngine(spark, root, n_buckets=16)
     eng.bootstrap(initial)
     eng.replay(events, batch_ids=[0, 1, 2, 3])
@@ -1143,17 +1153,10 @@ def _q30_sql(n_batches: int = 4) -> str:
 # every emitted row against the SQL-computed per-epoch state diffs.
 @query("q30_cdc_changelog", _q30_sql())
 def q30(spark, sf_dir):
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from georef_ar_etl_spark.engine import CdcEngine
 
     initial, events = _q24_inputs(spark, sf_dir)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"cdc_changelog_q30_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _ephemeral_table_root("cdc_changelog_q30", sf_dir)
     eng = CdcEngine(spark, root, n_buckets=16, mor_rewrite_ratio=0)
     eng.bootstrap(initial)
     eng.replay(events, batch_ids=[0, 1, 2, 3])

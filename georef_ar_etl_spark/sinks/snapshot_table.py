@@ -83,7 +83,9 @@ class SnapshotTable:
         self._default_n_buckets = n_buckets
         self._manifest_cache: dict[str, dict] = {}
         self._latest_cache: dict | None = None
+        self._latest_token: int | None = None
         self._expired_cache: dict[int, dict] | None = None
+        self._expired_token: int | None = None
         os.makedirs(os.path.join(self.root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
 
@@ -117,15 +119,31 @@ class SnapshotTable:
                 out.append(m)
         return out
 
+    def _mdir_token(self) -> int:
+        """Freshness token for the manifests dir: its mtime_ns. Any commit
+        (temp-file create + atomic rename) or vacuum bumps it, so comparing
+        one cached token against one ``stat`` syscall tells a reader whether
+        its cached head can still be trusted — without the O(epochs) listing
+        the cache exists to avoid."""
+        try:
+            return os.stat(os.path.join(self.root, MANIFEST_DIR)).st_mtime_ns
+        except FileNotFoundError:
+            return -1
+
     def latest_manifest(self) -> dict | None:
-        """Cached: write_manifest updates it on every commit, and commits
-        are the only way the head advances (vacuum never removes the head;
-        the table is single-writer). Keeps hot paths — notably the
-        manifest-authoritative ``n_buckets`` property — off the
-        O(epochs) manifests-dir listing."""
-        if self._latest_cache is None:
+        """Cached head manifest, validated per call against the manifests-dir
+        mtime (one ``stat``): our own ``write_manifest`` refreshes the cache
+        at the commit point, and a commit by ANOTHER process bumps the dir
+        mtime, so a long-lived read-only instance (a changelog consumer
+        polling ``read_changes``, a monitor calling ``table_stats``) observes
+        new heads instead of serving the first one it ever read. The token is
+        taken BEFORE the listing — a commit racing the listing at worst
+        triggers one redundant re-list on the next call, never a stale head."""
+        tok = self._mdir_token()
+        if self._latest_token != tok:
             ms = self.manifests()
             self._latest_cache = ms[-1] if ms else None
+            self._latest_token = tok
         return self._latest_cache
 
     def manifest_for_epoch(self, epoch: int) -> dict:
@@ -152,18 +170,24 @@ class SnapshotTable:
 
     def _expired_batches(self) -> dict[int, dict]:
         # cached like manifests: committed_batches() runs once per
-        # apply_batch, and a per-batch re-read of the ledger is the same
-        # O(epochs) IO class the manifest cache exists to avoid. vacuum()
-        # (the only writer) invalidates.
-        if self._expired_cache is not None:
-            return self._expired_cache
+        # apply_batch, and a per-batch re-parse of the ledger is the same
+        # O(epochs) IO class the manifest cache exists to avoid. Validated
+        # per call against the ledger file's mtime (one stat) so a vacuum
+        # in ANOTHER process is observed, like latest_manifest.
         p = self._expired_path()
-        if not os.path.exists(p):
-            self._expired_cache = {}
+        try:
+            tok = os.stat(p).st_mtime_ns
+        except FileNotFoundError:
+            tok = -1
+        if self._expired_cache is not None and self._expired_token == tok:
             return self._expired_cache
-        with open(p) as f:
-            raw = json.load(f)
-        self._expired_cache = {int(k): v for k, v in raw.items()}
+        if tok == -1:
+            self._expired_cache = {}
+        else:
+            with open(p) as f:
+                raw = json.load(f)
+            self._expired_cache = {int(k): v for k, v in raw.items()}
+        self._expired_token = tok
         return self._expired_cache
 
     # ---------------------------------------------------------------- vacuum
@@ -220,6 +244,7 @@ class SnapshotTable:
             os.fsync(f.fileno())
         os.replace(tmp, self._expired_path())
         self._expired_cache = ledger
+        self._expired_token = os.stat(self._expired_path()).st_mtime_ns
 
         # 2. drop the expired MANIFESTS before touching any data: the
         # table's crash invariant is "a data dir without a manifest is
@@ -544,7 +569,12 @@ class SnapshotTable:
         return spec_df.mapInPandas(read_merge, out_schema)
 
     # ------------------------------------------------------------- changelog
-    def read_changes(self, from_epoch: int, to_epoch: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        from_epoch: int,
+        to_epoch: int | None = None,
+        value_diff: bool = False,
+    ) -> DataFrame:
         """Row-level changelog of committed changes in ``(from_epoch,
         to_epoch]`` — the Iceberg incremental-scan / create_changelog_view
         analogue, the read API a downstream incremental consumer (index
@@ -576,7 +606,15 @@ class SnapshotTable:
         payloads; comparing would require reading the old payload and
         destroy the changed-bytes-only cost model) — while rewrite epochs
         are *value-diff-based* and omit same-value writes. Replaying the
-        changelog yields identical state either way."""
+        changelog yields identical state either way.
+
+        ``value_diff=True`` makes the output mode-independent: delta epochs
+        are post-filtered against their parent state (each spec resolves
+        base+old-chain vs base+new-chain and emits the value diff), so
+        same-value writes are suppressed everywhere — for consumers doing
+        change ACCOUNTING rather than idempotent apply. Costs reading the
+        touched buckets' bases for delta epochs (the exact IO the default
+        event-based mode avoids); leave it off for apply-style consumers."""
         head = self.latest_manifest()
         if head is None:
             raise KeyError("no committed manifest — bootstrap the table first")
@@ -614,7 +652,12 @@ class SnapshotTable:
                 same_base = m["buckets"].get(bs) == prev["buckets"].get(bs)
                 if same_base and nchain == ochain:
                     continue  # no-op bucket: nothing changed
-                if same_base and nchain[:-1] == ochain and len(nchain) == len(ochain) + 1:
+                if (
+                    not value_diff
+                    and same_base
+                    and nchain[:-1] == ochain
+                    and len(nchain) == len(ochain) + 1
+                ):
                     specs.append((
                         e, m["batch_id"], b, "delta",
                         self._dir_files(nchain[-1]), [], [], [],
@@ -868,7 +911,11 @@ class SnapshotTable:
             os.fsync(f.fileno())
         os.replace(tmp, path)  # ← the commit point
         self._manifest_cache[os.path.basename(path)] = manifest
-        self._latest_cache = manifest  # a new commit is always the new head
+        # our commit is the new head; token None forces one cheap
+        # validation listing on the next read (a concurrent commit landing
+        # right after ours must not be masked by our own freshness token)
+        self._latest_cache = manifest
+        self._latest_token = None
 
         with open(os.path.join(self.root, METRICS_LOG), "a") as f:
             f.write(

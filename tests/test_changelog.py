@@ -105,3 +105,30 @@ def test_changelog_skips_compaction_and_survives_evolution(spark, tmp_path):
     empty = eng.changes(cm["epoch"])
     assert empty.count() == 0
     assert empty.columns[:3] == ["change_epoch", "batch_id", "op"]
+
+
+def test_changelog_value_diff_suppresses_same_value_delta_writes(spark, tmp_path):
+    """value_diff=True (ADVICE r03): mode-independent rows — a delta-epoch
+    update that wrote a value identical to the parent's is suppressed, while
+    genuinely-changed rows still come through; default (event-based) mode
+    emits both."""
+    initial = datagen.gen_initial_state(50, seed=91, max_len=8)
+    a, b = initial[0], initial[1]
+    events = [
+        # same-value update: tokens already normalized in gen_initial_state
+        {"batch_id": 0, "seq": 1, "op": "update", "doc_id": a["doc_id"],
+         "tokens": list(a["tokens"]), "n_tok": a["n_tok"], "source": a["source"]},
+        {"batch_id": 0, "seq": 2, "op": "update", "doc_id": b["doc_id"],
+         "tokens": [7, 8, 9], "n_tok": 3, "source": "wal"},
+    ]
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=1)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    m = eng.apply_batch(datagen.events_to_df(spark, events), 0)
+    assert m["metrics"]["merge_modes"]["delta"] == 1, "test requires the delta path"
+
+    default_rows = {r["doc_id"]: r["op"] for r in eng.changes(0).collect()}
+    assert default_rows == {a["doc_id"]: "upsert", b["doc_id"]: "upsert"}
+
+    vd = eng.changes(0, value_diff=True).collect()
+    assert {r["doc_id"] for r in vd} == {b["doc_id"]}
+    assert vd[0]["op"] == "upsert" and list(vd[0]["tokens"]) == [7, 8, 9]

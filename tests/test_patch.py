@@ -38,6 +38,26 @@ def test_patch_update_and_delete(spark, tmp_path):
         assert list(r["tokens"]) == want[r["doc_id"]]
 
 
+def test_patch_update_preserves_provenance_by_default(spark, tmp_path):
+    """Reference parity (ADVICE r03): update_field modifies ONLY the named
+    field — a patch that assigns n_tok must not silently overwrite the
+    rows' original ``source``. stamp_source=True opts into lineage
+    stamping."""
+    from georef_ar_etl_spark.operators.patch import patch_update
+
+    state = spark.createDataFrame(
+        [("0000000000001", [1, 2], 2, "wal")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    ev = patch_update(state, F.lit(True), {"n_tok": F.lit(9)}, batch_id=0)
+    row = ev.first()
+    assert row["source"] == "wal" and row["n_tok"] == 9
+    stamped = patch_update(
+        state, F.lit(True), {"n_tok": F.lit(9)}, batch_id=0, stamp_source=True
+    ).first()
+    assert stamped["source"] == "patch"
+
+
 def test_patch_seq_is_part_index(spark):
     """seq must order patch PARTS, independent of data partitioning: the old
     monotonically_increasing_id()+(offset<<40) scheme collided at partition

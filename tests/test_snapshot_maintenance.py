@@ -103,3 +103,43 @@ def test_vacuum_expires_and_preserves_exactly_once(spark, table):
 
     with pytest.raises(ValueError):
         eng.vacuum(keep_last=0)
+
+
+def test_cross_process_reader_observes_new_commits(spark, table):
+    """A long-lived READ-ONLY SnapshotTable instance (the changelog
+    consumer / monitor case, ADVICE r03) must observe commits made by a
+    different instance: the head cache is validated per call against the
+    manifests-dir mtime, not trusted forever."""
+    from georef_ar_etl_spark.sinks.snapshot_table import SnapshotTable
+
+    eng, initial, events = table
+    reader = SnapshotTable(spark, eng.table.root)
+    head0 = reader.latest_manifest()["epoch"]
+    assert head0 == eng.table.latest_manifest()["epoch"]
+
+    # writer (a distinct instance in this process; same syscall surface as
+    # another OS process — no shared Python state) commits two more epochs
+    more = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=80, n_batches=2, seed=73,
+        max_len=12,
+    )
+    for b in (0, 1):
+        batch = [
+            {**e, "batch_id": e["batch_id"] + 4, "seq": e["seq"] + 10_000}
+            for e in more
+            if e["batch_id"] == b
+        ]
+        eng.apply_batch(datagen.events_to_df(spark, batch), b + 4)
+
+    head1 = reader.latest_manifest()["epoch"]
+    assert head1 == head0 + 2, "stale reader cache: new commits not observed"
+    # and the default-to_epoch changelog read sees the new epochs too
+    assert reader.read_changes(head0).count() > 0
+    # n_buckets (manifest-authoritative) served from the fresh head
+    assert reader.n_buckets == eng.table.n_buckets
+
+    # vacuum through the WRITER: the reader's expired-batch ledger cache
+    # must revalidate as well (redelivery protection across processes)
+    assert reader.committed_batches().keys() == eng.table.committed_batches().keys()
+    eng.vacuum(keep_last=2)
+    assert set(reader.committed_batches()) == set(eng.table.committed_batches())
