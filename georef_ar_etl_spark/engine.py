@@ -48,6 +48,13 @@ class OutOfOrderBatchError(RuntimeError):
     """A lower batch_id arrived after a higher one was committed."""
 
 
+class BucketSizeError(RuntimeError):
+    """A bucket outgrew the bucket-fits-in-one-task byte contract
+    (operators/copart_merge.py:18-23). The message carries the rescale
+    recommendation; the failing batch was NOT committed and applies
+    cleanly after ``rescale``."""
+
+
 def content_digest(df: DataFrame) -> str:
     """Order-insensitive content hash: bit_xor of per-row xxhash64 over all
     columns (rows are unique by seq, so xor cancellation can't occur).
@@ -74,6 +81,8 @@ class CdcEngine:
         hot_route_share: float = 0.5,
         hot_route_min_events: int = 100_000,
         cache_batch: bool = False,
+        max_bucket_bytes: int = 512 << 20,
+        on_oversize_bucket: str = "warn",
     ):
         """``merge_impl``:
         * ``copartitioned`` (default) — storage-partitioned merge (Iceberg
@@ -101,7 +110,22 @@ class CdcEngine:
         A/B-measured: 8-22% faster replay on wide ~1 KiB token payloads, a
         wash on small 64-token rows — enable for wide-payload pipelines;
         costs one columnar-cached copy of each in-flight batch per
-        executor."""
+        executor.
+
+        ``max_bucket_bytes`` / ``on_oversize_bucket``: the copartitioned
+        merge's contract is one bucket per task (copart_merge.py:18-23) — a
+        bucket that outgrows worker memory OOMs the merge with no actionable
+        signal, the first thing that breaks silently at 100x scale. Every
+        apply therefore measures the touched buckets' post-merge bytes
+        (base + delta chain, file metadata only — zero Spark jobs) against
+        ``max_bucket_bytes``. ``"warn"`` (default) records the oversize
+        buckets and a ``rescale(M)`` recommendation in the manifest metrics
+        and emits a Python warning; ``"error"`` raises BucketSizeError
+        BEFORE the manifest commit (the orphaned epoch dir is invisible and
+        harmless; after ``rescale`` the same batch applies cleanly). 0
+        disables the check."""
+        if on_oversize_bucket not in ("warn", "error"):
+            raise ValueError("on_oversize_bucket must be 'warn' or 'error'")
         self.spark = spark
         self.table = SnapshotTable(spark, table_root, n_buckets)
         self.dim = dim
@@ -113,6 +137,8 @@ class CdcEngine:
         self.hot_route_share = hot_route_share
         self.hot_route_min_events = hot_route_min_events
         self.cache_batch = cache_batch
+        self.max_bucket_bytes = max_bucket_bytes
+        self.on_oversize_bucket = on_oversize_bucket
 
     # ------------------------------------------------------------- bootstrap
     def bootstrap(self, initial: DataFrame) -> dict:
@@ -157,6 +183,77 @@ class CdcEngine:
         """Zero-job operational snapshot (rows, skew, MOR chain health,
         on-disk bytes) — what to look at before compact/vacuum/rescale."""
         return self.table.table_stats()
+
+    @staticmethod
+    def _rescale_recommendation(worst_bytes: int, limit: int, n_buckets: int) -> int:
+        """Smallest power-of-two bucket multiplier that brings the worst
+        bucket under the limit (hash bucketing splits bytes ~evenly, so
+        doubling the count halves each bucket)."""
+        import math
+
+        factor = 2 ** math.ceil(math.log2(worst_bytes / limit))
+        return n_buckets * max(factor, 2)
+
+    def check_bucket_sizes(self, max_bucket_bytes: int | None = None) -> dict:
+        """Whole-table bucket-size contract check (zero Spark jobs): bytes
+        of every bucket's base + delta chain vs the limit, with a
+        ``rescale(M)`` recommendation when any bucket is over. apply_batch
+        runs the same check automatically on the touched buckets; call this
+        for a full audit (e.g. after bootstrap, or from a monitor alongside
+        ``table_stats``)."""
+        limit = self.max_bucket_bytes if max_bucket_bytes is None else max_bucket_bytes
+        sizes = self.table.bucket_sizes()
+        over = {b: v for b, v in sizes.items() if limit and v > limit}
+        out: dict = {"max_bucket_bytes": limit, "oversize_buckets": over}
+        if over:
+            out["recommended_n_buckets"] = self._rescale_recommendation(
+                max(over.values()), limit, self.table.n_buckets
+            )
+        return out
+
+    def _bucket_size_guard(
+        self,
+        written: dict[int, str | None],
+        written_deltas: dict[int, list[str]],
+        touched: list[int],
+        n_buckets: int,
+    ) -> dict:
+        """Post-merge, pre-commit contract check on the TOUCHED buckets
+        (file metadata only — zero Spark jobs, O(touched) listings).
+        Returns metrics keys to record, or raises BucketSizeError in
+        ``error`` mode before anything becomes visible."""
+        if not self.max_bucket_bytes:
+            return {}
+        over = {
+            b: bb
+            for b in touched
+            if (
+                bb := self.table.rel_dir_bytes(
+                    [written.get(b), *written_deltas.get(b, [])]
+                )
+            )
+            > self.max_bucket_bytes
+        }
+        if not over:
+            return {}
+        recommended = self._rescale_recommendation(
+            max(over.values()), self.max_bucket_bytes, n_buckets
+        )
+        msg = (
+            f"bucket(s) {sorted(over)} exceed max_bucket_bytes="
+            f"{self.max_bucket_bytes} (worst {max(over.values())} bytes): the "
+            f"one-bucket-per-task merge contract is at risk of OOM — "
+            f"rescale({recommended}) recommended"
+        )
+        if self.on_oversize_bucket == "error":
+            raise BucketSizeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+        return {
+            "oversize_buckets": {str(b): v for b, v in over.items()},
+            "recommended_n_buckets": recommended,
+        }
 
     def rescale(self, new_n_buckets: int) -> dict:
         """Partition-spec evolution: rewrite the table under a new bucket
@@ -472,6 +569,12 @@ class CdcEngine:
                 "events_per_sec": events_in / wall if wall > 0 else None,
                 "phase_sec": phases,
             }
+            # bucket-size contract check BEFORE the commit point: error mode
+            # must leave only an invisible orphan epoch dir, never a head
+            # referencing an over-contract bucket without a metrics record
+            metrics.update(
+                self._bucket_size_guard(written, written_deltas, touched, nb)
+            )
             manifest = self.table.write_manifest(
                 epoch=epoch,
                 schema=new_schema,

@@ -470,6 +470,35 @@ class SnapshotTable:
             "oldest_retained_epoch": epochs[0],
         }
 
+    def rel_dir_bytes(self, rel_dirs) -> int:
+        """Total parquet bytes under the given table-relative dirs (None
+        entries skipped) — file metadata only, zero Spark jobs. Feeds the
+        engine's bucket-size contract check (operators/copart_merge.py
+        documents the bucket-fits-in-one-task contract this enforces)."""
+        nb = 0
+        for rel in rel_dirs:
+            if rel is None:
+                continue
+            full = os.path.join(self.root, rel)
+            if not os.path.isdir(full):
+                continue
+            for name in os.listdir(full):
+                if name.endswith(".parquet"):
+                    nb += os.path.getsize(os.path.join(full, name))
+        return nb
+
+    def bucket_sizes(self, manifest: dict | None = None) -> dict[int, int]:
+        """Per-bucket on-disk bytes (base + pending delta chain) for every
+        bucket of the given (default head) manifest — zero Spark jobs."""
+        m = manifest or self.latest_manifest()
+        if m is None:
+            return {}
+        deltas = m.get("bucket_deltas") or {}
+        return {
+            int(b): self.rel_dir_bytes([d, *(deltas.get(b) or [])])
+            for b, d in m["buckets"].items()
+        }
+
     def schema(self) -> T.StructType | None:
         m = self.latest_manifest()
         return T.StructType.fromJson(m["schema"]) if m else None

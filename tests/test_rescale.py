@@ -134,3 +134,58 @@ def test_changelog_spans_rescale_and_vacuum_contract(spark, tmp_path):
     eng.vacuum(keep_last=1)
     with pytest.raises(KeyError, match="retained"):
         eng.changes(0, head).count()
+
+
+def test_bucket_size_contract_enforced_and_cleared_by_rescale(spark, tmp_path):
+    """The one-bucket-per-task merge contract (copart_merge.py:18-23) is now
+    ENFORCED, not just documented: an over-threshold bucket is recorded in
+    the manifest metrics with a rescale(M) recommendation (warn mode) or
+    fails the apply before the commit point (error mode); rescale to the
+    recommended M clears it. Zero extra Spark jobs — file metadata only."""
+    import pytest
+
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import BucketSizeError, CdcEngine
+
+    # payload-dominated sizes on purpose: the recommendation model assumes
+    # bytes halve per bucket doubling, which tiny files (fixed parquet
+    # footer overhead) would break
+    initial = datagen.gen_initial_state(3000, seed=95, max_len=128)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=600, n_batches=3, seed=96, max_len=128
+    )
+    root = str(tmp_path / "t")
+    eng = CdcEngine(spark, root, n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    evdf = datagen.events_to_df(spark, events)
+    m0 = eng.apply_batch(evdf.filter("batch_id = 0"), 0)
+    assert "oversize_buckets" not in m0["metrics"], "default limit must not fire"
+
+    # set the limit below the current worst bucket -> warn mode records it
+    worst = max(eng.table.bucket_sizes().values())
+    limit = int(worst * 0.75)
+    eng_w = CdcEngine(spark, root, n_buckets=4, max_bucket_bytes=limit)
+    with pytest.warns(UserWarning, match="rescale"):
+        m1 = eng_w.apply_batch(evdf.filter("batch_id = 1"), 1)
+    assert m1["metrics"]["oversize_buckets"]
+    recommended = m1["metrics"]["recommended_n_buckets"]
+    assert recommended > eng_w.table.n_buckets
+
+    # error mode fails BEFORE the commit point: head unchanged
+    eng_e = CdcEngine(
+        spark, root, n_buckets=4, max_bucket_bytes=limit, on_oversize_bucket="error"
+    )
+    head_before = eng_e.table.latest_manifest()["epoch"]
+    with pytest.raises(BucketSizeError, match=r"rescale\(\d+\)"):
+        eng_e.apply_batch(evdf.filter("batch_id = 2"), 2)
+    assert eng_e.table.latest_manifest()["epoch"] == head_before
+
+    # whole-table audit agrees (recommendation may exceed batch 1's — the
+    # table grew since), and rescale(M) clears the contract violation
+    audit = eng_e.check_bucket_sizes()
+    assert audit["oversize_buckets"] and audit["recommended_n_buckets"] >= recommended
+    eng_e.rescale(audit["recommended_n_buckets"])
+    assert eng_e.check_bucket_sizes()["oversize_buckets"] == {}
+    # the failed batch now applies cleanly under the same limit
+    m2 = eng_e.apply_batch(evdf.filter("batch_id = 2"), 2)
+    assert "oversize_buckets" not in m2["metrics"]
