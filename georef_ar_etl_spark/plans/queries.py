@@ -1171,6 +1171,40 @@ def q30(spark, sf_dir):
     )
 
 
+_Q34_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT md5(array_to_string(tokens, ',')) AS fp,
+           count(*) AS n_dups,
+           min(doc_id) AS keep_id
+    FROM state
+    GROUP BY 1
+"""
+
+
+# Incremental index maintenance driven by the changelog (the consumer that
+# proves read_changes' point): the exact-dedup fingerprint index is
+# bootstrapped ONCE from the source table's epoch-0 state, then maintained
+# epoch-by-epoch from engine.changes() — fingerprints computed only for
+# changed rows, old-fingerprint lookups bucket-pruned, postings updated per
+# affected group. The oracle computes the same group table from the FULL
+# final state: equality proves incremental == batch recompute.
+@query("q34_incremental_fingerprint_index", _Q34_SQL)
+def q34(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.operators.index_maintenance import FingerprintIndex
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("cdc_fpindex_q34", sf_dir)
+    eng = CdcEngine(spark, f"{root}/src", n_buckets=16)
+    eng.bootstrap(initial)
+    idx = FingerprintIndex(spark, f"{root}/idx", n_buckets=8)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+    for b in (0, 1, 2, 3):
+        m = eng.apply_batch(events.filter(F.col("batch_id") == b), b)
+        idx.refresh(eng.changes(idx.last_source_epoch, m["epoch"]), m["epoch"])
+    return idx.groups()
+
+
 def _neardup_sql(n_bits=5, seed=7, dim=64, min_cos=0.25) -> str:
     planes = similarity.hyperplanes(dim, n_bits, seed)
     lits = [("[" + ", ".join(repr(float(x)) for x in row) + "]") for row in planes]

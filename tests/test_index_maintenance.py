@@ -1,0 +1,102 @@
+"""Incremental index maintenance from the changelog (the read_changes
+consumer): the fingerprint index maintained epoch-by-epoch must equal a
+batch recompute from the final state — including across multi-epoch
+refresh ranges, a compaction, and a rescale of the SOURCE table."""
+
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark import datagen
+from georef_ar_etl_spark.engine import CdcEngine
+from georef_ar_etl_spark.operators.index_maintenance import (
+    FingerprintIndex,
+    fingerprint_of_tokens,
+)
+
+
+def _group_rows(df):
+    return sorted((r["fp"], r["n_dups"], r["keep_id"]) for r in df.collect())
+
+
+def _batch_recompute(state_df):
+    return (
+        state_df.select(fingerprint_of_tokens(F.col("tokens")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def test_incremental_index_equals_batch_across_maintenance(spark, tmp_path):
+    initial = datagen.gen_initial_state(300, seed=101, max_len=12)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=300, n_batches=6, seed=102, max_len=12
+    )
+    evdf = datagen.events_to_df(spark, events)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4, mor_max_deltas=2)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+    assert idx.last_source_epoch == 0
+    # bootstrap index == batch recompute of epoch 0
+    assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state(epoch=0)))
+
+    def refresh_to(head):
+        idx.refresh(eng.changes(idx.last_source_epoch, head), head)
+        assert idx.last_source_epoch == head
+
+    # per-epoch refresh over delta AND rewrite epochs (mor_max_deltas=2
+    # forces inline compactions into the mix)
+    for b in range(3):
+        m = eng.apply_batch(evdf.filter(F.col("batch_id") == b), b)
+        refresh_to(m["epoch"])
+        assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state())), b
+
+    # force a pending delta chain, then cross a compaction (emits no
+    # changes; bookkeeping must still advance)
+    mini = [{"batch_id": 3, "seq": 10_001, "op": "update",
+             "doc_id": initial[0]["doc_id"], "tokens": [1, 2, 3],
+             "n_tok": 3, "source": "wal"}]
+    m3 = eng.apply_batch(datagen.events_to_df(spark, mini), 3)
+    assert m3["metrics"]["merge_modes"]["delta"] == 1
+    refresh_to(m3["epoch"])
+    cm = eng.compact()
+    assert cm is not None
+    refresh_to(cm["epoch"])
+    assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state()))
+
+    # cross a rescale of the source (new bucket numbering; emits no changes)
+    rm = eng.rescale(8)
+    refresh_to(rm["epoch"])
+
+    # one multi-epoch refresh range: apply two batches, refresh once —
+    # latest-change-per-doc collapse across epochs
+    eng.apply_batch(evdf.filter(F.col("batch_id") == 3), 4)
+    m5 = eng.apply_batch(evdf.filter(F.col("batch_id") == 4), 5)
+    assert m5["epoch"] - idx.last_source_epoch == 2
+    refresh_to(m5["epoch"])
+    assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state()))
+
+    # final epoch, and the forward table mirrors the state's doc->fp map
+    m6 = eng.apply_batch(evdf.filter(F.col("batch_id") == 5), 6)
+    refresh_to(m6["epoch"])
+    assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state()))
+    fwd = {
+        r["doc_id"]: r["fp"]
+        for r in idx.forward.read_state().select("doc_id", "fp").collect()
+    }
+    want = {
+        r["doc_id"]: r["fp"]
+        for r in eng.state()
+        .select("doc_id", fingerprint_of_tokens(F.col("tokens")).alias("fp"))
+        .collect()
+    }
+    assert fwd == want
+
+    # refresh work was incremental: per-refresh commits touched only the
+    # changed keys' buckets, not the whole index (spot-check the manifests)
+    post_ms = idx.postings.manifests()
+    assert any(
+        m["metrics"]["kind"] == "refresh"
+        and len(m["touched_buckets"]) < idx.postings.n_buckets
+        for m in post_ms
+    ) or idx.postings.n_buckets == 1
