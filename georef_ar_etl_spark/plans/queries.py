@@ -1205,6 +1205,85 @@ def q34(spark, sf_dir):
     return idx.groups()
 
 
+def _pii_sql() -> str:
+    """DuckDB mirror of text.redact_pii over deterministically PII-injected
+    text. The chain is generated from the SAME PII_PATTERNS dict the Spark
+    operator uses, in the same order (IP before PHONE — the 3-digit-octet
+    IPs injected below would otherwise take the wrong placeholder), so the
+    two engines cannot drift. Patterns are RE2-safe by design: identical
+    semantics under Java regex and DuckDB's RE2."""
+    from georef_ar_etl_spark.operators.text import PII_PATTERNS
+
+    expr = "t"
+    for tag, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{tag}>', 'g')"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com tel +54 555 '
+                  || lpad(((doc_id * 7) % 1000)::varchar, 3, '0') || '-'
+                  || lpad((doc_id % 10000)::varchar, 4, '0')
+                  || ' ip 10.120.130.' || ((doc_id % 250) + 1)::varchar AS t
+      FROM documents)
+    SELECT doc_id, {expr} AS clean_text FROM d
+    """
+
+
+# PII redaction (the standard scrub pass before pretraining): emails, phone
+# numbers and IPv4 addresses → typed placeholders, chained JVM
+# regexp_replace (codegen'd, no UDF). The corpus carries no real PII, so
+# both engines inject the same deterministic doc_id-derived email/phone/IP
+# shapes first — including 3-digit-octet IPs that exercise the
+# IP-before-PHONE pattern ordering.
+@query("q35_pii_redaction", _pii_sql())
+def q35(spark, sf_dir):
+    d = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d, F.lit("@mail.example.com tel +54 555 "),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.120.130."),
+        ((F.col("doc_id") % 250) + 1).cast("string"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.redact_pii(injected).alias("clean_text")
+    )
+
+
+_NGRAM_JACCARD_SQL = r"""
+    WITH n AS (SELECT doc_id AS id, source AS blk,
+                      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+               FROM documents),
+    s AS (SELECT id, blk,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(t) - 2, 1)),
+                   i -> substr(t, i::int, 3))) AS sh
+          FROM n)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(a.sh || b.sh)), 6) >= 0.6
+"""
+
+
+# exact blocked all-pairs n-gram Jaccard (the honest O(block²) baseline the
+# LSH family approximates; blocking bounds the quadratic the way the
+# reference's per-province loop bounds its spatial self-join,
+# georef_ar_etl/intersections.py:29-40)
+@query("q36_ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
+def q36(spark, sf_dir):
+    return doc_dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_col="source",
+        min_jaccard=0.6,
+        shingle_k=3,
+    ).select("id_a", "id_b", "jaccard")
+
+
 def _neardup_sql(n_bits=5, seed=7, dim=64, min_cos=0.25) -> str:
     planes = similarity.hyperplanes(dim, n_bits, seed)
     lits = [("[" + ", ".join(repr(float(x)) for x in row) + "]") for row in planes]
