@@ -382,3 +382,62 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_topk_quantized(
+    df,
+    query_vec: list[float],
+    centroids,
+    k: int = 10,
+    nprobe: int = 4,
+    code_col: str = "q",
+    scale_col: str = "q_scale",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+):
+    """IVF probe over int8-QUANTIZED vectors (``quantize_embeddings``
+    output): the fused scan reads codes + per-vector scale instead of the
+    float vectors — ~4x fewer input bytes, which is the probe's measured
+    bottleneck (the heavy-workload scans are memory-bandwidth-bound on this
+    box, BENCH/BASELINE.md). Dequantization (``codes * scale``) happens
+    on the fly inside the kernel; the query vector stays float (quantize
+    storage, not queries). Same single-scan plan shape as ``ivf_topk``;
+    results differ from the float path only by the documented quantization
+    error (<= scale/2 per component).
+
+    Zero-scale (all-zero) vectors must be filtered out upstream — their
+    cosine is undefined (0/0)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Csq = (C ** 2).sum(axis=1)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.asarray(probe_clusters(C, query_vec, nprobe))
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf[code_col].to_numpy()).astype(np.float64)
+            X = codes * pdf[scale_col].to_numpy()[:, None]
+            d = (X ** 2).sum(axis=1)[:, None] - 2 * (X @ C.T) + Csq[None, :]
+            keep = np.isin(d.argmin(axis=1), probe)
+            if not keep.any():
+                continue
+            Xk = X[keep]
+            sims = (Xk / np.linalg.norm(Xk, axis=1, keepdims=True)) @ qn
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[keep],
+                "score": sims,
+            })
+
+    scored = df.select(id_col, code_col, scale_col).mapInPandas(part, out_schema)
+    return (
+        scored.select(id_col, F.round("score", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

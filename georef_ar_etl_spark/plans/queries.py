@@ -1372,6 +1372,72 @@ def q26(spark, sf_dir):
     return similarity.ivf_topk(emb, qv, centroids, k=10, nprobe=3)
 
 
+def _ivf_quant_sql(n_clusters=8, n_iter=5, seed=7, nprobe=3, k=10) -> str | None:
+    """Oracle for the quantized IVF probe: the SAME float-trained centroid
+    literals as q26 (identical sample + kmeans), but assignment and scoring
+    run over the int8-DEQUANTIZED vectors (q33's quantization formula,
+    round::TINYINT then * scale), with the float query vector — exactly
+    what the fused Spark kernel computes, so equality is exact, not
+    error-bounded."""
+    try:
+        C = similarity.ivf_index_from_parquet(
+            f"{_IVF_SF_DIR}/embeddings.parquet",
+            n_clusters=n_clusters, n_iter=n_iter, seed=seed,
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{_IVF_SF_DIR}/embeddings.parquet")
+        qv = [
+            float(x)
+            for x in t.filter(np.asarray(t.column("vec_id")) == 0)
+            .column("embedding").to_pylist()[0]
+        ]
+    except FileNotFoundError:
+        return None  # testdata absent: rows-only check (see _ivf_sql note)
+    probe = similarity.probe_clusters(C, qv, nprobe)
+    lits = [("[" + ", ".join(repr(float(x)) for x in row) + "]") for row in C]
+    dists = ", ".join(f"list_distance(dv, {lit})" for lit in lits)
+    return f"""
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      coalesce(list_max(list_transform(embedding::DOUBLE[],
+                                                       x -> abs(x))), 0.0)
+                      / 127.0 AS scale
+               FROM embeddings),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> round(x / scale)::TINYINT::DOUBLE * scale) AS dv
+           FROM s WHERE scale > 0),
+    a AS (SELECT vec_id, dv, [{dists}] AS ds FROM qz),
+    c AS (SELECT vec_id, dv FROM a
+          WHERE list_position(ds, list_min(ds)) - 1 IN ({", ".join(map(str, probe))})),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(c.dv, q.qv)
+                 / (sqrt(list_dot_product(c.dv, c.dv))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+    FROM c, q
+    ORDER BY score DESC, vec_id
+    LIMIT {k}
+    """
+
+
+LAZY_ORACLE_SQL["q37_ivf_quantized_topk"] = _ivf_quant_sql
+
+
+# IVF ANN over the int8-quantized corpus (q33's codes feeding q26's probe):
+# the scan reads codes + scale instead of float vectors — 4x fewer bytes on
+# the memory-bandwidth-bound probe path — and dequantizes on the fly in the
+# fused kernel.
+@query("q37_ivf_quantized_topk")
+def q37(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = similarity.ivf_index(emb, n_clusters=8, n_iter=5, seed=7)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    quant = similarity.quantize_embeddings(emb).filter(F.col("q_scale") > 0)
+    return similarity.ivf_topk_quantized(quant, qv, centroids, k=10, nprobe=3)
+
+
 def _winnow_sql(k: int = 8, window: int = 4) -> str:
     """DuckDB mirror of text.winnow_fingerprints_udf.
 
