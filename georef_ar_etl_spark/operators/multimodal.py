@@ -172,26 +172,44 @@ def extract_features(df: DataFrame) -> DataFrame:
     truncated raster, or unsupported codec yields null decoded features and
     the reason in ``decode_error`` while byte stats are still computed —
     one bad blob in 100 TB must not kill the job. The direct
-    ``decode_media`` API keeps the hard raise for callers that want it."""
-    cols = [f.name for f in FEATURE_SCHEMA.fields]
+    ``decode_media`` API keeps the hard raise for callers that want it.
+
+    Byte stats (n_bytes/first_byte/byte_mean) are VECTORIZED across the
+    Arrow batch — all payloads concatenate into one buffer, per-row sums
+    come from one cumsum + offset-diff (the winnow_series flattened-buffer
+    technique). The per-row Python loop runs only for rows whose modality
+    actually decodes (BMP/WAV header walks are inherently per-blob); rows
+    that don't (text at a multimodal table's scale is most of them) never
+    enter Python row code."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = []
-            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["media_meta"]):
-                raw = bytes(payload)
-                arr = np.frombuffer(raw, dtype=np.uint8)
-                row = {
-                    "doc_id": doc_id,
-                    "media_type": meta["media_type"],
-                    "n_bytes": int(arr.size),
-                    "first_byte": int(arr[0]) if arr.size else None,
-                    "byte_mean": round(float(arr.mean()), 6) if arr.size else None,
-                }
+            n = len(pdf)
+            raws = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter((len(b) for b in raws), dtype=np.int64, count=n)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            flat = np.frombuffer(b"".join(raws), dtype=np.uint8)
+            cs = np.zeros(flat.size + 1, dtype=np.int64)
+            np.cumsum(flat, dtype=np.int64, out=cs[1:])
+            sums = cs[offsets[1:]] - cs[offsets[:-1]]
+            nonempty = lens > 0
+            first = np.full(n, np.nan)
+            first[nonempty] = flat[offsets[:-1][nonempty]]
+            bmean = np.full(n, np.nan)
+            bmean[nonempty] = np.round(sums[nonempty] / lens[nonempty], 6)
+
+            mt = np.array([m["media_type"] for m in pdf["media_meta"]], dtype=object)
+            dec = {
+                k: np.full(n, np.nan)
+                for k in ("width", "height", "px_mean", "sample_rate", "duration_s", "rms")
+            }
+            err = np.full(n, None, dtype=object)
+            for i in np.flatnonzero(mt != "text/plain"):
                 try:
-                    row.update(decode_media(raw, meta["media_type"]))
+                    d = decode_media(raws[i], mt[i])
                 except (
                     ValueError,
                     NotImplementedError,
@@ -199,8 +217,23 @@ def extract_features(df: DataFrame) -> DataFrame:
                     IndexError,
                     ZeroDivisionError,
                 ) as e:
-                    row["decode_error"] = f"{type(e).__name__}: {e}"
-                feats.append([row.get(c) for c in cols])
-            yield pd.DataFrame(feats, columns=cols)
+                    err[i] = f"{type(e).__name__}: {e}"
+                else:
+                    for k, v in d.items():
+                        dec[k][i] = v
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "media_type": mt,
+                "n_bytes": lens.astype("int32"),
+                "first_byte": pd.Series(first).astype("Int32"),
+                "byte_mean": bmean,
+                "width": pd.Series(dec["width"]).astype("Int32"),
+                "height": pd.Series(dec["height"]).astype("Int32"),
+                "px_mean": dec["px_mean"],
+                "sample_rate": pd.Series(dec["sample_rate"]).astype("Int32"),
+                "duration_s": dec["duration_s"],
+                "rms": dec["rms"],
+                "decode_error": err,
+            })
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
