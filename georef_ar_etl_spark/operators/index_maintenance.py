@@ -7,26 +7,41 @@ ANN index per epoch. Reference analogue: each extraction run reports its
 new/updated/deleted ID lists precisely so downstream consumers can act
 incrementally (georef_ar_etl/transformers.py:145-149, context.py:276-293).
 
-``FingerprintIndex`` maintains the exact-dedup index of a CDC state table
-(operators/doc_dedup.py's fingerprint-group family) as TWO derived snapshot
-tables under one root — the classic forward/inverted pair:
+``DerivedValueIndex`` maintains any per-row derived value of a CDC state
+table as TWO derived snapshot tables under one root — the classic
+forward/inverted pair:
 
-* ``forward``  — (doc_id, fp), hash-bucketed by **doc_id**: the lookup that
-  answers "what was this doc's previous fingerprint?" for a change set,
-  bucket-pruned to the changed keys' buckets;
-* ``postings`` — (fp, doc_id), hash-bucketed by **fp**: the membership
-  lists that make group stats (count, min-id representative) recomputable
-  per affected fingerprint — required because deleting a group's minimum
-  doc_id needs the next-smallest member, which counts alone cannot give.
+* ``forward``  — (doc_id, <value>), hash-bucketed by **doc_id**: the lookup
+  that answers "what was this doc's previous derived value?" for a change
+  set, bucket-pruned to the changed keys' buckets;
+* ``postings`` — (<value>, doc_id), hash-bucketed by **value**: the
+  membership lists that make per-value group stats (count, min-id
+  representative) recomputable per affected value — required because
+  deleting a group's minimum doc_id needs the next-smallest member, which
+  counts alone cannot give.
 
-Per-epoch cost is O(changed docs + their index buckets): fingerprints are
-computed only for changed rows (the changelog's changed-bytes contract),
-the old-fingerprint lookup reads only the forward buckets the changed keys
-hash into, and both tables commit copy-on-write epochs over exactly the
-touched buckets through the same atomic-manifest protocol as the source
-table. ``refresh`` commits postings BEFORE forward, which makes a crashed
-refresh re-runnable: until forward (the old-fp lookup source) advances,
-re-deriving the same posting deltas re-applies idempotent upserts/deletes.
+Two concrete indexes ship on top of it:
+
+* ``FingerprintIndex`` — value = md5 fingerprint of the token payload: the
+  exact-dedup group table (operators/doc_dedup.py's fingerprint family),
+  maintained without corpus rescans.
+* ``IvfClusterIndex`` — value = nearest-centroid assignment against FIXED
+  centroids (pure Catalyst arithmetic, no UDF): the IVF posting lists of
+  an ANN index (operators/similarity.py), maintained by assigning only the
+  CHANGED vectors — the alternative, retraining + reassigning the corpus
+  per epoch, is exactly what breaks at scale. (Centroid drift is handled
+  the way real ANN systems do: periodic retrain + full rebuild, which is
+  ``bootstrap`` on a fresh root.)
+
+Per-epoch cost is O(changed docs + their index buckets): derived values
+are computed only for changed rows (the changelog's changed-bytes
+contract), the old-value lookup reads only the forward buckets the changed
+keys hash into, and both tables commit copy-on-write epochs over exactly
+the touched buckets through the same atomic-manifest protocol as the
+source table. ``refresh`` commits postings BEFORE forward, which makes a
+crashed refresh re-runnable: until forward (the old-value lookup source)
+advances, re-deriving the same posting deltas re-applies idempotent
+upserts/deletes.
 
 At cluster scale both tables are Iceberg ``bucket(key, N)`` tables and the
 anti-join merge below is a storage-partitioned join; here they reuse
@@ -35,23 +50,14 @@ SnapshotTable, whose layout declares exactly that (snapshot_table.py:41-46).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from georef_ar_etl_spark.operators.dedup_events import latest_per_key
 from georef_ar_etl_spark.sinks.snapshot_table import SnapshotTable, bucket_expr
-
-FORWARD_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.StringType(), False),
-    T.StructField("fp", T.StringType(), False),
-])
-# payload key contract: first column is the row key; postings are keyed by
-# the COMPOSITE (fp, doc_id) — fp leads so the bucket column derives from it
-POSTINGS_SCHEMA = T.StructType([
-    T.StructField("fp", T.StringType(), False),
-    T.StructField("doc_id", T.StringType(), False),
-])
 
 
 def fingerprint_of_tokens(col: Column) -> Column:
@@ -61,9 +67,34 @@ def fingerprint_of_tokens(col: Column) -> Column:
     return F.md5(F.array_join(col.cast("array<string>"), ","))
 
 
-class FingerprintIndex:
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+class DerivedValueIndex:
+    """Generic changelog-maintained forward/inverted index over one derived
+    value per row. ``derive`` builds the value expression from the source
+    table's payload columns (evaluated ONLY on changed rows)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        derive: Callable[[], Column],
+        value_name: str,
+        value_type: T.DataType,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
+        self.derive = derive
+        self.value_name = value_name
+        self.forward_schema = T.StructType([
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField(value_name, value_type, False),
+        ])
+        # payload key contract: first column is the row key; postings are
+        # keyed by the COMPOSITE (value, doc_id) — value leads so the
+        # bucket column derives from it
+        self.postings_schema = T.StructType([
+            T.StructField(value_name, value_type, False),
+            T.StructField("doc_id", T.StringType(), False),
+        ])
         self.forward = SnapshotTable(spark, f"{root.rstrip('/')}/forward", n_buckets)
         self.postings = SnapshotTable(spark, f"{root.rstrip('/')}/postings", n_buckets)
 
@@ -84,22 +115,22 @@ class FingerprintIndex:
         incremental."""
         if self.forward.latest_manifest() is not None:
             return
-        fwd = state_df.select(
-            "doc_id", fingerprint_of_tokens(F.col("tokens")).alias("fp")
-        )
+        v = self.value_name
+        fwd = state_df.select("doc_id", self.derive().alias(v))
         self._commit(
             self.forward,
-            FORWARD_SCHEMA,
+            self.forward_schema,
             fwd.withColumn("bucket", bucket_expr(F.col("doc_id"), self.forward.n_buckets)),
             list(range(self.forward.n_buckets)),
             source_epoch,
             "bootstrap",
         )
-        post = fwd.select("fp", "doc_id")
         self._commit(
             self.postings,
-            POSTINGS_SCHEMA,
-            post.withColumn("bucket", bucket_expr(F.col("fp"), self.postings.n_buckets)),
+            self.postings_schema,
+            fwd.select(v, "doc_id").withColumn(
+                "bucket", bucket_expr(F.col(v), self.postings.n_buckets)
+            ),
             list(range(self.postings.n_buckets)),
             source_epoch,
             "bootstrap",
@@ -113,30 +144,32 @@ class FingerprintIndex:
         Multi-epoch ranges collapse to the latest change per doc first
         (within one epoch a key appears at most once, so ``change_epoch``
         totally orders a key's rows). Same-value delta-epoch upserts (the
-        changelog's event-based mode) are harmless here: old_fp == new_fp
-        yields no posting delta and an idempotent forward rewrite."""
+        changelog's event-based mode) are harmless here: old == new yields
+        no posting delta and an idempotent forward rewrite."""
+        v = self.value_name
+        payload = [c for c in changes_df.columns if c not in
+                   ("change_epoch", "batch_id", "op", "bucket")]
         net = latest_per_key(
-            changes_df.select("doc_id", "op", "tokens", "change_epoch"),
+            changes_df.select("op", "change_epoch", *payload),
             key="doc_id",
             order="change_epoch",
         )
         staged = net.select(
             "doc_id",
             "op",
-            F.when(F.col("op") == "upsert", fingerprint_of_tokens(F.col("tokens")))
-            .alias("new_fp"),
+            F.when(F.col("op") == "upsert", self.derive()).alias("_new"),
             bucket_expr(F.col("doc_id"), self.forward.n_buckets).alias("bucket"),
         # materialize the (small) net change set once — the touched-bucket
         # collect and the lookup join would otherwise each re-run the
         # changelog read
         ).localCheckpoint(eager=True)
-        # old-fingerprint lookup, bucket-pruned to the changed keys' forward
+        # old-value lookup, bucket-pruned to the changed keys' forward
         # buckets (the collect is metadata-sized: <= n_buckets ints)
         fwd_touched = sorted(
             r["bucket"] for r in staged.select("bucket").distinct().collect()
         )
         old_fwd = self.forward.read_state(buckets=fwd_touched).select(
-            "doc_id", F.col("fp").alias("old_fp")
+            "doc_id", F.col(v).alias("_old")
         )
         # the change set is the small side — broadcast it so the pruned
         # forward buckets never shuffle (right-outer keeps every change row)
@@ -149,45 +182,45 @@ class FingerprintIndex:
 
         # postings FIRST (see module docstring: crash-safe refresh order)
         up = F.col("op") == "upsert"
-        moved = up & (F.col("old_fp").isNull() | (F.col("old_fp") != F.col("new_fp")))
-        gone = (~up & F.col("old_fp").isNotNull()) | (
-            up & F.col("old_fp").isNotNull() & (F.col("old_fp") != F.col("new_fp"))
+        moved = up & (F.col("_old").isNull() | (F.col("_old") != F.col("_new")))
+        gone = (~up & F.col("_old").isNotNull()) | (
+            up & F.col("_old").isNotNull() & (F.col("_old") != F.col("_new"))
         )
-        post_ups = enriched.filter(moved).select(
-            F.col("new_fp").alias("fp"), "doc_id"
-        )
-        post_dels = enriched.filter(gone).select(
-            F.col("old_fp").alias("fp"), "doc_id"
-        )
+        post_ups = enriched.filter(moved).select(F.col("_new").alias(v), "doc_id")
+        post_dels = enriched.filter(gone).select(F.col("_old").alias(v), "doc_id")
         n_post = self._apply(
-            self.postings, POSTINGS_SCHEMA, post_ups, post_dels,
-            key_cols=["fp", "doc_id"],
-            bucket_of=lambda df: bucket_expr(F.col("fp"), self.postings.n_buckets),
+            self.postings, self.postings_schema, post_ups, post_dels,
+            key_cols=[v, "doc_id"],
+            bucket_of=lambda: bucket_expr(F.col(v), self.postings.n_buckets),
             source_epoch=source_epoch,
         )
 
-        fwd_ups = enriched.filter(up).select("doc_id", F.col("new_fp").alias("fp"))
-        fwd_dels = enriched.filter(~up).select("doc_id", F.lit(None).cast("string").alias("fp"))
+        fwd_ups = enriched.filter(up).select("doc_id", F.col("_new").alias(v))
+        fwd_dels = enriched.filter(~up).select("doc_id")
         n_fwd = self._apply(
-            self.forward, FORWARD_SCHEMA, fwd_ups, fwd_dels,
+            self.forward, self.forward_schema, fwd_ups, fwd_dels,
             key_cols=["doc_id"],
-            bucket_of=lambda df: bucket_expr(F.col("doc_id"), self.forward.n_buckets),
+            bucket_of=lambda: bucket_expr(F.col("doc_id"), self.forward.n_buckets),
             source_epoch=source_epoch,
             always_commit=True,  # forward tracks source_epoch even on no-ops
         )
         return {"forward_rows": n_fwd, "posting_rows": n_post}
 
     # ------------------------------------------------------------------ query
-    def groups(self, min_dups: int = 1) -> DataFrame:
-        """The fingerprint-group table (fp, n_dups, keep_id) — the same
-        output shape as doc_dedup.exact_duplicates, derived from the
-        incrementally-maintained postings instead of a corpus scan."""
+    def groups(self, min_members: int = 1) -> DataFrame:
+        """The per-value group table (<value>, n_dups, keep_id) — count and
+        min-id representative per derived value, from the incrementally-
+        maintained postings instead of a corpus scan."""
         return (
             self.postings.read_state()
-            .groupBy("fp")
+            .groupBy(self.value_name)
             .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
-            .filter(F.col("n_dups") >= min_dups)
+            .filter(F.col("n_dups") >= min_members)
         )
+
+    def members(self) -> DataFrame:
+        """The posting rows themselves: (<value>, doc_id)."""
+        return self.postings.read_state().select(self.value_name, "doc_id")
 
     # ---------------------------------------------------------------- internal
     def _commit(self, table, schema, df, touched, source_epoch, kind) -> None:
@@ -199,7 +232,7 @@ class FingerprintIndex:
             new_buckets_df=df,
             touched_buckets=touched,
             batch_id=None,
-            batch_digest=f"fpidx:{kind}:{source_epoch}",
+            batch_digest=f"dvidx:{kind}:{source_epoch}",
             metrics={"kind": kind, "source_epoch": source_epoch},
         )
 
@@ -212,8 +245,8 @@ class FingerprintIndex:
         the upserts back, commit those buckets as a new epoch. The touched
         set comes from one metadata-sized collect; untouched buckets carry
         over by reference in the manifest (zero IO)."""
-        ups_b = ups.withColumn("bucket", bucket_of(ups))
-        dels_b = dels.select(*key_cols).withColumn("bucket", bucket_of(dels))
+        ups_b = ups.withColumn("bucket", bucket_of())
+        dels_b = dels.select(*key_cols).withColumn("bucket", bucket_of())
         changed = ups_b.select(*key_cols, "bucket").unionByName(dels_b).distinct()
         touched = sorted(r["bucket"] for r in changed.select("bucket").distinct().collect())
         if not touched:
@@ -227,3 +260,60 @@ class FingerprintIndex:
         self._commit(table, schema, new, touched, source_epoch, "refresh")
         n = int(changed.count())
         return n
+
+
+class FingerprintIndex(DerivedValueIndex):
+    """Exact-dedup fingerprint index: value = md5 of the token payload.
+    ``groups()`` returns (fp, n_dups, keep_id) — the same output shape as
+    doc_dedup.exact_duplicates, maintained incrementally."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+        super().__init__(
+            spark, root,
+            derive=lambda: fingerprint_of_tokens(F.col("tokens")),
+            value_name="fp",
+            value_type=T.StringType(),
+            n_buckets=n_buckets,
+        )
+
+
+def centroid_assign_expr(vec_cols: list[Column], centroids) -> Column:
+    """Nearest-centroid assignment as a PURE CATALYST expression (codegen'd,
+    no UDF): explicit per-centroid Euclidean distance over fixed-dimension
+    columns, argmin via array_position(array_min) — first minimum wins, the
+    same tie-break as numpy argmin and DuckDB list_position. The arithmetic
+    is written term-by-term so a DuckDB oracle can inline the identical
+    formula (no list_distance, whose summation order is opaque)."""
+    dists = []
+    for c in centroids:
+        acc = None
+        for j, vx in enumerate(vec_cols):
+            term = (vx - F.lit(float(c[j]))) * (vx - F.lit(float(c[j])))
+            acc = term if acc is None else acc + term
+        dists.append(F.sqrt(acc))
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+class IvfClusterIndex(DerivedValueIndex):
+    """IVF posting-list maintenance: value = nearest-centroid cluster of a
+    fixed-dimension vector derived from the payload (``vec_of`` maps the
+    payload columns to the vector's component Columns). Centroids are FIXED
+    at construction — refresh assigns only the changed vectors, the 100 TB
+    alternative to retraining/reassigning the corpus per epoch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        centroids,
+        vec_of: Callable[[], list[Column]],
+        n_buckets: int = 16,
+    ):
+        super().__init__(
+            spark, root,
+            derive=lambda: centroid_assign_expr(vec_of(), centroids),
+            value_name="cluster",
+            value_type=T.IntegerType(),
+            n_buckets=n_buckets,
+        )

@@ -1205,6 +1205,84 @@ def q34(spark, sf_dir):
     return idx.groups()
 
 
+def _q38_centroids(sf_dir: str):
+    """Deterministic fixed centroids for the incremental IVF index: numpy
+    kmeans (similarity._kmeans_lloyd — the q26/q37 trainer) over the
+    epoch-0 init vectors, which are derivable straight from
+    documents.parquet (the same expressions as _Q24_BASE_CTES' init CTE),
+    so the Spark query and the DuckDB oracle train the IDENTICAL index."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ids = t.column("doc_id").to_numpy()
+    nch = t.column("n_chars").to_numpy()
+    order = np.argsort(ids, kind="stable")[:4096]
+    V = np.stack(
+        [ids % 89 + 1, np.zeros(len(ids), dtype=np.int64), nch % 97 + 1, (ids * 7) % 83 + 1],
+        axis=1,
+    ).astype(np.float64)[order]
+    return similarity._kmeans_lloyd(V, n_clusters=4, n_iter=3, seed=7)
+
+
+def _q38_sql() -> str | None:
+    try:
+        C = _q38_centroids(_IVF_SF_DIR)
+    except FileNotFoundError:
+        return None  # testdata absent: rows-only check (see _ivf_sql note)
+    dim = 4
+    xs = [f"x{j + 1}" for j in range(dim)]
+    dists = []
+    for c in C:
+        terms = " + ".join(
+            f"({x} - {float(c[j])!r}) * ({x} - {float(c[j])!r})"
+            for j, x in enumerate(xs)
+        )
+        dists.append(f"sqrt({terms})")
+    vcols = ", ".join(
+        f"coalesce(tokens[{j + 1}], 0)::DOUBLE AS x{j + 1}" for j in range(dim)
+    )
+    return f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")},
+    v AS (SELECT doc_id, {vcols} FROM state),
+    d AS (SELECT doc_id, [{", ".join(dists)}] AS ds FROM v)
+    SELECT doc_id, (list_position(ds, list_min(ds)) - 1)::INT AS cluster FROM d
+    """
+
+
+LAZY_ORACLE_SQL["q38_incremental_ivf_postings"] = _q38_sql
+
+
+# Incremental IVF posting-list maintenance (the ANN stretch of the q34
+# consumer): fixed centroids trained once at epoch 0; each epoch assigns
+# ONLY the changed vectors (pure-Catalyst distance argmin, no UDF) and
+# updates the cluster postings — never retrain-and-reassign the corpus.
+# The oracle assigns the FULL final state to the same inlined centroids:
+# equality proves incremental == batch.
+@query("q38_incremental_ivf_postings")
+def q38(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.operators.index_maintenance import IvfClusterIndex
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    C = _q38_centroids(sf_dir)
+    root = _ephemeral_table_root("cdc_ivfidx_q38", sf_dir)
+    eng = CdcEngine(spark, f"{root}/src", n_buckets=16)
+    eng.bootstrap(initial)
+
+    def vec_of():
+        return [
+            F.coalesce(F.get(F.col("tokens"), j).cast("double"), F.lit(0.0))
+            for j in range(4)
+        ]
+
+    idx = IvfClusterIndex(spark, f"{root}/idx", centroids=C, vec_of=vec_of, n_buckets=8)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+    for b in (0, 1, 2, 3):
+        m = eng.apply_batch(events.filter(F.col("batch_id") == b), b)
+        idx.refresh(eng.changes(idx.last_source_epoch, m["epoch"]), m["epoch"])
+    return idx.members().select("doc_id", "cluster")
+
+
 def _pii_sql() -> str:
     """DuckDB mirror of text.redact_pii over deterministically PII-injected
     text. The chain is generated from the SAME PII_PATTERNS dict the Spark

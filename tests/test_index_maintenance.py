@@ -100,3 +100,24 @@ def test_incremental_index_equals_batch_across_maintenance(spark, tmp_path):
         and len(m["touched_buckets"]) < idx.postings.n_buckets
         for m in post_ms
     ) or idx.postings.n_buckets == 1
+
+
+def test_centroid_assign_expr_matches_numpy_argmin(spark):
+    """The pure-Catalyst nearest-centroid assignment must agree with numpy
+    (same first-min tie-break) — including vectors shorter than the index
+    dimension (missing components read as 0)."""
+    import numpy as np
+
+    from georef_ar_etl_spark.operators.index_maintenance import centroid_assign_expr
+
+    C = np.array([[0.0, 0.0], [10.0, 10.0], [10.0, 10.0]])  # duplicate: tie
+    rows = [([0, 1],), ([9, 11],), ([12],), ([],)]
+    df = spark.createDataFrame(rows, "tokens array<int>")
+    vec = [
+        F.coalesce(F.get(F.col("tokens"), j).cast("double"), F.lit(0.0))
+        for j in range(2)
+    ]
+    got = [r["c"] for r in df.select(centroid_assign_expr(vec, C).alias("c")).collect()]
+    V = np.array([[0, 1], [9, 11], [12, 0], [0, 0]], dtype=float)
+    want = [int(np.argmin(np.sqrt(((v - C) ** 2).sum(axis=1)))) for v in V]
+    assert got == want  # ties -> FIRST minimum, like numpy argmin
