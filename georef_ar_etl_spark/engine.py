@@ -187,11 +187,17 @@ class CdcEngine:
     @staticmethod
     def _rescale_recommendation(worst_bytes: int, limit: int, n_buckets: int) -> int:
         """Smallest power-of-two bucket multiplier that brings the worst
-        bucket under the limit (hash bucketing splits bytes ~evenly, so
-        doubling the count halves each bucket)."""
+        bucket under 75% of the limit (hash bucketing splits bytes only
+        APPROXIMATELY evenly — without the 25% headroom a worst/limit ratio
+        just under a power of two would land the expected post-rescale
+        worst bucket exactly AT the limit, and residual hash skew would
+        re-trip the guard the error message promised the rescale clears).
+        The measured bytes include any pending MOR delta chains, which
+        rescale resolves — a conservative overestimate, in the safe
+        direction."""
         import math
 
-        factor = 2 ** math.ceil(math.log2(worst_bytes / limit))
+        factor = 2 ** math.ceil(math.log2(worst_bytes / (0.75 * limit)))
         return n_buckets * max(factor, 2)
 
     def check_bucket_sizes(self, max_bucket_bytes: int | None = None) -> dict:

@@ -116,15 +116,17 @@ class DerivedValueIndex:
         if self.forward.latest_manifest() is not None:
             return
         v = self.value_name
-        fwd = state_df.select("doc_id", self.derive().alias(v))
-        self._commit(
-            self.forward,
-            self.forward_schema,
-            fwd.withColumn("bucket", bucket_expr(F.col("doc_id"), self.forward.n_buckets)),
-            list(range(self.forward.n_buckets)),
-            source_epoch,
-            "bootstrap",
+        # (doc_id, value) is light relative to the corpus — materialize it
+        # once; the two table commits would otherwise each re-run the full
+        # state scan + derivation
+        fwd = state_df.select("doc_id", self.derive().alias(v)).localCheckpoint(
+            eager=True
         )
+        # postings FIRST, forward LAST — the same crash-safe order as
+        # refresh: forward's manifest is the progress authority (the early
+        # return above checks it), so a crash between the two commits just
+        # re-runs bootstrap, and the postings re-commit is an idempotent
+        # full overwrite
         self._commit(
             self.postings,
             self.postings_schema,
@@ -132,6 +134,14 @@ class DerivedValueIndex:
                 "bucket", bucket_expr(F.col(v), self.postings.n_buckets)
             ),
             list(range(self.postings.n_buckets)),
+            source_epoch,
+            "bootstrap",
+        )
+        self._commit(
+            self.forward,
+            self.forward_schema,
+            fwd.withColumn("bucket", bucket_expr(F.col("doc_id"), self.forward.n_buckets)),
+            list(range(self.forward.n_buckets)),
             source_epoch,
             "bootstrap",
         )
@@ -171,10 +181,18 @@ class DerivedValueIndex:
         old_fwd = self.forward.read_state(buckets=fwd_touched).select(
             "doc_id", F.col(v).alias("_old")
         )
-        # the change set is the small side — broadcast it so the pruned
-        # forward buckets never shuffle (right-outer keeps every change row)
+        # two-step lookup so the pruned forward buckets never shuffle:
+        # (1) broadcast LEFT-SEMI trim — broadcasting the change keys into
+        # the bucket scan is supported (build side = semi's right), unlike a
+        # broadcast hint on the preserved side of an outer join, which Spark
+        # silently ignores (the join would degrade to shuffling the whole
+        # bucket read); (2) the outer join is then small ⋈ small, with the
+        # trimmed lookup (<= |changes| rows) as the broadcast build side.
+        trimmed = old_fwd.join(
+            F.broadcast(staged.select("doc_id")), "doc_id", "left_semi"
+        )
         enriched = (
-            old_fwd.join(F.broadcast(staged), "doc_id", "right")
+            staged.join(F.broadcast(trimmed), "doc_id", "left")
             # materialize once: four downstream frames derive from this —
             # without the checkpoint each would re-run the lookup join
             .localCheckpoint(eager=True)

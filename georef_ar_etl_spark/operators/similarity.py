@@ -405,8 +405,10 @@ def ivf_topk_quantized(
     results differ from the float path only by the documented quantization
     error (<= scale/2 per component).
 
-    Zero-scale (all-zero) vectors must be filtered out upstream — their
-    cosine is undefined (0/0)."""
+    Zero-scale (all-zero) vectors — which ``quantize_embeddings``
+    deliberately emits — are DROPPED inside the kernel: their cosine is
+    undefined (0/0 → NaN, which Spark sorts above every real score and
+    would silently fill the top-k with junk)."""
     C = np.asarray(centroids, dtype=np.float64)
     Csq = (C ** 2).sum(axis=1)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -423,9 +425,10 @@ def ivf_topk_quantized(
             if pdf.empty:
                 continue
             codes = np.stack(pdf[code_col].to_numpy()).astype(np.float64)
-            X = codes * pdf[scale_col].to_numpy()[:, None]
+            scales = pdf[scale_col].to_numpy().astype(np.float64)
+            X = codes * scales[:, None]
             d = (X ** 2).sum(axis=1)[:, None] - 2 * (X @ C.T) + Csq[None, :]
-            keep = np.isin(d.argmin(axis=1), probe)
+            keep = np.isin(d.argmin(axis=1), probe) & (scales > 0)
             if not keep.any():
                 continue
             Xk = X[keep]

@@ -113,8 +113,14 @@ class SnapshotTable:
             if name.startswith("epoch-") and name.endswith(".json"):
                 m = self._manifest_cache.get(name)
                 if m is None:
-                    with open(os.path.join(mdir, name)) as f:
-                        m = json.load(f)
+                    try:
+                        with open(os.path.join(mdir, name)) as f:
+                            m = json.load(f)
+                    except FileNotFoundError:
+                        # a vacuum in ANOTHER process expired this manifest
+                        # between our listdir and open — it is gone, not
+                        # broken; a cross-process reader must skip, not die
+                        continue
                     self._manifest_cache[name] = m
                 out.append(m)
         return out
@@ -138,12 +144,20 @@ class SnapshotTable:
         polling ``read_changes``, a monitor calling ``table_stats``) observes
         new heads instead of serving the first one it ever read. The token is
         taken BEFORE the listing — a commit racing the listing at worst
-        triggers one redundant re-list on the next call, never a stale head."""
+        triggers one redundant re-list on the next call, never a stale head.
+
+        Coarse-timestamp guard: file mtimes tick at kernel-jiffy granularity
+        (ms), so a commit landing in the SAME tick as the one we cached
+        would not change the token. A token younger than 100 ms is
+        therefore never trusted — the dir was modified "just now" and
+        another same-tick commit may follow; once quiescent, the cache
+        holds."""
         tok = self._mdir_token()
-        if self._latest_token != tok:
+        recent = tok > 0 and (time.time_ns() - tok) < 100_000_000
+        if self._latest_token != tok or recent:
             ms = self.manifests()
             self._latest_cache = ms[-1] if ms else None
-            self._latest_token = tok
+            self._latest_token = None if recent else tok
         return self._latest_cache
 
     def manifest_for_epoch(self, epoch: int) -> dict:
@@ -179,7 +193,10 @@ class SnapshotTable:
             tok = os.stat(p).st_mtime_ns
         except FileNotFoundError:
             tok = -1
-        if self._expired_cache is not None and self._expired_token == tok:
+        # never trust a token younger than the mtime tick (see
+        # latest_manifest: a same-tick rewrite would be invisible)
+        recent = tok > 0 and (time.time_ns() - tok) < 100_000_000
+        if self._expired_cache is not None and self._expired_token == tok and not recent:
             return self._expired_cache
         if tok == -1:
             self._expired_cache = {}
@@ -187,7 +204,7 @@ class SnapshotTable:
             with open(p) as f:
                 raw = json.load(f)
             self._expired_cache = {int(k): v for k, v in raw.items()}
-        self._expired_token = tok
+        self._expired_token = None if recent else tok
         return self._expired_cache
 
     # ---------------------------------------------------------------- vacuum

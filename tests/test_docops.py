@@ -390,3 +390,23 @@ def test_quantize_dequantize_error_bound(spark, emb):
     z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
     r = similarity.quantize_embeddings(z).collect()[0]
     assert r["q_scale"] == 0.0 and list(r["q"]) == [0, 0, 0]
+
+
+def test_ivf_quantized_probe_drops_zero_vectors(spark):
+    """Zero-scale (all-zero) vectors — which quantize_embeddings
+    deliberately emits — must be DROPPED by the quantized probe kernel:
+    their cosine is 0/0, and a NaN score would sort above every real score
+    and fill the top-k with junk."""
+    import math
+
+    from georef_ar_etl_spark.operators import similarity
+
+    rows = [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [2.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = similarity.quantize_embeddings(emb)
+    out = similarity.ivf_topk_quantized(
+        q, [1.0, 1.0], [[0.0, 0.0], [2.0, 2.0]], k=5, nprobe=2
+    ).collect()
+    ids = sorted(r["vec_id"] for r in out)
+    assert ids == [0, 2], ids  # the zero vector never appears
+    assert all(not math.isnan(r["score"]) for r in out)
