@@ -1205,6 +1205,37 @@ def q34(spark, sf_dir):
     return idx.groups()
 
 
+# Same oracle as q30 (per-epoch VALUE diffs), but the engine runs
+# merge-on-read (mor_rewrite_ratio=1.0 forces DELTA epochs, whose default
+# changelog is event-based) and the read passes value_diff=True — proving
+# the flag makes the changelog mode-independent end-to-end: physical delta
+# layout in, exact value-diff rows out, hash-equal to the SQL state diffs.
+@query("q39_cdc_changelog_value_diff", _q30_sql())
+def q39(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("cdc_changelog_q39", sf_dir)
+    eng = CdcEngine(
+        spark, root, n_buckets=16, mor_rewrite_ratio=1.0, mor_max_deltas=8
+    )
+    eng.bootstrap(initial)
+    manifests = eng.replay(events, batch_ids=[0, 1, 2, 3])
+    if not any(m["metrics"]["merge_modes"]["delta"] for m in manifests):
+        # every epoch rewrote -> this query would degenerate to q30 and
+        # stop testing the value_diff post-filter; fail loudly instead
+        raise AssertionError("q39 requires at least one delta epoch")
+    return eng.changes(0, 4, value_diff=True).select(
+        "change_epoch",
+        "batch_id",
+        "op",
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )
+
+
 def _q38_centroids(sf_dir: str):
     """Deterministic fixed centroids for the incremental IVF index: numpy
     kmeans (similarity._kmeans_lloyd — the q26/q37 trainer) over the
