@@ -178,21 +178,8 @@ class DerivedValueIndex:
         fwd_touched = sorted(
             r["bucket"] for r in staged.select("bucket").distinct().collect()
         )
-        old_fwd = self.forward.read_state(buckets=fwd_touched).select(
-            "doc_id", F.col(v).alias("_old")
-        )
-        # two-step lookup so the pruned forward buckets never shuffle:
-        # (1) broadcast LEFT-SEMI trim — broadcasting the change keys into
-        # the bucket scan is supported (build side = semi's right), unlike a
-        # broadcast hint on the preserved side of an outer join, which Spark
-        # silently ignores (the join would degrade to shuffling the whole
-        # bucket read); (2) the outer join is then small ⋈ small, with the
-        # trimmed lookup (<= |changes| rows) as the broadcast build side.
-        trimmed = old_fwd.join(
-            F.broadcast(staged.select("doc_id")), "doc_id", "left_semi"
-        )
         enriched = (
-            staged.join(F.broadcast(trimmed), "doc_id", "left")
+            self._lookup_old(staged, fwd_touched)
             # materialize once: four downstream frames derive from this —
             # without the checkpoint each would re-run the lookup join
             .localCheckpoint(eager=True)
@@ -223,6 +210,24 @@ class DerivedValueIndex:
             always_commit=True,  # forward tracks source_epoch even on no-ops
         )
         return {"forward_rows": n_fwd, "posting_rows": n_post}
+
+    def _lookup_old(self, staged: DataFrame, fwd_touched: list[int]) -> DataFrame:
+        """Old-value lookup for a change set — two-step so the pruned
+        forward buckets never shuffle: (1) broadcast LEFT-SEMI trim of the
+        bucket scan by the change keys (broadcasting the semi's right/build
+        side is supported, unlike a broadcast hint on the preserved side of
+        an outer join, which Spark silently ignores — the join would
+        degrade to shuffling the whole bucket read); (2) the outer join is
+        then small ⋈ small, with the trimmed lookup (<= |changes| rows) as
+        the broadcast build side. Plan shape pinned in
+        tests/test_plan_shapes.py."""
+        old_fwd = self.forward.read_state(buckets=fwd_touched).select(
+            "doc_id", F.col(self.value_name).alias("_old")
+        )
+        trimmed = old_fwd.join(
+            F.broadcast(staged.select("doc_id")), "doc_id", "left_semi"
+        )
+        return staged.join(F.broadcast(trimmed), "doc_id", "left")
 
     # ------------------------------------------------------------------ query
     def groups(self, min_members: int = 1) -> DataFrame:

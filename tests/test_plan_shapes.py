@@ -102,3 +102,56 @@ def test_repetition_features_stay_jvm_side(spark):
     p = plan(QUERY_FNS["q31_repetition_quality"](spark, SF_DIR))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "mapinpandas" not in p.lower()
+
+
+def test_quantized_probe_scan_prunes_float_vectors(spark, tmp_path):
+    """The point of the int8-quantized IVF probe is reading codes + scale
+    instead of float vectors — so when both live in one table, the probe's
+    parquet scan must NOT read the float embedding column."""
+    from georef_ar_etl_spark.operators import similarity
+
+    emb = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "array(cast(id % 7 AS double), cast(id % 5 AS double)) AS embedding",
+    )
+    path = str(tmp_path / "qtab")
+    similarity.quantize_embeddings(emb).write.parquet(path)
+    qdf = spark.read.parquet(path)
+    probe = similarity.ivf_topk_quantized(
+        qdf, [1.0, 1.0], [[0.0, 0.0], [5.0, 5.0]], k=5, nprobe=1
+    )
+    p = plan(probe)
+    assert "embedding" not in p.split("ReadSchema")[-1]
+    assert "q_scale" in p and "vec_id" in p
+
+
+def test_index_refresh_lookup_never_shuffles_the_bucket_read(spark, tmp_path):
+    """The incremental index's old-value lookup must be broadcast end to
+    end (semi-trim + small-small join) — a shuffle here re-moves the whole
+    pruned forward-bucket read per refresh, the exact cost the changelog
+    consumer exists to avoid. (A broadcast hint on the preserved side of an
+    outer join is silently ignored by Spark — this pins the supported
+    formulation.)"""
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.operators.index_maintenance import FingerprintIndex
+    from georef_ar_etl_spark.sinks.snapshot_table import bucket_expr
+
+    initial = datagen.gen_initial_state(150, seed=31, max_len=8)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0))
+    staged = (
+        datagen.state_to_df(spark, initial[:5])
+        .select(
+            "doc_id",
+            F.lit("upsert").alias("op"),
+            F.md5(F.array_join(F.col("tokens").cast("array<string>"), ",")).alias("_new"),
+            bucket_expr(F.col("doc_id"), 4).alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = plan(idx._lookup_old(staged, [0, 1, 2, 3]))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
