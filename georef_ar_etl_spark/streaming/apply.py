@@ -27,6 +27,17 @@ from georef_ar_etl_spark.engine import CdcEngine
 from georef_ar_etl_spark.schemas import EVENT_SCHEMA
 
 
+def _refresh_consumers(engine: CdcEngine, consumers) -> None:
+    head_m = engine.table.latest_manifest()
+    if head_m is None:
+        return
+    head = head_m["epoch"]
+    for c in consumers:
+        last = c.last_source_epoch
+        if last is not None and last < head:
+            c.refresh(engine.changes(last, head), head)
+
+
 def stream_apply(
     spark: SparkSession,
     engine: CdcEngine,
@@ -35,13 +46,27 @@ def stream_apply(
     schema: T.StructType | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    consumers=(),
 ):
     """Consume event parquet files from ``events_dir`` and apply them.
 
     ``available_now=True`` drains everything currently in the directory and
     stops (the batch-replay mode); ``False`` runs continuously tailing new
     files (the WAL-tail mode).
-    """
+
+    ``consumers``: changelog consumers kept fresh alongside the stream —
+    anything with the DerivedValueIndex protocol (``last_source_epoch`` +
+    ``refresh(changes_df, to_epoch)``, operators/index_maintenance.py).
+    Each trigger applies its change batches, then refreshes every consumer
+    over the new epoch range (one multi-epoch changelog read per trigger —
+    the latest-change-per-doc collapse makes that equivalent to per-epoch
+    refreshes). Consumers also CATCH UP before the stream starts: their
+    progress lives in their own index manifests, so a crash after the
+    engine's commit but before a refresh — or a previous run that drained
+    the directory — is healed on the next call even if no new file ever
+    arrives (foreachBatch would then never fire)."""
+    _refresh_consumers(engine, consumers)  # heal lag before tailing
+
     reader = spark.readStream.schema(schema or EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -54,6 +79,7 @@ def stream_apply(
         ]
         for b in batch_ids:
             engine.apply_batch(df.filter(F.col("batch_id") == b), b)
+        _refresh_consumers(engine, consumers)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

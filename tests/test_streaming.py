@@ -199,3 +199,62 @@ def test_stream_apply_continuous_tail(spark, tmp_path):
     epochs_before = [m["epoch"] for m in eng.table.manifests()]
     stream_apply(spark, eng, str(landing), ckpt)
     assert [m["epoch"] for m in eng.table.manifests()] == epochs_before
+
+
+def test_stream_apply_keeps_changelog_consumers_fresh(spark, tmp_path):
+    """The streaming front-end refreshes registered changelog consumers per
+    trigger, and heals a lagging consumer at stream start — even when no
+    new file arrives (foreachBatch never fires after a full drain)."""
+    from pyspark.sql import functions as F
+
+    from georef_ar_etl_spark.operators.index_maintenance import (
+        FingerprintIndex,
+        fingerprint_of_tokens,
+    )
+
+    initial = datagen.gen_initial_state(150, seed=23, max_len=12)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=300, n_batches=4, seed=24, max_len=12
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+
+    def recompute():
+        return sorted(
+            (r["fp"], r["n_dups"], r["keep_id"])
+            for r in eng.state()
+            .select(fingerprint_of_tokens(F.col("tokens")).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+            .collect()
+        )
+
+    def current():
+        return sorted(
+            (r["fp"], r["n_dups"], r["keep_id"]) for r in idx.groups().collect()
+        )
+
+    # drain two segments with the consumer attached → fresh after the drain
+    for b in (0, 1):
+        _write_batch_file(events, b, str(landing))
+    stream_apply(spark, eng, str(landing), ckpt, consumers=[idx])
+    assert idx.last_source_epoch == eng.table.latest_manifest()["epoch"]
+    assert current() == recompute()
+
+    # simulate a crashed refresh: apply two more segments WITHOUT the
+    # consumer (engine ahead, index behind) …
+    for b in (2, 3):
+        _write_batch_file(events, b, str(landing))
+    stream_apply(spark, eng, str(landing), ckpt)
+    assert idx.last_source_epoch < eng.table.latest_manifest()["epoch"]
+
+    # … then a consumer-attached call with NOTHING new to read still heals
+    # the lag via the start-of-stream catch-up
+    stream_apply(spark, eng, str(landing), ckpt, consumers=[idx])
+    assert idx.last_source_epoch == eng.table.latest_manifest()["epoch"]
+    assert current() == recompute()
