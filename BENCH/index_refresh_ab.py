@@ -41,6 +41,8 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    if trials < 1:
+        raise SystemExit("trials must be >= 1")  # fail before the expensive setup
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     cache = os.environ.get("BENCH_CACHE_DIR", os.path.join(shm, "cdc_bench_cache"))
     root = os.path.join(shm, "idx_refresh_ab")

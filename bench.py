@@ -169,6 +169,7 @@ def main() -> None:
         n_events=join_events,
         n_batches=4,
         merge_impl="join",
+        trials=int(os.environ.get("BENCH_JOIN_TRIALS", "2")),
     )
     cdc["cdc_join_merge_events_per_sec"] = cdc_join["cdc_events_per_sec"]
     times["cdc_replay_join_merge"] = cdc_join["cdc_replay_sec"]

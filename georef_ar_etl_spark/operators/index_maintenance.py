@@ -108,6 +108,22 @@ class DerivedValueIndex:
         m = self.forward.latest_manifest()
         return None if m is None else int(m["metrics"]["source_epoch"])
 
+    @property
+    def pending_refresh_epoch(self) -> int | None:
+        """Non-None when a refresh tore between its two commits: postings
+        reached this source epoch but forward did not. The NEXT refresh must
+        target exactly this epoch (re-deriving the same deltas is
+        idempotent); a WIDER range would compute posting deletes from the
+        stale forward values and leave the torn refresh's posting rows
+        behind as phantoms. ``refresh`` enforces this; stream_apply's
+        consumer loop heals it automatically."""
+        pm = self.postings.latest_manifest()
+        fm = self.forward.latest_manifest()
+        if pm is None or fm is None:
+            return None
+        p, f = int(pm["metrics"]["source_epoch"]), int(fm["metrics"]["source_epoch"])
+        return p if p > f else None
+
     # --------------------------------------------------------------- bootstrap
     def bootstrap(self, state_df: DataFrame, source_epoch: int = 0) -> None:
         """Full computation ONCE, at the source epoch the index starts from
@@ -156,6 +172,15 @@ class DerivedValueIndex:
         totally orders a key's rows). Same-value delta-epoch upserts (the
         changelog's event-based mode) are harmless here: old == new yields
         no posting delta and an idempotent forward rewrite."""
+        pending = self.pending_refresh_epoch
+        if pending is not None and source_epoch != pending:
+            raise ValueError(
+                f"torn refresh detected: postings reached source epoch "
+                f"{pending} but forward did not — re-run "
+                f"refresh(changes({self.last_source_epoch}, {pending}), "
+                f"{pending}) first (idempotent), then continue; a wider "
+                f"range would strand the torn refresh's posting rows"
+            )
         v = self.value_name
         payload = [c for c in changes_df.columns if c not in
                    ("change_epoch", "batch_id", "op", "bucket")]

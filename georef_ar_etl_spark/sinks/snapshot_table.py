@@ -65,6 +65,14 @@ DATA_DIR = "data"
 QUARANTINE_DIR = "quarantine"
 METRICS_LOG = "metrics.jsonl"
 
+# Freshness-token distrust window (see latest_manifest): a dir mtime
+# younger than this is never trusted, because a second same-tick commit
+# would not change it. 100 ms covers Linux jiffy-granularity timestamps —
+# an ASSUMPTION, not a law: on coarser-mtime filesystems (1 s exFAT/NFS)
+# or with >100 ms cross-host clock skew, raise it to the granularity/skew
+# bound, at the cost of more re-listings in that window.
+FRESHNESS_WINDOW_NS = 100_000_000
+
 
 def bucket_expr(key_col, n_buckets: int):
     """The table's bucketing function — MUST be identical everywhere
@@ -146,14 +154,15 @@ class SnapshotTable:
         taken BEFORE the listing — a commit racing the listing at worst
         triggers one redundant re-list on the next call, never a stale head.
 
-        Coarse-timestamp guard: file mtimes tick at kernel-jiffy granularity
-        (ms), so a commit landing in the SAME tick as the one we cached
-        would not change the token. A token younger than 100 ms is
-        therefore never trusted — the dir was modified "just now" and
-        another same-tick commit may follow; once quiescent, the cache
-        holds."""
+        Coarse-timestamp guard: a commit landing in the SAME filesystem
+        timestamp tick as the one we cached would not change the token, so
+        a token younger than FRESHNESS_WINDOW_NS is never trusted — the dir
+        was modified "just now" and another same-tick commit may follow;
+        once quiescent, the cache holds. The window must exceed the
+        filesystem's mtime granularity plus any cross-host clock skew (see
+        the constant's note)."""
         tok = self._mdir_token()
-        recent = tok > 0 and (time.time_ns() - tok) < 100_000_000
+        recent = tok > 0 and (time.time_ns() - tok) < FRESHNESS_WINDOW_NS
         if self._latest_token != tok or recent:
             ms = self.manifests()
             self._latest_cache = ms[-1] if ms else None
@@ -195,7 +204,7 @@ class SnapshotTable:
             tok = -1
         # never trust a token younger than the mtime tick (see
         # latest_manifest: a same-tick rewrite would be invisible)
-        recent = tok > 0 and (time.time_ns() - tok) < 100_000_000
+        recent = tok > 0 and (time.time_ns() - tok) < FRESHNESS_WINDOW_NS
         if self._expired_cache is not None and self._expired_token == tok and not recent:
             return self._expired_cache
         if tok == -1:

@@ -34,7 +34,21 @@ def _refresh_consumers(engine: CdcEngine, consumers) -> None:
     head = head_m["epoch"]
     for c in consumers:
         last = c.last_source_epoch
-        if last is not None and last < head:
+        if last is None:
+            # silently skipping would leave the index empty forever while
+            # the stream reports success — fail loudly instead
+            raise ValueError(
+                f"changelog consumer {type(c).__name__} is not bootstrapped "
+                f"(last_source_epoch is None) — call bootstrap() before "
+                f"attaching it to stream_apply"
+            )
+        # heal a torn refresh (crash between the consumer's two table
+        # commits) by re-running exactly that range first — idempotent
+        pending = getattr(c, "pending_refresh_epoch", None)
+        if pending is not None:
+            c.refresh(engine.changes(last, pending), pending)
+            last = c.last_source_epoch
+        if last < head:
             c.refresh(engine.changes(last, head), head)
 
 

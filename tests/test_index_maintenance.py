@@ -121,3 +121,96 @@ def test_centroid_assign_expr_matches_numpy_argmin(spark):
     V = np.array([[0, 1], [9, 11], [12, 0], [0, 0]], dtype=float)
     want = [int(np.argmin(np.sqrt(((v - C) ** 2).sum(axis=1)))) for v in V]
     assert got == want  # ties -> FIRST minimum, like numpy argmin
+
+
+def test_torn_refresh_detected_and_healed(spark, tmp_path):
+    """A refresh that crashes between the postings commit and the forward
+    commit leaves pending_refresh_epoch set; a WIDER follow-up range is
+    refused (it would compute posting deletes from stale forward values and
+    strand the torn refresh's posting rows as phantoms), while re-running
+    exactly the pending range heals idempotently and the index converges to
+    the batch recompute."""
+    import pytest
+
+    initial = datagen.gen_initial_state(120, seed=111, max_len=8)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=120, n_batches=3, seed=112, max_len=8
+    )
+    evdf = datagen.events_to_df(spark, events)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0))
+
+    m0 = eng.apply_batch(evdf.filter(F.col("batch_id") == 0), 0)
+    idx.refresh(eng.changes(0, m0["epoch"]), m0["epoch"])
+    assert idx.pending_refresh_epoch is None
+
+    # crash the refresh between its two commits
+    m1 = eng.apply_batch(evdf.filter(F.col("batch_id") == 1), 1)
+    orig = idx._apply
+
+    def torn(table, *a, **k):
+        if table is idx.forward:
+            raise RuntimeError("simulated crash after postings commit")
+        return orig(table, *a, **k)
+
+    idx._apply = torn
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.refresh(eng.changes(idx.last_source_epoch, m1["epoch"]), m1["epoch"])
+    del idx._apply  # restore the class method
+    assert idx.pending_refresh_epoch == m1["epoch"]
+    assert idx.last_source_epoch == m0["epoch"]  # never claims the torn epoch
+
+    # a wider range is refused with the heal instruction
+    m2 = eng.apply_batch(evdf.filter(F.col("batch_id") == 2), 2)
+    with pytest.raises(ValueError, match="torn refresh"):
+        idx.refresh(eng.changes(idx.last_source_epoch, m2["epoch"]), m2["epoch"])
+
+    # heal exactly the pending range (idempotent), then continue
+    idx.refresh(eng.changes(idx.last_source_epoch, m1["epoch"]), m1["epoch"])
+    assert idx.pending_refresh_epoch is None
+    idx.refresh(eng.changes(idx.last_source_epoch, m2["epoch"]), m2["epoch"])
+    assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state()))
+
+
+def test_stream_heal_of_torn_refresh(spark, tmp_path):
+    """stream_apply's consumer loop performs the torn-refresh heal
+    automatically before widening the range."""
+    import pytest
+
+    from georef_ar_etl_spark.streaming.apply import _refresh_consumers
+
+    initial = datagen.gen_initial_state(100, seed=113, max_len=8)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=80, n_batches=2, seed=114, max_len=8
+    )
+    evdf = datagen.events_to_df(spark, events)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0))
+
+    m0 = eng.apply_batch(evdf.filter(F.col("batch_id") == 0), 0)
+    orig = idx._apply
+
+    def torn(table, *a, **k):
+        if table is idx.forward:
+            raise RuntimeError("boom")
+        return orig(table, *a, **k)
+
+    idx._apply = torn
+    with pytest.raises(RuntimeError):
+        idx.refresh(eng.changes(0, m0["epoch"]), m0["epoch"])
+    del idx._apply
+    eng.apply_batch(evdf.filter(F.col("batch_id") == 1), 1)
+
+    _refresh_consumers(eng, [idx])  # heals pending, then catches up to head
+    assert idx.pending_refresh_epoch is None
+    assert idx.last_source_epoch == eng.table.latest_manifest()["epoch"]
+    assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state()))
+
+    # un-bootstrapped consumers fail loudly instead of silently staying empty
+    fresh = FingerprintIndex(spark, str(tmp_path / "idx2"), n_buckets=4)
+    with pytest.raises(ValueError, match="not bootstrapped"):
+        _refresh_consumers(eng, [fresh])

@@ -134,7 +134,10 @@ def test_index_refresh_lookup_never_shuffles_the_bucket_read(spark, tmp_path):
     formulation.)"""
     from georef_ar_etl_spark import datagen
     from georef_ar_etl_spark.engine import CdcEngine
-    from georef_ar_etl_spark.operators.index_maintenance import FingerprintIndex
+    from georef_ar_etl_spark.operators.index_maintenance import (
+        FingerprintIndex,
+        fingerprint_of_tokens,
+    )
     from georef_ar_etl_spark.sinks.snapshot_table import bucket_expr
 
     initial = datagen.gen_initial_state(150, seed=31, max_len=8)
@@ -147,7 +150,7 @@ def test_index_refresh_lookup_never_shuffles_the_bucket_read(spark, tmp_path):
         .select(
             "doc_id",
             F.lit("upsert").alias("op"),
-            F.md5(F.array_join(F.col("tokens").cast("array<string>"), ",")).alias("_new"),
+            fingerprint_of_tokens(F.col("tokens")).alias("_new"),
             bucket_expr(F.col("doc_id"), 4).alias("bucket"),
         )
         .localCheckpoint(eager=True)
