@@ -110,3 +110,38 @@ def deterministic_sample(
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     threshold = int(round(fraction * N_BUCKETS))
     return df.filter(hash_bucket(F.col(key_col), hash_fn, salt=salt) < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    len_col: str = "n_tok",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    out_col: str = "pack_seq",
+) -> DataFrame:
+    """Deterministic greedy sequence packing for pretraining batches.
+
+    Documents are laid out in (group, id) order and cut into packs of
+    ~``capacity`` length units; a document crossing a pack boundary goes
+    WHOLE into the pack where it STARTS (overflow-allowed greedy fill —
+    pack length is bounded by ``capacity + max_doc_len - 1``, the standard
+    don't-split-documents packing discipline). The assignment is a pure
+    prefix-sum: ``pack = floor((running_total - len) / capacity)`` — one
+    window per group, no sequential state, so unlike first-fit bin packing
+    it is deterministic under any partitioning AND expressible identically
+    in SQL engines (the q41 oracle).
+
+    Scale posture: the window shuffles one group per partition; at corpus
+    scale ``group_col`` (source / shard) is the storage partition column,
+    making packing partition-local — the distributed packing discipline
+    (a GLOBAL greedy pack would serialize the corpus through one task).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    cum = F.sum(len_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.floor((cum - F.col(len_col)) / F.lit(capacity)).cast("int"),
+    )

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from georef_ar_etl_spark.operators.text import char_shingles, fingerprint, norm_text
+from georef_ar_etl_spark.operators.text import (
+    char_shingles,
+    fingerprint,
+    norm_text,
+    winnow_fingerprints_udf,
+)
 
 
 # ------------------------------------------------------------------- exact
@@ -277,6 +282,47 @@ def ngram_jaccard_pairs(
     )
     normed.unpersist()
     return out
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring-share candidate pairs via winnowing fingerprints —
+    the retrieval step of MOSS (Schleimer et al.) on top of
+    text.winnow_fingerprints_udf: two documents sharing a fingerprint are
+    guaranteed to share a >= k-char exact substring, so this is the
+    scalable candidate generator for substring-level dedup (Lee et al.,
+    "Deduplicating Training Data...") — O(docs x fingerprints), never an
+    all-pairs text comparison.
+
+    ``max_doc_freq`` drops fingerprints appearing in more than that many
+    documents (MOSS's stop-fingerprint practice): ubiquitous substrings
+    (boilerplate, whitespace runs) would otherwise each contribute a
+    quadratic pair group — which is also the hot-key skew bound for the
+    fingerprint shuffle at corpus scale. Returns (id_a, id_b, n_shared)
+    with id_a < id_b, n_shared = |shared fingerprint set|.
+    """
+    winnow = winnow_fingerprints_udf(k=k, window=window)
+    ex = df.select(F.col(id_col).alias("id"), winnow(F.col(text_col)).alias("fps")) \
+        .select("id", F.explode("fps").alias("fp"))
+    if max_doc_freq is not None:
+        # fps are a per-doc SET (winnowing dedups), so count(*) = doc freq;
+        # the keep-list is small → broadcast semi join, no extra shuffle of ex
+        keep = ex.groupBy("fp").count().filter(F.col("count") <= max_doc_freq)
+        ex = ex.join(F.broadcast(keep.select("fp")), "fp", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 # ----------------------------------------------------------------- simhash

@@ -1314,6 +1314,38 @@ def q38(spark, sf_dir):
     return idx.members().select("doc_id", "cluster")
 
 
+_Q41_SQL = """
+    WITH p AS (
+      SELECT source, doc_id, n_chars,
+             floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                    - n_chars) / 4000)::INT AS pack_seq
+      FROM documents)
+    SELECT source, pack_seq, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_fp
+    FROM p GROUP BY 1, 2
+"""
+
+
+# deterministic greedy sequence packing (pretraining batch layout): docs in
+# (source, doc_id) order cut into ~4000-unit packs, a doc going whole into
+# the pack where it starts — a pure window prefix-sum, so the assignment is
+# identical under any partitioning and in any SQL engine.
+@query("q41_sequence_packing", _Q41_SQL)
+def q41(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    packed = corpus.pack_sequences(d, capacity=4000, len_col="n_chars")
+    return packed.groupBy("source", "pack_seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ",")
+        ).alias("docs_fp"),
+    )
+
+
 def _pii_sql() -> str:
     """DuckDB mirror of text.redact_pii over deterministically PII-injected
     text. The chain is generated from the SAME PII_PATTERNS dict the Spark
@@ -1557,9 +1589,19 @@ def _winnow_sql(k: int = 8, window: int = 4) -> str:
     Text is ASCII in the testdata, so ``ascii(substr(...))`` equals the
     utf-8 byte the kernel hashes.
     """
-    win_mins = ", ".join(f"hs[(w + {r})::int]" for r in range(window))
     return f"""
-    WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+    WITH {_winnow_fps_ctes(k, window)}
+    SELECT doc_id, md5(array_to_string(fps, ',')) AS fp, len(fps)::int AS n_fp
+    FROM fp
+    """
+
+
+def _winnow_fps_ctes(k: int = 8, window: int = 4) -> str:
+    """Shared CTE prefix computing each document's winnowing fingerprint
+    SET (d → h → fp), used by the q27 fingerprint oracle and the q40
+    candidate-pair oracle so the two cannot drift."""
+    win_mins = ", ".join(f"hs[(w + {r})::int]" for r in range(window))
+    return f"""d AS (SELECT doc_id, lower(text) AS s FROM documents),
     h AS (SELECT doc_id,
                  list_transform(generate_series(1, greatest(length(s) - {k - 1}, 0)),
                                 i -> {_poly_hash_terms("s", k)}) AS hs
@@ -1571,10 +1613,7 @@ def _winnow_sql(k: int = 8, window: int = 4) -> str:
                               generate_series(1, len(hs) - {window - 1}),
                               w -> least({win_mins}))))
                   END AS fps
-           FROM h)
-    SELECT doc_id, md5(array_to_string(fps, ',')) AS fp, len(fps)::int AS n_fp
-    FROM fp
-    """
+           FROM h)"""
 
 
 # winnowing rolling-hash fingerprints (MOSS-style; Schleimer et al.) —
@@ -1590,4 +1629,29 @@ def q27(spark, sf_dir):
         "doc_id",
         _arr_fp(F.col("fingerprints")).alias("fp"),
         F.size("fingerprints").alias("n_fp"),
+    )
+
+
+_Q40_SQL = f"""
+    WITH {_winnow_fps_ctes()},
+    e AS (SELECT doc_id AS id, unnest(fps) AS fp FROM fp),
+    keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 4),
+    e2 AS (SELECT e.id, e.fp FROM e JOIN keep USING (fp))
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+    FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
+
+# substring-share candidate retrieval on top of the winnowing fingerprints
+# (the MOSS pipeline completed: fingerprint -> shared-fingerprint pairs);
+# docs sharing a fingerprint share a >= k-char exact substring. The
+# doc-frequency cap (<= 4 docs per fingerprint) is the stop-fingerprint /
+# hot-key bound — ubiquitous substrings would contribute quadratic groups.
+@query("q40_winnow_candidate_pairs", _Q40_SQL)
+def q40(spark, sf_dir):
+    return doc_dedup.winnow_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=8, window=4, min_shared=2, max_doc_freq=4,
     )

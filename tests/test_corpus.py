@@ -95,3 +95,47 @@ def test_quantize_rejects_column_clash(spark):
     df = spark.createDataFrame([(1, [1.0], 2.0)], "vec_id long, embedding array<double>, q double")
     with pytest.raises(ValueError, match="already exist"):
         similarity.quantize_embeddings(df)
+
+
+def test_pack_sequences_bound_and_partitioning_invariance(spark):
+    """Greedy overflow-allowed packing: every pack except a group's last is
+    >= capacity - max_doc_len + 1 full and <= capacity + max_doc_len - 1;
+    assignments are a pure prefix-sum, so they must not change under
+    repartitioning."""
+    from pyspark.sql import functions as F
+
+    from georef_ar_etl_spark.operators.corpus import pack_sequences
+
+    df = spark.range(500).selectExpr(
+        "cast(id AS string) AS doc_id",
+        "concat('s', cast(id % 3 AS string)) AS source",
+        "cast(1 + (id * 37) % 200 AS int) AS n_len",
+    )
+    cap = 300
+    packed = pack_sequences(df, capacity=cap, len_col="n_len").cache()
+    stats = (
+        packed.groupBy("source", "pack_seq")
+        .agg(F.sum("n_len").alias("tot"), F.max("n_len").alias("mx"))
+        .collect()
+    )
+    last_per_group = {
+        r["source"]: r["m"]
+        for r in packed.groupBy("source").agg(F.max("pack_seq").alias("m")).collect()
+    }
+    max_len = packed.agg(F.max("n_len")).first()[0]
+    for r in stats:
+        assert r["tot"] <= cap + max_len - 1, r
+        if r["pack_seq"] != last_per_group[r["source"]]:
+            # every non-final pack spilled INTO the next one, so it holds at
+            # least capacity - (its max doc - 1)
+            assert r["tot"] > cap - max_len, r
+
+    a = {(r["doc_id"]): r["pack_seq"] for r in packed.collect()}
+    b = {
+        (r["doc_id"]): r["pack_seq"]
+        for r in pack_sequences(
+            df.repartition(13), capacity=cap, len_col="n_len"
+        ).collect()
+    }
+    packed.unpersist()
+    assert a == b
