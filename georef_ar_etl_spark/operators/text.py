@@ -180,6 +180,41 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def hash_tokenize(col: Column, vocab_size: int = 32768) -> Column:
+    """Deterministic vocabulary-free tokenizer (the feature-hashing trick,
+    Weinberger et al. 2009): whitespace words → ``md5(word) mod
+    vocab_size`` ids. Not BPE — the point is a reproducible featurizer
+    whose ids are identical across engines and runs with NO vocabulary
+    artifact to ship, the standard baseline for hashing-based text
+    features. Pure Catalyst higher-order functions; md5-derived on purpose
+    so a DuckDB oracle reproduces every id (q42)."""
+    words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    return F.transform(
+        words,
+        lambda w: (
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % vocab_size
+        ).cast("int"),
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus vocabulary histogram: the ``k`` most frequent whitespace
+    words (lowercased), ties broken lexicographically. The canonical
+    word-count plan — explode → hash aggregate with map-side partial
+    combine → one small top-k — so it scales like grep|sort|uniq -c done
+    right: the shuffle carries one (word, partial_count) row per word per
+    map task, never the corpus."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("tok"))
+        .limit(k)
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (md5 so the DuckDB oracle computes the identical value.)"""

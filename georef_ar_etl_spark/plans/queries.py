@@ -1314,6 +1314,53 @@ def q38(spark, sf_dir):
     return idx.members().select("doc_id", "cluster")
 
 
+_Q42_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(
+             list_transform(words,
+               x -> ((('0x' || substr(md5(x), 1, 8))::UBIGINT % 32768)::INT)
+             ), ',')) AS ids_fp,
+           len(words) AS n_tok
+    FROM w
+"""
+
+
+# deterministic hash tokenizer (feature-hashing trick): word -> md5 mod
+# vocab ids, no vocabulary artifact, identical across engines — the
+# text->tokens featurization step of the pre-tokenized-sequence pipeline.
+@query("q42_hash_tokenize", _Q42_SQL)
+def q42(spark, sf_dir):
+    ids = text.hash_tokenize(F.col("text"), vocab_size=32768)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _arr_fp(ids).alias("ids_fp"),
+        F.size(ids).cast("long").alias("n_tok"),
+    )
+
+
+_Q43_SQL = r"""
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 50
+"""
+
+
+# corpus vocabulary histogram (the word-count shape: map-side partial
+# combine, shuffle carries one row per word per map task)
+@query("q43_vocabulary_topk", _Q43_SQL)
+def q43(spark, sf_dir):
+    return text.vocabulary(_t(spark, sf_dir, "documents"), k=50)
+
+
 _Q41_SQL = """
     WITH p AS (
       SELECT source, doc_id, n_chars,

@@ -143,3 +143,32 @@ def test_cross_process_reader_observes_new_commits(spark, table):
     assert reader.committed_batches().keys() == eng.table.committed_batches().keys()
     eng.vacuum(keep_last=2)
     assert set(reader.committed_batches()) == set(eng.table.committed_batches())
+
+
+def test_reader_tolerates_manifest_expired_mid_listing(spark, table):
+    """Cross-process vacuum race: a manifest deleted between the reader's
+    listdir and open must be skipped (it is gone, not broken), never raise.
+    Simulated at the cache layer: the filename is listed but the file is
+    already unlinked and not in the reader's parse cache."""
+    from georef_ar_etl_spark.sinks.snapshot_table import SnapshotTable
+
+    from unittest import mock
+
+    eng, initial, events = table
+    reader = SnapshotTable(spark, eng.table.root)
+    ms = reader.manifests()
+    assert len(ms) >= 3
+    victim = ms[0]["epoch"]
+    mdir = os.path.join(eng.table.root, "manifests")
+    stale_listing = os.listdir(mdir)  # still names the victim
+    os.remove(os.path.join(mdir, f"epoch-{victim:010d}.json"))
+    # fresh reader instance with an EMPTY parse cache, so the open() must
+    # hit the filesystem; the stale listing reproduces the exact race
+    # window (listed, then unlinked before open)
+    reader2 = SnapshotTable(spark, eng.table.root)
+    with mock.patch(
+        "georef_ar_etl_spark.sinks.snapshot_table.os.listdir",
+        return_value=stale_listing,
+    ):
+        got = reader2.manifests()  # must not raise
+    assert [m["epoch"] for m in got] == [m["epoch"] for m in ms if m["epoch"] != victim]
