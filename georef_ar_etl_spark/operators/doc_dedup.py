@@ -325,6 +325,109 @@ def winnow_candidate_pairs(
     )
 
 
+# ----------------------------------------------- components / dedup groups
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components of a near-duplicate pair graph — the step that
+    turns pairwise findings (MinHash/SimHash/winnowing candidates) into
+    DEDUP GROUPS: every member of a component is transitively near-equal
+    and the component label (its minimum vertex id) is the canonical
+    keep-candidate. Returns (v, component).
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    label(v) ← min(label(v), min over neighbors label(u)), then
+    label(v) ← label(label(v)). Labels only decrease, so convergence to
+    the component minimum is guaranteed; the neighbor step alone needs
+    O(diameter) rounds, the pointer-jump (the large-star trick of
+    Kiveris et al., "Connected Components in MapReduce") collapses long
+    chains in O(log diameter). Near-dup graphs are overwhelmingly tiny
+    cliques (diameter ≤ 2-3), so this converges in 2-3 rounds.
+
+    Each round is two hash-join + aggregate jobs with an eager
+    localCheckpoint — iterative DataFrame plans MUST be truncated per
+    round or the lineage (and Catalyst analysis time) grows geometrically.
+    The convergence check rides on the same job (count of changed labels).
+    Raises after ``max_iter`` rounds — an unconverged graph means the
+    edge set is pathological (e.g. an un-thresholded similarity join),
+    which should fail loudly, not loop forever.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(F.col("v").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+        )
+        stepped = (
+            labels.join(neigh, labels["v"] == neigh["src"], "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+            )
+        )
+        # pointer jump: label(v) <- label(label(v))
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("v").alias("label"), F.col("label").alias("ll")
+                ).alias("t"),
+                "label",
+                "left",
+            )
+            .select("v", F.least(F.col("label"), F.coalesce("ll", F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("v", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        f"pathological edge set (un-thresholded similarity join?)"
+    )
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Assign every document its near-dup group label: the connected
+    component of the pair graph for documents that have near-dups, the
+    document's own id otherwise (singleton groups). Keep-one-per-group
+    dedup is then ``filter(doc_id == component)``."""
+    comp = connected_components(pairs, id_a, id_b)
+    return df.select(F.col(id_col)).join(
+        comp, df[id_col] == comp["v"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("component"),
+    )
+
+
 # ----------------------------------------------------------------- simhash
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

@@ -1393,6 +1393,41 @@ def q41(spark, sf_dir):
     )
 
 
+def _q44_sql() -> str:
+    """Components oracle: transitive closure by recursive CTE (reach the
+    whole component from every vertex, take the min) over the SAME minhash
+    pair set as q17 — docs without near-dups get their own id (singleton
+    groups)."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({_minhash_sql()}) mh),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(v, u) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.v, s.b FROM reach r JOIN sym s ON r.u = s.a
+    ),
+    comp AS (SELECT v, min(u) AS component FROM reach GROUP BY v)
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """
+
+
+# near-dup pair graph -> DEDUP GROUPS: connected components via iterative
+# min-label propagation + pointer jumping (Kiveris et al.), the step that
+# turns q17's pairwise findings into keep-one-per-group clusters. The
+# oracle computes the transitive closure with a recursive CTE over the
+# identical pair set: iterative distributed == exact closure.
+@query("q44_dedup_components", _q44_sql())
+def q44(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = doc_dedup.minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, min_jaccard=0.35, shingle_k=8
+    )
+    return doc_dedup.dedup_groups(docs, pairs)
+
+
 def _pii_sql() -> str:
     """DuckDB mirror of text.redact_pii over deterministically PII-injected
     text. The chain is generated from the SAME PII_PATTERNS dict the Spark

@@ -410,3 +410,19 @@ def test_ivf_quantized_probe_drops_zero_vectors(spark):
     ids = sorted(r["vec_id"] for r in out)
     assert ids == [0, 2], ids  # the zero vector never appears
     assert all(not math.isnan(r["score"]) for r in out)
+
+
+def test_connected_components_chain_and_pointer_jump(spark):
+    """A long path graph forces multiple propagation rounds (diameter 9 —
+    pointer jumping must collapse it well inside max_iter); two separate
+    components plus an isolated pair keep their own minima."""
+    from georef_ar_etl_spark.operators.doc_dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 19)]        # path 10-…-19
+    other = [(100, 101), (101, 102), (100, 102)]        # triangle
+    pair = [(7, 5)]
+    edges = spark.createDataFrame(chain + other + pair, "id_a long, id_b long")
+    got = {r["v"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(got[v] == 10 for v in range(10, 20))
+    assert all(got[v] == 100 for v in (100, 101, 102))
+    assert got[5] == 5 and got[7] == 5
