@@ -37,7 +37,14 @@ HEADLINE = [
     "q28_count_distinct",
     "q29_grouped_payload_union",
     "q31_repetition_quality",
+    "q40_winnow_candidate_pairs",
+    "q42_hash_tokenize",
+    "q43_vocabulary_topk",
+    "q44_dedup_components",
 ]
+# deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
+# blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at
+# sf0.1; the LSH families above are the scale path it calibrates)
 
 
 def run_cdc_replay(
