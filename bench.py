@@ -38,6 +38,7 @@ HEADLINE = [
     "q29_grouped_payload_union",
     "q31_repetition_quality",
     "q40_winnow_candidate_pairs",
+    "q41_sequence_packing",
     "q42_hash_tokenize",
     "q43_vocabulary_topk",
     "q44_dedup_components",

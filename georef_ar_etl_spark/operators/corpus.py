@@ -139,6 +139,9 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    if capacity < 1:
+        # non-ANSI divide-by-zero would silently yield NULL pack ids
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
     w = Window.partitionBy(group_col).orderBy(id_col)
     cum = F.sum(len_col).over(w)
     return df.withColumn(

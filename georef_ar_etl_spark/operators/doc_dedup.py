@@ -309,13 +309,22 @@ def winnow_candidate_pairs(
     with id_a < id_b, n_shared = |shared fingerprint set|.
     """
     winnow = winnow_fingerprints_udf(k=k, window=window)
-    ex = df.select(F.col(id_col).alias("id"), winnow(F.col(text_col)).alias("fps")) \
+    ex = (
+        df.select(F.col(id_col).alias("id"), winnow(F.col(text_col)).alias("fps"))
         .select("id", F.explode("fps").alias("fp"))
+        # materialize once: the doc-freq aggregation and the self-join are
+        # independent consumers, and without this the rolling-hash UDF —
+        # the dominant cost — runs twice over the corpus (exchange reuse
+        # covers the two join sides but not the count branch)
+        .localCheckpoint(eager=True)
+    )
     if max_doc_freq is not None:
-        # fps are a per-doc SET (winnowing dedups), so count(*) = doc freq;
-        # the keep-list is small → broadcast semi join, no extra shuffle of ex
-        keep = ex.groupBy("fp").count().filter(F.col("count") <= max_doc_freq)
-        ex = ex.join(F.broadcast(keep.select("fp")), "fp", "left_semi")
+        # fps are a per-doc SET (winnowing dedups), so count(*) = doc freq.
+        # Broadcast the STOP list (freq > cap) and anti-join: the stop set
+        # is the small side by construction — the keep side is nearly every
+        # distinct fingerprint of the corpus and must never be broadcast
+        drop = ex.groupBy("fp").count().filter(F.col("count") > max_doc_freq)
+        ex = ex.join(F.broadcast(drop.select("fp")), "fp", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
@@ -347,11 +356,13 @@ def connected_components(
     chains in O(log diameter). Near-dup graphs are overwhelmingly tiny
     cliques (diameter ≤ 2-3), so this converges in 2-3 rounds.
 
-    Each round is two hash-join + aggregate jobs with an eager
-    localCheckpoint — iterative DataFrame plans MUST be truncated per
-    round or the lineage (and Catalyst analysis time) grows geometrically.
-    The convergence check rides on the same job (count of changed labels).
-    Raises after ``max_iter`` rounds — an unconverged graph means the
+    Each round runs the propagation plan into an eager localCheckpoint —
+    iterative DataFrame plans MUST be truncated per round or the lineage
+    (and Catalyst analysis time) grows geometrically — plus one small
+    changed-labels count job over the checkpointed old/new frames (two
+    jobs per round total; the count join reads two materialized 2-column
+    frames, not the propagation plan). Raises after ``max_iter`` rounds —
+    an unconverged graph means the
     edge set is pathological (e.g. an un-thresholded similarity join),
     which should fail loudly, not loop forever.
     """
