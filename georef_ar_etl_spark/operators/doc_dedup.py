@@ -439,6 +439,67 @@ def dedup_groups(
     )
 
 
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Execute near-duplicate removal: keep exactly the component
+    representative (minimum id) of every near-dup cluster, plus all
+    singletons — the action step over any pair source (MinHash, SimHash,
+    winnowing, embedding near-dups). Left-semi against the kept ids so the
+    full payload rows pass through untouched."""
+    groups = dedup_groups(df, pairs, id_col, id_a, id_b)
+    keep = groups.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    held_out: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Contamination detection: training documents sharing a >= k-char
+    exact substring with a HELD-OUT set (eval/benchmark data), via shared
+    winnowing fingerprints — the standard train/test-overlap audit before
+    a pretraining run (decontamination). Returns (train_id, heldout_id,
+    n_shared).
+
+    Same machinery as winnow_candidate_pairs but a two-sided join: the
+    held-out side is small (benchmarks are), so its exploded fingerprints
+    broadcast and the corpus side never shuffles — a contamination scan of
+    100 TB of training text costs one fingerprint pass over it.
+    ``max_doc_freq`` (doc frequency measured on the CORPUS side) drops
+    ubiquitous substrings, same stop-fingerprint rationale as the
+    self-join variant."""
+    winnow = winnow_fingerprints_udf(k=k, window=window)
+
+    def fps(df_, name):
+        return (
+            df_.select(F.col(id_col).alias(name), winnow(F.col(text_col)).alias("fps"))
+            .select(name, F.explode("fps").alias("fp"))
+        )
+
+    corpus_fp = fps(corpus, "train_id").localCheckpoint(eager=True)
+    if max_doc_freq is not None:
+        drop = corpus_fp.groupBy("fp").count().filter(F.col("count") > max_doc_freq)
+        corpus_fp = corpus_fp.join(F.broadcast(drop.select("fp")), "fp", "left_anti")
+    held_fp = fps(held_out, "heldout_id")
+    return (
+        corpus_fp.join(F.broadcast(held_fp), "fp")
+        .groupBy("train_id", "heldout_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ----------------------------------------------------------------- simhash
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

@@ -1737,3 +1737,51 @@ def q40(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         k=8, window=4, min_shared=2, max_doc_freq=4,
     )
+
+
+def _q45_sql() -> str:
+    """Contamination oracle: the q32 md5 split carves train (bucket <
+    8000) and test (>= 9000) out of documents; shared winnowing
+    fingerprints across the two sides (q27's CTEs), with the doc-frequency
+    stop list measured on the TRAIN side, yield the train/test overlap
+    pairs."""
+    return f"""
+    WITH {_winnow_fps_ctes()},
+    lab AS (SELECT doc_id,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                    % 10000)::INT AS b
+            FROM documents),
+    e AS (SELECT f.doc_id AS id, l.b, unnest(f.fps) AS fp
+          FROM fp f JOIN lab l USING (doc_id)),
+    tr AS (SELECT id AS train_id, fp FROM e WHERE b < 8000),
+    stop AS (SELECT fp FROM tr GROUP BY fp HAVING count(*) > 4),
+    tr2 AS (SELECT tr.* FROM tr ANTI JOIN stop USING (fp)),
+    te AS (SELECT id AS heldout_id, fp FROM e WHERE b >= 9000)
+    SELECT train_id, heldout_id, count(*) AS n_shared
+    FROM tr2 JOIN te USING (fp)
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """
+
+
+# train/test contamination audit (decontamination before pretraining):
+# training docs sharing a >= 8-char exact substring with the held-out
+# split, via shared winnowing fingerprints — the q32 hash split composed
+# with the q27 fingerprint machinery; the held-out side broadcasts, so the
+# corpus side never shuffles.
+@query("q45_contamination_pairs", _q45_sql())
+def q45(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    split = corpus.split_assignment(
+        F.col("doc_id"),
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        hash_fn="md5",
+    )
+    labeled = docs.withColumn("split", split)
+    return doc_dedup.cross_corpus_overlap(
+        labeled.filter(F.col("split") == "train"),
+        labeled.filter(F.col("split") == "test"),
+        k=8, window=4, min_shared=2, max_doc_freq=4,
+    )

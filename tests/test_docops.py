@@ -426,3 +426,18 @@ def test_connected_components_chain_and_pointer_jump(spark):
     assert all(got[v] == 10 for v in range(10, 20))
     assert all(got[v] == 100 for v in (100, 101, 102))
     assert got[5] == 5 and got[7] == 5
+
+
+def test_dedup_near_keeps_component_representatives(spark):
+    from georef_ar_etl_spark.operators.doc_dedup import dedup_near
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c"), (6, "c2")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_near(docs, pairs).collect())
+    # component {1,2} -> 1, {4,5,6} -> 4, singleton 3 stays
+    assert kept == [1, 3, 4]
