@@ -964,7 +964,26 @@ class SnapshotTable:
             json.dump(manifest, f, indent=1, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)  # ← the commit point
+        # ← the commit point: ``link`` (not ``replace``) because it FAILS
+        # when the target exists — the exists-check above is advisory
+        # (TOCTOU); two writers racing the same epoch must resolve to
+        # first-commit-wins + ConflictError, never a silent clobber of the
+        # winner's manifest. Readers always see a complete file (the tmp
+        # was fully written + fsync'd before the link).
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.unlink(tmp)
+            with open(path) as f:
+                existing = json.load(f)
+            if existing.get("batch_digest") == batch_digest:
+                return existing  # duplicate writer committed the same batch
+            raise ConflictError(
+                f"epoch {epoch} was committed concurrently with a different "
+                f"digest — two writers are applying different batches to one "
+                f"table (the single-writer contract is violated)"
+            )
+        os.unlink(tmp)
         self._manifest_cache[os.path.basename(path)] = manifest
         # our commit is the new head; token None forces one cheap
         # validation listing on the next read (a concurrent commit landing

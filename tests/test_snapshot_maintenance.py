@@ -172,3 +172,57 @@ def test_reader_tolerates_manifest_expired_mid_listing(spark, table):
     ):
         got = reader2.manifests()  # must not raise
     assert [m["epoch"] for m in got] == [m["epoch"] for m in ms if m["epoch"] != victim]
+
+
+def test_concurrent_same_epoch_commit_is_first_wins(spark, table):
+    """The commit point is an atomic link, not a replace: two writers
+    racing the same next epoch resolve to first-commit-wins — the loser
+    gets ConflictError (different batch) or the winner's manifest back
+    (duplicate delivery of the same batch), never a silent clobber. The
+    advisory exists-check is bypassed here to simulate the TOCTOU window
+    (both writers read the same head before either commits)."""
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.sinks.snapshot_table import ConflictError, SnapshotTable
+
+    eng, initial, events = table
+    schema = T.StructType.fromJson(eng.table.latest_manifest()["schema"])
+    epoch = eng.table.latest_manifest()["epoch"] + 1
+    writer_b = SnapshotTable(spark, eng.table.root)
+
+    # writer A commits epoch K (metadata-only epoch is enough for the race)
+    a = eng.table.write_manifest(
+        epoch, schema, {}, [], batch_id=901, batch_digest="a-digest", metrics={"kind": "t"}
+    )
+    assert a["batch_id"] == 901
+    # writer B raced to the same epoch with a DIFFERENT batch -> conflict,
+    # and A's manifest survives intact
+    with pytest.raises(ConflictError, match="concurrently"):
+        # bypass B's advisory exists-check by calling the inner publish on
+        # a stale view: B's cache was primed before A's commit
+        writer_b._latest_token = None
+        # craft the race: remove B's knowledge of the file existing
+        import os as _os
+
+        path = writer_b._manifest_path(epoch)
+        orig_exists = _os.path.exists
+        try:
+            _os.path.exists = lambda p, _o=orig_exists: False if p == path else _o(p)
+            writer_b.write_manifest(
+                epoch, schema, {}, [], batch_id=902, batch_digest="b-digest",
+                metrics={"kind": "t"},
+            )
+        finally:
+            _os.path.exists = orig_exists
+    assert eng.table.manifest_for_epoch(epoch)["batch_id"] == 901
+    # duplicate delivery of the SAME digest through the race window is a
+    # no-op returning the committed manifest
+    try:
+        _os.path.exists = lambda p, _o=orig_exists: False if p == path else _o(p)
+        got = writer_b.write_manifest(
+            epoch, schema, {}, [], batch_id=901, batch_digest="a-digest",
+            metrics={"kind": "t"},
+        )
+    finally:
+        _os.path.exists = orig_exists
+    assert got["batch_id"] == 901
