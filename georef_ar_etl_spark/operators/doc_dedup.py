@@ -446,13 +446,17 @@ def dedup_near(
     id_a: str = "id_a",
     id_b: str = "id_b",
 ) -> DataFrame:
-    """Execute near-duplicate removal: keep exactly the component
-    representative (minimum id) of every near-dup cluster, plus all
-    singletons — the action step over any pair source (MinHash, SimHash,
-    winnowing, embedding near-dups). Left-semi against the kept ids so the
-    full payload rows pass through untouched."""
+    """Execute near-duplicate removal: keep exactly one representative —
+    the minimum id AMONG df's members — of every near-dup cluster, plus
+    all singletons; the action step over any pair source (MinHash,
+    SimHash, winnowing, embedding near-dups). The representative is
+    computed over df's own rows, not the raw component label: when
+    ``pairs`` was derived from a larger corpus (e.g. a quality filter ran
+    in between), a cluster whose global minimum id is absent from df must
+    still keep its smallest PRESENT member, never vanish. Left-semi
+    against the kept ids so the full payload rows pass through untouched."""
     groups = dedup_groups(df, pairs, id_col, id_a, id_b)
-    keep = groups.filter(F.col(id_col) == F.col("component")).select(id_col)
+    keep = groups.groupBy("component").agg(F.min(id_col).alias(id_col)).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
 
@@ -487,8 +491,13 @@ def cross_corpus_overlap(
             .select(name, F.explode("fps").alias("fp"))
         )
 
-    corpus_fp = fps(corpus, "train_id").localCheckpoint(eager=True)
+    corpus_fp = fps(corpus, "train_id")
     if max_doc_freq is not None:
+        # materialize only when the doc-freq branch creates a SECOND
+        # consumer of the exploded frame (otherwise the UDF would run
+        # twice); with a single consumer the checkpoint would be a pure
+        # wasted materialization of the job's largest intermediate
+        corpus_fp = corpus_fp.localCheckpoint(eager=True)
         drop = corpus_fp.groupBy("fp").count().filter(F.col("count") > max_doc_freq)
         corpus_fp = corpus_fp.join(F.broadcast(drop.select("fp")), "fp", "left_anti")
     held_fp = fps(held_out, "heldout_id")

@@ -959,7 +959,11 @@ class SnapshotTable:
             "metrics": metrics,
             "committed_unix": time.time(),
         }
-        tmp = path + ".tmp"
+        # per-writer tmp name: two racing writers sharing one tmp path
+        # would truncate each other's in-flight file and the link below
+        # could publish a torn inode — the pid suffix isolates them (and
+        # the name does not end in ".json", so listings never see it)
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
             f.flush()
@@ -983,7 +987,14 @@ class SnapshotTable:
                 f"digest — two writers are applying different batches to one "
                 f"table (the single-writer contract is violated)"
             )
-        os.unlink(tmp)
+        except OSError:
+            # filesystem without hard-link support (exFAT, some NFS/SMB,
+            # FUSE object-store mounts): fall back to the atomic rename —
+            # commit still atomic, but concurrent-duplicate-writer detection
+            # degrades to the advisory exists-check (single-writer contract)
+            os.replace(tmp, path)
+        else:
+            os.unlink(tmp)
         self._manifest_cache[os.path.basename(path)] = manifest
         # our commit is the new head; token None forces one cheap
         # validation listing on the next read (a concurrent commit landing

@@ -441,3 +441,10 @@ def test_dedup_near_keeps_component_representatives(spark):
     kept = sorted(r["doc_id"] for r in dedup_near(docs, pairs).collect())
     # component {1,2} -> 1, {4,5,6} -> 4, singleton 3 stays
     assert kept == [1, 3, 4]
+
+    # a cluster whose GLOBAL minimum is absent from df (pairs computed on a
+    # larger corpus, then rows filtered) keeps its smallest PRESENT member
+    # — it must never vanish entirely
+    filtered = docs.filter("doc_id <> 4")
+    kept2 = sorted(r["doc_id"] for r in dedup_near(filtered, pairs).collect())
+    assert kept2 == [1, 3, 5]
