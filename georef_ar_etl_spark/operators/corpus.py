@@ -148,3 +148,35 @@ def pack_sequences(
         out_col,
         F.floor((cum - F.col(len_col)) / F.lit(capacity)).cast("int"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    len_col: str = "n_tok",
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Data-mixture curation: keep documents per group until the group's
+    cumulative length reaches ``budget`` ("up to N tokens per source"),
+    admitting whole documents in salted-hash order — a deterministic
+    unbiased shuffle, so the sample is stable under repartitioning and
+    retries and reproducible across engines (md5 order). A document is
+    admitted iff the budget was not yet exhausted when it STARTS (the last
+    admitted doc may overflow — whole-document discipline, same as
+    pack_sequences). Pure window prefix-sum, one shuffle per group.
+
+    Unlike hash_split, budget sampling cannot be growth-stable: new
+    documents land at arbitrary hash positions and shift the admission
+    boundary — re-curate per corpus snapshot."""
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    started = F.sum(len_col).over(w) - F.col(len_col)
+    return df.withColumn("_started", started).filter(
+        F.col("_started") < budget
+    ).drop("_started")

@@ -180,6 +180,47 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+DEFAULT_QUALITY_RULES: list[tuple[str, str]] = [
+    # (reason, fail predicate over quality/repetition feature columns) —
+    # evaluated IN ORDER, first failing rule wins (the quarantine-reason
+    # pattern of operators/validate.py applied to documents). Thresholds
+    # follow the C4/Gopher family: length bounds, symbol density,
+    # stopword floor, repetition ceilings.
+    ("too_short", "q_n_tokens < 5"),
+    ("too_long", "q_n_chars > 20000"),
+    ("high_punct", "q_punct_ratio > 0.3"),
+    ("low_stopword", "q_stopword_ratio < 0.01"),
+    ("repetitive_words", "dup_word_frac > 0.6"),
+    ("repetitive_top_word", "top_word_frac > 0.3"),
+    ("repetitive_2grams", "dup_2gram_frac > 0.5"),
+]
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """The document quality FILTER stage: compute the quality + repetition
+    features, evaluate the ordered rule list, and tag each document with
+    ``keep`` (boolean) and ``reason`` (first failing rule, null when kept)
+    — the corpus twin of the engine's validate→quarantine split
+    (operators/validate.py; reference: per-row validation with reported
+    reasons, georef_ar_etl/transformers.py:96-101). Downstream:
+    ``filter(keep)`` for the corpus, ``groupBy(reason)`` for the drop
+    report. Pure Catalyst end to end (features + one CASE chain)."""
+    rules = DEFAULT_QUALITY_RULES if rules is None else rules
+    feats = repetition_features(quality_features(df, text_col), text_col)
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(rules):
+        reason = F.when(F.expr(pred), F.lit(name)).otherwise(reason)
+    return feats.select(
+        *df.columns,
+        reason.alias("reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def hash_tokenize(col: Column, vocab_size: int = 32768) -> Column:
     """Deterministic vocabulary-free tokenizer (the feature-hashing trick,
     Weinberger et al. 2009): whitespace words → ``md5(word) mod

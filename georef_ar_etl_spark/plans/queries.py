@@ -1785,3 +1785,89 @@ def q45(spark, sf_dir):
         labeled.filter(F.col("split") == "test"),
         k=8, window=4, min_shared=2, max_doc_freq=4,
     )
+
+
+def _q46_sql() -> str:
+    """Quality-gate oracle: the q13 quality features + q31 repetition
+    features as CTEs, then the rule CASE generated from the SAME ordered
+    DEFAULT_QUALITY_RULES list the Spark operator evaluates (first failing
+    rule wins) — one source of truth for thresholds, so the two engines
+    cannot drift."""
+    from georef_ar_etl_spark.operators.text import DEFAULT_QUALITY_RULES
+
+    case = " ".join(f"WHEN {p} THEN '{n}'" for n, p in DEFAULT_QUALITY_RULES)
+    return rf"""
+    WITH base AS (SELECT doc_id, text,
+            CASE WHEN length({_NORM}) = 0 THEN 0
+                 ELSE len(string_split({_NORM}, ' ')) END AS n_tok
+          FROM documents),
+    f AS (SELECT doc_id,
+            length(text) AS q_n_chars, n_tok AS q_n_tokens,
+            round(len(regexp_extract_all(text, '[^\w\s]'))
+                  / greatest(length(text), 1), 6) AS q_punct_ratio,
+            round(len(regexp_extract_all({_NORM},
+                  '\b(the|a|of|and|to|in|is|it)\b'))
+                  / greatest(n_tok, 1), 6) AS q_stopword_ratio,
+            CASE WHEN length({_NORM}) = 0 THEN []::VARCHAR[]
+                 ELSE string_split({_NORM}, ' ') END AS words
+          FROM base),
+    g AS (SELECT *, len(words) AS total, len(list_distinct(words)) AS d,
+            coalesce(list_max(list_transform(list_distinct(words),
+                x -> len(list_filter(words, y -> y = x)))), 0) AS best,
+            CASE WHEN len(words) >= 2
+                 THEN list_transform(generate_series(1, len(words) - 1),
+                      i -> words[i] || ' ' || words[i + 1])
+                 ELSE []::VARCHAR[] END AS grams
+          FROM f),
+    r AS (SELECT doc_id, q_n_chars, q_n_tokens, q_punct_ratio, q_stopword_ratio,
+            round((total - d) / greatest(total, 1)::DOUBLE, 6) AS dup_word_frac,
+            round(best / greatest(total, 1)::DOUBLE, 6) AS top_word_frac,
+            round((len(grams) - len(list_distinct(grams)))
+                  / greatest(len(grams), 1)::DOUBLE, 6) AS dup_2gram_frac
+          FROM g)
+    SELECT doc_id, CASE {case} ELSE NULL END AS reason,
+           (CASE {case} ELSE NULL END) IS NULL AS keep
+    FROM r
+    """
+
+
+# the document quality FILTER stage (C4/Gopher-family rules): keep flag +
+# first-failing-rule reason per document — the corpus twin of the engine
+# validate->quarantine split, thresholds shared between the Spark operator
+# and the oracle via DEFAULT_QUALITY_RULES.
+@query("q46_quality_gate", _q46_sql())
+def q46(spark, sf_dir):
+    return text.quality_gate(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "reason", "keep"
+    )
+
+
+_Q47_SQL = """
+    WITH h AS (SELECT source, doc_id, n_chars,
+                      md5(doc_id::VARCHAR || 'budget') AS hk
+               FROM documents),
+    c AS (SELECT *, sum(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id)
+                    - n_chars AS started
+          FROM h),
+    s AS (SELECT * FROM c WHERE started < 30000)
+    SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+           md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_fp
+    FROM s GROUP BY 1
+"""
+
+
+# per-source token-budget sampling (data-mixture curation: "up to N length
+# units per source", whole docs, deterministic salted-hash admission order)
+@query("q47_token_budget_sample", _Q47_SQL)
+def q47(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    s = corpus.token_budget_sample(d, budget=30000, len_col="n_chars")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ",")
+        ).alias("docs_fp"),
+    )

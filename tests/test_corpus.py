@@ -139,3 +139,34 @@ def test_pack_sequences_bound_and_partitioning_invariance(spark):
     }
     packed.unpersist()
     assert a == b
+
+
+def test_token_budget_sample_boundary_and_determinism(spark):
+    """Whole-document admission: a doc is kept iff the budget was not
+    exhausted when it starts (the last kept doc may overflow); the kept set
+    is identical under repartitioning and each group's pre-overflow total
+    stays under budget + max_len."""
+    from pyspark.sql import functions as F
+
+    from georef_ar_etl_spark.operators.corpus import token_budget_sample
+
+    df = spark.range(300).selectExpr(
+        "cast(id AS string) AS doc_id",
+        "concat('s', cast(id % 2 AS string)) AS source",
+        "cast(10 + (id * 13) % 90 AS int) AS n_len",
+    )
+    budget = 500
+    s = token_budget_sample(df, budget, len_col="n_len")
+    stats = s.groupBy("source").agg(
+        F.sum("n_len").alias("tot"), F.max("n_len").alias("mx")
+    ).collect()
+    for r in stats:
+        assert budget <= r["tot"] < budget + r["mx"], r
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(
+            df.repartition(11), budget, len_col="n_len"
+        ).collect()
+    )
+    assert a == b
