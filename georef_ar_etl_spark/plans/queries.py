@@ -1871,3 +1871,61 @@ def q47(spark, sf_dir):
             F.array_join(F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ",")
         ).alias("docs_fp"),
     )
+
+
+_Q48_SQL = """
+    WITH probes AS (
+      SELECT o_orderkey AS probe_id, (o_custkey % 150) AS k,
+             TIMESTAMP '2024-01-01'
+               + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS t
+      FROM orders),
+    e AS (SELECT user_id, ts, event_id, event_type, value FROM events)
+    SELECT p.probe_id, p.k, cast(p.t AS VARCHAR) AS t,
+           ev.event_id AS asof_event_id,
+           ev.event_type AS asof_event_type,
+           ev.value AS asof_value,
+           cast(ev.ts AS VARCHAR) AS asof_ts
+    FROM probes p LEFT JOIN LATERAL (
+      SELECT * FROM e
+      WHERE e.user_id = p.k AND e.ts <= p.t
+      ORDER BY e.ts DESC, e.event_id DESC
+      LIMIT 1) ev ON TRUE
+"""
+
+
+# AS-OF JOIN (pandas merge_asof / kdb aj): latest event at or before each
+# probe timestamp per key — the sort-merge union+window formulation (one
+# shuffle, no range explosion; operators/temporal.py). Probe times are
+# derived deterministically inside the event window; ties on (key, ts)
+# break by max event_id in BOTH engines.
+@query("q48_asof_join", _Q48_SQL)
+def q48(spark, sf_dir):
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    probes = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("probe_id"),
+        (F.col("o_custkey") % 150).alias("k"),
+        F.timestamp_add(
+            "MINUTE",
+            (F.col("o_orderkey") % 43200).cast("int"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("t"),
+    )
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = asof_join(
+        probes, events,
+        left_key="k", right_key="user_id",
+        left_time="t", right_time="ts",
+        right_cols=["event_id", "event_type", "value", "ts"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "probe_id", "k",
+        F.col("t").cast("string").alias("t"),
+        F.col("asof_event_id"),
+        F.col("asof_event_type"),
+        F.col("asof_value"),
+        F.col("asof_ts").cast("string").alias("asof_ts"),
+    )

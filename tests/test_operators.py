@@ -192,3 +192,30 @@ def test_count_distinct_and_approx(spark):
     }
     for r in exact:
         assert abs(approx[r["g"]] - r["n"]) <= 0.05 * r["n"], (r["g"], r["n"])
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive as-of: equal-timestamp right rows match; ties on
+    (key, time) resolve to max tie_col; keys with no earlier right row get
+    nulls; left rows pass through untouched."""
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c"), (3, 50, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100, "x"), (1, 10, 101, "x2"), (1, 20, 102, "y"), (2, 7, 103, "z")],
+        "k long, t long, seq long, v string",
+    )
+    out = {
+        (r["k"], r["t"]): (r["asof_seq"], r["asof_v"])
+        for r in asof_join(
+            left, right, "k", "k", "t", "t",
+            right_cols=["seq", "v"], tie_col="seq",
+        ).collect()
+    }
+    assert out[(1, 10)] == (101, "x2")   # inclusive + max-tie at equal time
+    assert out[(1, 25)] == (102, "y")    # latest earlier row
+    assert out[(2, 5)] == (None, None)   # right row exists but only later
+    assert out[(3, 50)] == (None, None)  # key absent from right
