@@ -18,6 +18,109 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def time_bucket_s(time_col, seconds: int):
+    """Bucket start as epoch seconds (long): timezone-free, exact, and
+    identical across engines (string-formatting a timestamp is where
+    cross-engine comparisons go to die)."""
+    return (F.floor(F.unix_timestamp(time_col) / seconds) * seconds).cast("long")
+
+
+def rollup(
+    df: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    value_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """The hypertable continuous-aggregate LEAF: per (time bucket, keys)
+    partials — count / sum / min / max (avg derives as sum/count, so it
+    re-aggregates; never materialize avg itself). One hash aggregate with
+    map-side combine; ``bucket_s`` becomes the storage partition column of
+    the rollup table at scale."""
+    return df.groupBy(
+        time_bucket_s(F.col(time_col), bucket_seconds).alias("bucket_s"),
+        *key_cols,
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def rollup_coarser(
+    fine: DataFrame, key_cols: list[str], bucket_seconds: int
+) -> DataFrame:
+    """Re-aggregate a finer rollup into a coarser one — the rollup CHAIN:
+    the hour table reads the minute table's partials (counts sum, sums
+    sum, mins min, maxs max), NEVER the raw events — which is the entire
+    point of materialized rollups at 100 TB: each coarser granularity
+    costs O(finer rollup), not O(raw). Requires ``bucket_seconds`` to be a
+    multiple of the finer granularity (buckets nest)."""
+    return fine.groupBy(
+        (F.floor(F.col("bucket_s") / bucket_seconds) * bucket_seconds)
+        .cast("long")
+        .alias("bucket_s"),
+        *key_cols,
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Interval join — right rows with ``left_time <= right_time <
+    left_time + window`` per key — WITHOUT the naive theta-join explosion:
+    both sides bucketize time into window-sized epochs, the join runs as
+    an EQUI join on (key, bucket) over each left row's two candidate
+    buckets (an interval of length W overlaps at most 2 W-sized buckets),
+    and the exact range predicate refines the bounded candidate set. Join
+    fan-out is <= 2 candidate buckets per left row instead of the full
+    per-key history — the standard band-join technique Spark's optimizer
+    lacks natively. Returns matched (left ⋈ right) rows; aggregate on top.
+    """
+    if window_seconds < 1:
+        raise ValueError(f"window_seconds must be >= 1, got {window_seconds}")
+    # buckets from SECOND-truncated epochs (sub-second precision is
+    # irrelevant for bucketing: an interval of W seconds still spans at
+    # most 2 W-sized buckets); the refine predicate below compares the
+    # raw timestamps EXACTLY — never epoch seconds, which would silently
+    # truncate microseconds
+    w = F.lit(window_seconds)
+    lb = F.floor(F.unix_timestamp(F.col(left_time)) / w)
+    rb = F.floor(F.unix_timestamp(F.col(right_time)) / w)
+    l = left.withColumn("_b", F.explode(F.array(lb, lb + 1)))
+    r = right.withColumn("_b", rb)
+    upper = F.col(f"l.{left_time}") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+    cond = (
+        (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
+        & (F.col("l._b") == F.col("r._b"))
+        & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        & (F.col(f"r.{right_time}") < upper)
+    )
+    return (
+        l.alias("l")
+        .join(r.alias("r"), cond)
+        .select(
+            *[F.col(f"l.{c}") for c in left.columns],
+            *[
+                F.col(f"r.{c}").alias(f"r_{c}" if c in left.columns else c)
+                for c in right.columns
+            ],
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1929,3 +1929,78 @@ def q48(spark, sf_dir):
         F.col("asof_value"),
         F.col("asof_ts").cast("string").alias("asof_ts"),
     )
+
+
+_Q49_SQL = """
+    WITH probes AS (
+      SELECT o_orderkey AS probe_id, (o_custkey % 150) AS k,
+             TIMESTAMP '2024-01-01'
+               + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS t
+      FROM orders)
+    SELECT p.probe_id, p.k, count(*) AS n_events,
+           min(e.event_id) AS first_event_id,
+           cast(round(sum(e.value), 2) AS double) AS sum_value
+    FROM probes p JOIN events e
+      ON e.user_id = p.k AND e.ts >= p.t
+     AND e.ts < p.t + INTERVAL 3600 SECONDS
+    GROUP BY 1, 2
+"""
+
+
+# RANGE (interval) JOIN: events within [t, t+1h) per probe, via the
+# band-join bucketing technique (operators/temporal.py) — equi join on
+# (key, window-sized time bucket) over each probe's two candidate buckets
+# + exact refine, instead of the theta-join explosion Spark would plan.
+@query("q49_range_join_window_agg", _Q49_SQL)
+def q49(spark, sf_dir):
+    from georef_ar_etl_spark.operators.temporal import range_join_bucketed
+
+    probes = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("probe_id"),
+        (F.col("o_custkey") % 150).alias("k"),
+        F.timestamp_add(
+            "MINUTE",
+            (F.col("o_orderkey") % 43200).cast("int"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("t"),
+    )
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    j = range_join_bucketed(
+        probes, events, "k", "user_id", "t", "ts", window_seconds=3600
+    )
+    return j.groupBy("probe_id", "k").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+    )
+
+
+_Q50_SQL = """
+    SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_s,
+           event_type,
+           count(*) AS n,
+           cast(round(sum(value), 2) AS double) AS sum_v,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+# HYPERTABLE ROLLUP CHAIN (timescale continuous-aggregate pattern): the
+# minute rollup aggregates raw events ONCE; the hour rollup re-aggregates
+# the minute PARTIALS (counts sum, sums sum, mins min, maxs max) and never
+# touches raw data. The oracle computes the hour aggregate directly from
+# the events — equality proves the chain re-aggregates losslessly.
+@query("q50_hypertable_rollup", _Q50_SQL)
+def q50(spark, sf_dir):
+    from georef_ar_etl_spark.operators.temporal import rollup, rollup_coarser
+
+    events = _t(spark, sf_dir, "events")
+    minute = rollup(events, "ts", ["event_type"], "value", bucket_seconds=60)
+    hour = rollup_coarser(minute, ["event_type"], bucket_seconds=3600)
+    return hour.select(
+        "bucket_s", "event_type", "n",
+        F.round("sum_v", 2).cast("double").alias("sum_v"),
+        "min_v", "max_v",
+    )

@@ -219,3 +219,32 @@ def test_asof_join_semantics(spark):
     assert out[(1, 25)] == (102, "y")    # latest earlier row
     assert out[(2, 5)] == (None, None)   # right row exists but only later
     assert out[(3, 50)] == (None, None)  # key absent from right
+
+
+def test_range_join_bucketed_boundaries(spark):
+    """Half-open [t, t+W): an event exactly at t matches, at t+W does not,
+    including events in the probe's SECOND candidate bucket (the case the
+    bucket trick must not miss)."""
+    from georef_ar_etl_spark.operators.temporal import range_join_bucketed
+
+    probes = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:30")], "probe_id long, k long, t string"
+    ).select("probe_id", "k", F.col("t").cast("timestamp_ntz").alias("t"))
+    ev = spark.createDataFrame(
+        [
+            (10, 7, "2024-01-01 00:00:30.000000"),  # == t -> in
+            (11, 7, "2024-01-01 00:00:59.900000"),  # same bucket -> in
+            (12, 7, "2024-01-01 00:01:29.900000"),  # NEXT bucket -> in
+            (13, 7, "2024-01-01 00:01:30.000000"),  # == t+W -> out
+            (14, 7, "2024-01-01 00:00:29.999999"),  # before t -> out
+            (15, 8, "2024-01-01 00:00:40"),         # other key -> out
+        ],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    got = sorted(
+        r["event_id"]
+        for r in range_join_bucketed(
+            probes, ev, "k", "user_id", "t", "ts", window_seconds=60
+        ).collect()
+    )
+    assert got == [10, 11, 12]
