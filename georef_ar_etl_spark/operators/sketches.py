@@ -1,0 +1,104 @@
+"""Mergeable sketches for corpus-scale approximate statistics.
+
+``count_min_sketch`` — the Count-Min sketch (Cormode & Muthukrishnan):
+a d×w counter matrix over d pairwise-independent hash rows; the estimated
+frequency of an item is the MIN of its d counters — always an
+overestimate, within εN with probability 1-δ for w = e/ε, d = ln(1/δ).
+Why it matters at 100 TB: exact token frequencies need a shuffle keyed by
+token (vocabulary-sized state); the sketch is a FIXED-SIZE aggregate that
+partials combine by cell-wise addition (a plain groupBy sum), so frequency
+estimation over any stream/corpus costs one map-side-combinable pass and
+d×w longs of memory — and sketches of corpus shards MERGE by addition.
+
+Determinism: hashing is md5-derived + affine remix over GF(2^31-1) with
+seeded constants (the minhash family, operators/doc_dedup.py), so a DuckDB
+oracle reproduces every counter exactly (q51) — the sketch is verified
+bit-for-bit, not statistically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from georef_ar_etl_spark.operators.doc_dedup import minhash_affine_params
+
+P31 = (1 << 31) - 1
+
+
+def _word_hash(col: Column) -> Column:
+    """32-bit md5 word hash reduced mod 2^31-1 (cross-engine exact; the
+    reduction keeps every affine product below 2^62 — safe in Spark longs
+    AND DuckDB BIGINTs)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % P31
+    )
+
+
+def cm_bucket(
+    col: Column, j: int, depth: int, width: int, seed: int = 11
+) -> Column:
+    """Row-j bucket of an item: affine remix of the word hash, mod width.
+    ``depth`` must be the sketch's full depth — the seeded constants are
+    drawn as ONE (A, B) batch of that size, and a per-row draw of a
+    different size would shift B's position in the generator stream (the
+    oracle draws once with the full depth)."""
+    A, B = minhash_affine_params(depth, seed=seed)
+    return ((_word_hash(col) * int(A[j]) + int(B[j])) % P31) % width
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: int = 11,
+) -> DataFrame:
+    """Build the sketch over every row of ``df[col]`` (pre-explode items
+    yourself — occurrences count, not distinct). Returns the counter table
+    (j, bucket, cnt): at most depth×width rows regardless of input size.
+    Plan: one projection exploding each item into its d (row, bucket)
+    cells, one hash aggregate with map-side combine."""
+    cells = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                cm_bucket(F.col(col), j, depth, width, seed).alias("bucket"),
+            )
+            for j in range(depth)
+        ])
+    )
+    return (
+        df.select(cells.alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: int = 11,
+) -> DataFrame:
+    """Estimated count per query item: min over the d row counters. The
+    sketch is tiny — broadcast — so estimation never shuffles the queries."""
+    q = queries.select(
+        F.col(col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cm_bucket(F.col(col), j, depth, width, seed).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("c"),
+    ).select(col, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+    return (
+        q.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

@@ -2004,3 +2004,41 @@ def q50(spark, sf_dir):
         F.round("sum_v", 2).cast("double").alias("sum_v"),
         "min_v", "max_v",
     )
+
+
+def _q51_sql(depth: int = 4, width: int = 512, seed: int = 11) -> str:
+    """Count-Min oracle: identical md5+affine row hashes (constants from
+    the same seeded generator), counters compared cell by cell."""
+    from georef_ar_etl_spark.operators.doc_dedup import minhash_affine_params
+
+    A, B = minhash_affine_params(depth, seed=seed)
+    P = (1 << 31) - 1
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, ((hv * {int(A[j])} + {int(B[j])}) % {P}) % {width} AS bucket FROM h"
+        for j in range(depth)
+    )
+    return rf"""
+    WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents),
+    t AS (SELECT w FROM toks WHERE w <> ''),
+    h AS (SELECT (('0x' || substr(md5(w), 1, 8))::UBIGINT % {P})::BIGINT AS hv
+          FROM t),
+    cells AS ({rows})
+    SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    """
+
+
+# COUNT-MIN SKETCH (Cormode-Muthukrishnan): fixed-size mergeable frequency
+# sketch over all word occurrences — the constant-memory alternative to a
+# vocabulary-sized exact count at stream/corpus scale. Deterministic seeded
+# hashing makes the sketch itself oracle-verifiable cell by cell.
+@query("q51_count_min_sketch", _q51_sql())
+def q51(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return sketches.count_min_sketch(toks, "w", depth=4, width=512, seed=11)

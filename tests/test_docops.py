@@ -448,3 +448,27 @@ def test_dedup_near_keeps_component_representatives(spark):
     filtered = docs.filter("doc_id <> 4")
     kept2 = sorted(r["doc_id"] for r in dedup_near(filtered, pairs).collect())
     assert kept2 == [1, 3, 5]
+
+
+def test_count_min_estimate_never_underestimates(spark):
+    """CM property: the estimate is >= the true count for EVERY item (min
+    of d overcounting rows), and at low load factor most heavy hitters are
+    exact."""
+    from pyspark.sql import functions as F
+
+    from georef_ar_etl_spark.operators import sketches
+
+    rows = [(f"w{i:02d}",) for i in range(1, 21) for _ in range(i * 10)]
+    toks = spark.createDataFrame(rows, "w string")
+    true = {r["w"]: r["c"] for r in toks.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    sk = sketches.count_min_sketch(toks, "w", depth=4, width=512)
+    est = {
+        r["w"]: r["est"]
+        for r in sketches.cm_estimate(
+            sk, toks.select("w").distinct(), "w", depth=4, width=512
+        ).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[w] >= true[w] for w in true)
+    exact = sum(est[w] == true[w] for w in true)
+    assert exact >= len(true) * 0.8  # 20 items in 4x512 cells: mostly exact
