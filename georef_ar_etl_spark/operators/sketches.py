@@ -47,6 +47,21 @@ def cm_bucket(
     return ((_word_hash(col) * int(A[j]) + int(B[j])) % P31) % width
 
 
+def _cells(col: str, depth: int, width: int, seed: int):
+    """The exploded (j, bucket) cell expression — ONE definition shared by
+    build and estimate: the min-of-counters estimate is only valid if both
+    sides derive cells with the bit-identical formula."""
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                cm_bucket(F.col(col), j, depth, width, seed).alias("bucket"),
+            )
+            for j in range(depth)
+        ])
+    )
+
+
 def count_min_sketch(
     df: DataFrame,
     col: str,
@@ -59,17 +74,8 @@ def count_min_sketch(
     (j, bucket, cnt): at most depth×width rows regardless of input size.
     Plan: one projection exploding each item into its d (row, bucket)
     cells, one hash aggregate with map-side combine."""
-    cells = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                cm_bucket(F.col(col), j, depth, width, seed).alias("bucket"),
-            )
-            for j in range(depth)
-        ])
-    )
     return (
-        df.select(cells.alias("c"))
+        df.select(_cells(col, depth, width, seed).alias("c"))
         .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -86,16 +92,7 @@ def cm_estimate(
     """Estimated count per query item: min over the d row counters. The
     sketch is tiny — broadcast — so estimation never shuffles the queries."""
     q = queries.select(
-        F.col(col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    cm_bucket(F.col(col), j, depth, width, seed).alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("c"),
+        F.col(col), _cells(col, depth, width, seed).alias("c")
     ).select(col, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
     return (
         q.join(F.broadcast(sketch), ["j", "bucket"], "left")

@@ -18,11 +18,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_EPOCH_NTZ = "1970-01-01 00:00:00"
+
+
+def _epoch_s(time_col) -> "F.Column":
+    """Wall-clock seconds since the epoch via ``timestamp_diff`` over
+    TIMESTAMP_NTZ — genuinely timezone-free, unlike ``unix_timestamp``,
+    which interprets NTZ values in the SESSION timezone: under a DST
+    timezone the epoch axis gets one-hour discontinuities that break both
+    bucketing invariants and cross-engine parity. (TZ-typed inputs pass
+    through a session-TZ wall-clock cast first — deterministic under the
+    engine's pinned UTC, session.py.)"""
+    return F.timestamp_diff(
+        "SECOND",
+        F.lit(_EPOCH_NTZ).cast("timestamp_ntz"),
+        time_col.cast("timestamp_ntz"),
+    )
+
+
 def time_bucket_s(time_col, seconds: int):
-    """Bucket start as epoch seconds (long): timezone-free, exact, and
-    identical across engines (string-formatting a timestamp is where
-    cross-engine comparisons go to die)."""
-    return (F.floor(F.unix_timestamp(time_col) / seconds) * seconds).cast("long")
+    """Bucket start as epoch seconds (long): timezone-free (see _epoch_s),
+    exact, and identical across engines (string-formatting a timestamp is
+    where cross-engine comparisons go to die)."""
+    return (F.floor(_epoch_s(time_col) / seconds) * seconds).cast("long")
 
 
 def rollup(
@@ -49,14 +67,25 @@ def rollup(
 
 
 def rollup_coarser(
-    fine: DataFrame, key_cols: list[str], bucket_seconds: int
+    fine: DataFrame,
+    key_cols: list[str],
+    bucket_seconds: int,
+    fine_seconds: int | None = None,
 ) -> DataFrame:
     """Re-aggregate a finer rollup into a coarser one — the rollup CHAIN:
     the hour table reads the minute table's partials (counts sum, sums
     sum, mins min, maxs max), NEVER the raw events — which is the entire
     point of materialized rollups at 100 TB: each coarser granularity
-    costs O(finer rollup), not O(raw). Requires ``bucket_seconds`` to be a
-    multiple of the finer granularity (buckets nest)."""
+    costs O(finer rollup), not O(raw). ``bucket_seconds`` must be a
+    multiple of the finer granularity or buckets do not nest and the
+    coarser aggregates are silently WRONG — pass ``fine_seconds`` so the
+    precondition is enforced, not assumed."""
+    if fine_seconds is not None and bucket_seconds % fine_seconds != 0:
+        raise ValueError(
+            f"bucket_seconds={bucket_seconds} is not a multiple of the "
+            f"finer granularity {fine_seconds} — fine buckets would "
+            f"straddle coarse boundaries and the rollup would be wrong"
+        )
     return fine.groupBy(
         (F.floor(F.col("bucket_s") / bucket_seconds) * bucket_seconds)
         .cast("long")
@@ -91,14 +120,16 @@ def range_join_bucketed(
     """
     if window_seconds < 1:
         raise ValueError(f"window_seconds must be >= 1, got {window_seconds}")
-    # buckets from SECOND-truncated epochs (sub-second precision is
-    # irrelevant for bucketing: an interval of W seconds still spans at
-    # most 2 W-sized buckets); the refine predicate below compares the
-    # raw timestamps EXACTLY — never epoch seconds, which would silently
-    # truncate microseconds
+    # buckets from SECOND-truncated wall-clock epochs (_epoch_s — NOT
+    # unix_timestamp, whose session-TZ interpretation of NTZ values breaks
+    # the <=2-candidate-bucket invariant across DST discontinuities);
+    # sub-second precision is irrelevant for bucketing: an interval of W
+    # seconds still spans at most 2 W-sized buckets. The refine predicate
+    # below compares the raw timestamps EXACTLY — never epoch seconds,
+    # which would silently truncate microseconds.
     w = F.lit(window_seconds)
-    lb = F.floor(F.unix_timestamp(F.col(left_time)) / w)
-    rb = F.floor(F.unix_timestamp(F.col(right_time)) / w)
+    lb = F.floor(_epoch_s(F.col(left_time)) / w)
+    rb = F.floor(_epoch_s(F.col(right_time)) / w)
     l = left.withColumn("_b", F.explode(F.array(lb, lb + 1)))
     r = right.withColumn("_b", rb)
     upper = F.col(f"l.{left_time}") + F.expr(f"INTERVAL {window_seconds} SECONDS")
@@ -143,6 +174,12 @@ def asof_join(
 
     Output: every left column plus ``<prefix><col>`` for ``right_cols``.
     """
+    # null right timestamps can never be "at or before" anything (SQL
+    # three-valued semantics; pandas merge_asof drops them too) — without
+    # this filter the nulls-first ascending sort would place them at the
+    # START of every window frame and carry their payload onto probes that
+    # should get no match
+    right = right.filter(F.col(right_time).isNotNull())
     payload = F.struct(*[F.col(c) for c in right_cols])
     r = right.select(
         F.col(right_key).alias("_k"),

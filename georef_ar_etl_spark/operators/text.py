@@ -186,6 +186,10 @@ DEFAULT_QUALITY_RULES: list[tuple[str, str]] = [
     # pattern of operators/validate.py applied to documents). Thresholds
     # follow the C4/Gopher family: length bounds, symbol density,
     # stopword floor, repetition ceilings.
+    # no_text MUST lead: null text nulls every feature, every numeric
+    # predicate then evaluates to NULL (three-valued logic) and no later
+    # rule can fire — without this rule a null document passes the gate
+    ("no_text", "q_n_chars IS NULL"),
     ("too_short", "q_n_tokens < 5"),
     ("too_long", "q_n_chars > 20000"),
     ("high_punct", "q_punct_ratio > 0.3"),

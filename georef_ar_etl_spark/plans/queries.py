@@ -1873,12 +1873,30 @@ def q47(spark, sf_dir):
     )
 
 
-_Q48_SQL = """
-    WITH probes AS (
+
+# shared by q48/q49: deterministic probe rows inside the event-time window
+_PROBES_CTE = """
+    probes AS (
       SELECT o_orderkey AS probe_id, (o_custkey % 150) AS k,
              TIMESTAMP '2024-01-01'
                + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS t
-      FROM orders),
+      FROM orders)"""
+
+
+def _probes(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("probe_id"),
+        (F.col("o_custkey") % 150).alias("k"),
+        F.timestamp_add(
+            "MINUTE",
+            (F.col("o_orderkey") % 43200).cast("int"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("t"),
+    )
+
+
+_Q48_SQL = """
+    WITH {probes},
     e AS (SELECT user_id, ts, event_id, event_type, value FROM events)
     SELECT p.probe_id, p.k, cast(p.t AS VARCHAR) AS t,
            ev.event_id AS asof_event_id,
@@ -1890,7 +1908,7 @@ _Q48_SQL = """
       WHERE e.user_id = p.k AND e.ts <= p.t
       ORDER BY e.ts DESC, e.event_id DESC
       LIMIT 1) ev ON TRUE
-"""
+""".format(probes=_PROBES_CTE)
 
 
 # AS-OF JOIN (pandas merge_asof / kdb aj): latest event at or before each
@@ -1902,15 +1920,7 @@ _Q48_SQL = """
 def q48(spark, sf_dir):
     from georef_ar_etl_spark.operators.temporal import asof_join
 
-    probes = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("probe_id"),
-        (F.col("o_custkey") % 150).alias("k"),
-        F.timestamp_add(
-            "MINUTE",
-            (F.col("o_orderkey") % 43200).cast("int"),
-            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
-        ).alias("t"),
-    )
+    probes = _probes(spark, sf_dir)
     events = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
@@ -1932,19 +1942,18 @@ def q48(spark, sf_dir):
 
 
 _Q49_SQL = """
-    WITH probes AS (
-      SELECT o_orderkey AS probe_id, (o_custkey % 150) AS k,
-             TIMESTAMP '2024-01-01'
-               + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS t
-      FROM orders)
+    WITH {probes}
     SELECT p.probe_id, p.k, count(*) AS n_events,
            min(e.event_id) AS first_event_id,
-           cast(round(sum(e.value), 2) AS double) AS sum_value
+           -- exact integer cents: per-element round then int64 sum is
+           -- order-independent; a float sum's rounding could differ across
+           -- engines/summation orders exactly on a .005 boundary
+           sum(round(e.value * 100)::BIGINT) AS sum_value_c
     FROM probes p JOIN events e
       ON e.user_id = p.k AND e.ts >= p.t
      AND e.ts < p.t + INTERVAL 3600 SECONDS
     GROUP BY 1, 2
-"""
+""".format(probes=_PROBES_CTE)
 
 
 # RANGE (interval) JOIN: events within [t, t+1h) per probe, via the
@@ -1955,15 +1964,7 @@ _Q49_SQL = """
 def q49(spark, sf_dir):
     from georef_ar_etl_spark.operators.temporal import range_join_bucketed
 
-    probes = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("probe_id"),
-        (F.col("o_custkey") % 150).alias("k"),
-        F.timestamp_add(
-            "MINUTE",
-            (F.col("o_orderkey") % 43200).cast("int"),
-            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
-        ).alias("t"),
-    )
+    probes = _probes(spark, sf_dir)
     events = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     j = range_join_bucketed(
         probes, events, "k", "user_id", "t", "ts", window_seconds=3600
@@ -1971,7 +1972,7 @@ def q49(spark, sf_dir):
     return j.groupBy("probe_id", "k").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_event_id"),
-        F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
     )
 
 
@@ -1979,9 +1980,10 @@ _Q50_SQL = """
     SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_s,
            event_type,
            count(*) AS n,
-           cast(round(sum(value), 2) AS double) AS sum_v,
-           min(value) AS min_v,
-           max(value) AS max_v
+           -- exact integer cents, order-independent (see q49)
+           sum(round(value * 100)::BIGINT) AS sum_c,
+           min(round(value * 100)::BIGINT) AS min_c,
+           max(round(value * 100)::BIGINT) AS max_c
     FROM events
     GROUP BY 1, 2
 """
@@ -1996,13 +1998,19 @@ _Q50_SQL = """
 def q50(spark, sf_dir):
     from georef_ar_etl_spark.operators.temporal import rollup, rollup_coarser
 
-    events = _t(spark, sf_dir, "events")
-    minute = rollup(events, "ts", ["event_type"], "value", bucket_seconds=60)
-    hour = rollup_coarser(minute, ["event_type"], bucket_seconds=3600)
+    events = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
+    minute = rollup(events, "ts", ["event_type"], "value_c", bucket_seconds=60)
+    hour = rollup_coarser(
+        minute, ["event_type"], bucket_seconds=3600, fine_seconds=60
+    )
+    # everything stays in exact integer cents through the chain
     return hour.select(
         "bucket_s", "event_type", "n",
-        F.round("sum_v", 2).cast("double").alias("sum_v"),
-        "min_v", "max_v",
+        F.col("sum_v").alias("sum_c"),
+        F.col("min_v").alias("min_c"),
+        F.col("max_v").alias("max_c"),
     )
 
 

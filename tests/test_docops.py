@@ -472,3 +472,14 @@ def test_count_min_estimate_never_underestimates(spark):
     assert all(est[w] >= true[w] for w in true)
     exact = sum(est[w] == true[w] for w in true)
     assert exact >= len(true) * 0.8  # 20 items in 4x512 cells: mostly exact
+
+
+def test_quality_gate_rejects_null_text(spark):
+    """Null text nulls every feature; three-valued logic would skip every
+    numeric rule — the leading no_text rule must catch it (empty text is a
+    separate, ordinary too_short failure)."""
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "x y")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in text.quality_gate(df).collect()}
+    assert out[1] == (False, "no_text")
+    assert out[2] == (False, "too_short")
+    assert out[3][1] in (None, "too_short", "low_stopword")  # tiny doc: some rule or pass
