@@ -42,6 +42,13 @@ HEADLINE = [
     "q42_hash_tokenize",
     "q43_vocabulary_topk",
     "q44_dedup_components",
+    "q45_contamination_pairs",
+    "q46_quality_gate",
+    "q47_token_budget_sample",
+    "q48_asof_join",
+    "q49_range_join_window_agg",
+    "q50_hypertable_rollup",
+    "q51_count_min_sketch",
 ]
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at
