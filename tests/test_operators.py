@@ -248,3 +248,60 @@ def test_range_join_bucketed_boundaries(spark):
         ).collect()
     )
     assert got == [10, 11, 12]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against the REFERENCE implementation: on seeded
+    random frames with unique (key, time) pairs, asof_join must agree with
+    pandas.merge_asof (backward, allow_exact_matches=True) row for row."""
+    import numpy as np
+    import pandas as pd
+
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(17)
+    n_l, n_r = 400, 300
+    lpd = pd.DataFrame({
+        "k": rng.randint(0, 12, n_l).astype("int64"),
+        "t": rng.choice(np.arange(0, 5000, dtype="int64"), n_l, replace=False),
+    })
+    rpd = pd.DataFrame({
+        "k": rng.randint(0, 12, n_r).astype("int64"),
+        "t": rng.choice(np.arange(0, 5000, dtype="int64"), n_r, replace=False),
+        "v": rng.randint(0, 10_000, n_r).astype("int64"),
+    })
+    want = pd.merge_asof(
+        lpd.sort_values("t"), rpd.sort_values("t"),
+        on="t", by="k", direction="backward", allow_exact_matches=True,
+        suffixes=("", "_r"),
+    )
+    expect = {
+        (int(r.k), int(r.t)): (None if pd.isna(r.v) else int(r.v))
+        for r in want.itertuples()
+    }
+    got = {
+        (r["k"], r["t"]): r["asof_v"]
+        for r in asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            "k", "k", "t", "t", right_cols=["v"],
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_rollup_coarser_rejects_non_nesting_granularity(spark):
+    import pytest
+
+    from georef_ar_etl_spark.operators.temporal import rollup, rollup_coarser
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0)], "ts string, event_type string, value double"
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value")
+    fine = rollup(ev, "ts", ["event_type"], "value", bucket_seconds=90)
+    # 240 % 90 != 0: a 90 s bucket [3510, 3600) would straddle the 240 s
+    # boundary at 3600... no — [180, 270) straddles 240; non-multiples
+    # always produce straddling fine buckets somewhere
+    with pytest.raises(ValueError, match="not a multiple"):
+        rollup_coarser(fine, ["event_type"], bucket_seconds=240, fine_seconds=90)
+    # multiples nest fine (90 | 3600) — no error
+    rollup_coarser(fine, ["event_type"], bucket_seconds=3600, fine_seconds=90)
