@@ -260,6 +260,44 @@ def vocabulary(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     )
 
 
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality proxy WITHOUT an external model artifact:
+    mean negative log-probability of each document's words under an
+    add-one-smoothed unigram model trained on the corpus itself. High
+    score = rare-word-heavy / gibberish documents — the perplexity-filter
+    shape (Wenzek et al., CCNet) in its simplest self-contained form.
+
+    Plan: the word-count aggregate (map-side combine) builds the model;
+    the 1-row (N, V) totals and the vocab table broadcast onto the token
+    stream; one per-doc average. No Python, no iterative training, and
+    the model is a DataFrame — persist it to score OTHER corpora against
+    this one's distribution. Documents with no tokens score null."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.log((F.col("c") + 1) / (F.col("N") + F.col("V")))).alias("_s")
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col, F.round("_s", 4).alias("lm_score")
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (md5 so the DuckDB oracle computes the identical value.)"""

@@ -2050,3 +2050,26 @@ def q51(spark, sf_dir):
         .filter(F.col("w") != "")
     )
     return sketches.count_min_sketch(toks, "w", depth=4, width=512, seed=11)
+
+
+_Q52_SQL = r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\s+')) AS tok
+                  FROM documents),
+    t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT sum(c) AS N, count(*) AS V FROM v),
+    sc AS (SELECT t.doc_id, avg(-ln((v.c + 1) / (tot.N + tot.V))) AS s
+           FROM t JOIN v USING (tok) CROSS JOIN tot
+           GROUP BY t.doc_id)
+    SELECT d.doc_id, round(sc.s, 4) AS lm_score
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+# unigram-LM quality proxy (the CCNet perplexity-filter shape, self-
+# contained): mean -ln p(word) under an add-one-smoothed unigram model of
+# the corpus itself — high scores flag rare-word-heavy/gibberish docs.
+@query("q52_unigram_lm_score", _Q52_SQL)
+def q52(spark, sf_dir):
+    return text.unigram_lm_score(_t(spark, sf_dir, "documents"))
