@@ -469,6 +469,7 @@ def cross_corpus_overlap(
     window: int = 4,
     min_shared: int = 1,
     max_doc_freq: int | None = None,
+    stop_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Contamination detection: training documents sharing a >= k-char
     exact substring with a HELD-OUT set (eval/benchmark data), via shared
@@ -482,7 +483,13 @@ def cross_corpus_overlap(
     100 TB of training text costs one fingerprint pass over it.
     ``max_doc_freq`` (doc frequency measured on the CORPUS side) drops
     ubiquitous substrings, same stop-fingerprint rationale as the
-    self-join variant."""
+    self-join variant.
+
+    ``stop_fps`` (a (fp) DataFrame) FREEZES the stop list instead of
+    deriving it from ``corpus``: removing contaminated documents changes
+    fingerprint doc-frequencies, so a re-scan with a recomputed list is
+    NOT a fixpoint check — audits and iterative cleaning must pass the
+    original list (see corpus_stop_fingerprints)."""
     winnow = winnow_fingerprints_udf(k=k, window=window)
 
     def fps(df_, name):
@@ -492,7 +499,11 @@ def cross_corpus_overlap(
         )
 
     corpus_fp = fps(corpus, "train_id")
-    if max_doc_freq is not None:
+    if stop_fps is not None:
+        corpus_fp = corpus_fp.join(
+            F.broadcast(stop_fps.select("fp")), "fp", "left_anti"
+        )
+    elif max_doc_freq is not None:
         # materialize only when the doc-freq branch creates a SECOND
         # consumer of the exploded frame (otherwise the UDF would run
         # twice); with a single consumer the checkpoint would be a pure
@@ -507,6 +518,27 @@ def cross_corpus_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def corpus_stop_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    max_doc_freq: int = 4,
+) -> DataFrame:
+    """The frozen stop-fingerprint list of a corpus: winnowing fingerprints
+    appearing in more than ``max_doc_freq`` documents. Compute ONCE on the
+    original corpus and pass to cross_corpus_overlap as ``stop_fps`` for
+    audits and iterative decontamination — doc frequencies shift as
+    documents are removed, so a recomputed list changes the question."""
+    winnow = winnow_fingerprints_udf(k=k, window=window)
+    ex = (
+        df.select(F.col(id_col).alias("id"), winnow(F.col(text_col)).alias("fps"))
+        .select("id", F.explode("fps").alias("fp"))
+    )
+    return ex.groupBy("fp").count().filter(F.col("count") > max_doc_freq).select("fp")
 
 
 # ----------------------------------------------------------------- simhash

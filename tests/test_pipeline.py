@@ -156,3 +156,59 @@ def test_engine_assert_size_uses_manifest(spark, tmp_path):
         eng.assert_size(41, "eq")
     with pytest.raises(ValueError):
         eng.assert_size(1, "floor")
+
+
+def test_training_corpus_pipeline_end_to_end(spark):
+    """The document operators composed as the reference-style Process:
+    gate -> exact dedup -> near dedup -> decontaminate -> tokenize+pack,
+    with every stage's invariant checked on the output."""
+    from pyspark.sql import functions as F
+
+    from georef_ar_etl_spark.operators import corpus, doc_dedup, text
+    from georef_ar_etl_spark.plans.corpus_pipeline import training_corpus_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    proc = training_corpus_pipeline()
+    assert proc.step_names() == [
+        "quality_gate", "dedup_exact", "dedup_near", "decontaminate",
+        "tokenize_pack",
+    ]
+    out = proc.run(initial=docs).cache()
+    n = out.count()
+    assert 0 < n < docs.count()
+
+    # gate: survivors would all pass the gate again (idempotent filter)
+    survivors = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+    regate = text.quality_gate(survivors)
+    assert regate.filter(~F.col("keep")).count() == 0
+    # the drop report materialized per reason
+    rep = {r["reason"]: r["count"] for r in proc.ctx["report"]["gate_dropped"].collect()}
+    assert rep and all(v > 0 for v in rep.values())
+
+    # exact dedup: no two survivors share a normalized fingerprint
+    assert (
+        survivors.select(text.fingerprint(F.col("text")).alias("f")).distinct().count()
+        == n
+    )
+
+    # decontamination: no surviving TRAIN doc shares substrings with the
+    # held-out docs — audited against the pipeline's FROZEN stop list
+    # (recomputing doc frequencies after removal changes the question:
+    # see cross_corpus_overlap's stop_fps contract)
+    train = survivors.join(out.filter("split = 'train'").select("doc_id"), "doc_id", "left_semi")
+    held = survivors.join(out.filter("split != 'train'").select("doc_id"), "doc_id", "left_semi")
+    leftover = doc_dedup.cross_corpus_overlap(
+        train, held, min_shared=2,
+        stop_fps=proc.ctx["report"]["contamination_stop_fps"],
+    ).count()
+    assert leftover == 0
+
+    # packing: every pack respects the overflow-allowed bound
+    stats = out.groupBy("source", "split", "pack_seq").agg(
+        F.sum("n_tok").alias("tot")
+    )
+    mx = out.agg(F.max("n_tok")).first()[0]
+    assert stats.filter(F.col("tot") >= 2048 + mx).count() == 0
+    # and tokens are real hash-tokenizer output
+    row = out.filter(F.col("n_tok") > 0).first()
+    assert all(0 <= t < 32768 for t in row["tokens"])
