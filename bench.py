@@ -49,6 +49,7 @@ HEADLINE = [
     "q49_range_join_window_agg",
     "q50_hypertable_rollup",
     "q51_count_min_sketch",
+    "q52_unigram_lm_score",
 ]
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at

@@ -116,7 +116,7 @@ def pack_sequences(
     df: DataFrame,
     capacity: int,
     len_col: str = "n_tok",
-    group_col: str = "source",
+    group_col: str | list[str] = "source",
     id_col: str = "doc_id",
     out_col: str = "pack_seq",
 ) -> DataFrame:
@@ -142,7 +142,8 @@ def pack_sequences(
     if capacity < 1:
         # non-ANSI divide-by-zero would silently yield NULL pack ids
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    w = Window.partitionBy(group_col).orderBy(id_col)
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*groups).orderBy(id_col)
     cum = F.sum(len_col).over(w)
     return df.withColumn(
         out_col,

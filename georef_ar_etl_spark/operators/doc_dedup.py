@@ -470,6 +470,7 @@ def cross_corpus_overlap(
     min_shared: int = 1,
     max_doc_freq: int | None = None,
     stop_fps: DataFrame | None = None,
+    broadcast_held: bool = True,
 ) -> DataFrame:
     """Contamination detection: training documents sharing a >= k-char
     exact substring with a HELD-OUT set (eval/benchmark data), via shared
@@ -477,10 +478,14 @@ def cross_corpus_overlap(
     a pretraining run (decontamination). Returns (train_id, heldout_id,
     n_shared).
 
-    Same machinery as winnow_candidate_pairs but a two-sided join: the
-    held-out side is small (benchmarks are), so its exploded fingerprints
-    broadcast and the corpus side never shuffles — a contamination scan of
-    100 TB of training text costs one fingerprint pass over it.
+    Same machinery as winnow_candidate_pairs but a two-sided join. With
+    ``broadcast_held=True`` (default — for SMALL held-out sets, i.e.
+    benchmarks) the held side's exploded fingerprints broadcast and the
+    corpus side never shuffles: a contamination scan of 100 TB of training
+    text costs one fingerprint pass over it. Pass ``False`` when the held
+    side is itself corpus-scale (e.g. a 20% split) — a forced broadcast
+    would exceed Spark's 8 GB broadcast limit; the optimizer then plans a
+    shuffle join.
     ``max_doc_freq`` (doc frequency measured on the CORPUS side) drops
     ubiquitous substrings, same stop-fingerprint rationale as the
     self-join variant.
@@ -512,8 +517,10 @@ def cross_corpus_overlap(
         drop = corpus_fp.groupBy("fp").count().filter(F.col("count") > max_doc_freq)
         corpus_fp = corpus_fp.join(F.broadcast(drop.select("fp")), "fp", "left_anti")
     held_fp = fps(held_out, "heldout_id")
+    if broadcast_held:
+        held_fp = F.broadcast(held_fp)
     return (
-        corpus_fp.join(F.broadcast(held_fp), "fp")
+        corpus_fp.join(held_fp, "fp")
         .groupBy("train_id", "heldout_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

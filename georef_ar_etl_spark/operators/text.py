@@ -286,7 +286,11 @@ def unigram_lm_score(
         F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
     )
     scored = (
-        toks.join(F.broadcast(vocab), "tok")
+        # vocab is NOT broadcast-hinted: at corpus scale the distinct-token
+        # table is unbounded (typos/numbers/URLs) and a forced broadcast
+        # would hit the 8 GB limit — AQE broadcasts it when it is small;
+        # only the 1-row totals frame is unconditionally broadcastable
+        toks.join(vocab, "tok")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(

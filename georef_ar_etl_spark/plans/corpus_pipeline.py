@@ -56,12 +56,11 @@ def _dedup_near(df: DataFrame, ctx: dict) -> DataFrame:
 
 
 def _decontaminate(df: DataFrame, ctx: dict) -> DataFrame:
-    split = corpus.split_assignment(
-        F.col("doc_id"),
-        ctx.get("fractions", [("train", 0.8), ("val", 0.1), ("test", 0.1)]),
+    labeled = corpus.hash_split(
+        df,
+        fractions=ctx.get("fractions", [("train", 0.8), ("val", 0.1), ("test", 0.1)]),
         hash_fn="md5",
     )
-    labeled = df.withColumn("split", split)
     train = labeled.filter(F.col("split") == "train")
     held = labeled.filter(F.col("split") != "train")
     # FREEZE the stop list on the original train side: removing dirty
@@ -76,6 +75,10 @@ def _decontaminate(df: DataFrame, ctx: dict) -> DataFrame:
         train, held,
         min_shared=ctx.get("contamination_min_shared", 2),
         stop_fps=stop,
+        # the held side here is a 20% SPLIT of the corpus, not a small
+        # benchmark set — a forced broadcast of its fingerprints would
+        # blow the 8 GB limit at scale; let the optimizer pick the join
+        broadcast_held=False,
     ).select(F.col("train_id").alias("doc_id")).distinct()
     clean_train = train.join(dirty, "doc_id", "left_anti")
     return clean_train.unionByName(held)
@@ -88,8 +91,14 @@ def _tokenize_and_pack(df: DataFrame, ctx: dict) -> DataFrame:
         ids.alias("tokens"),
         F.size(ids).alias("n_tok"),
     )
+    # pack within (source, split): a pack is a TRAINING sequence — held-out
+    # documents must never share one with train docs (they would consume
+    # the pack budget and collide sequence ids with eval packs)
     return corpus.pack_sequences(
-        toks, capacity=ctx.get("pack_capacity", 2048), len_col="n_tok"
+        toks,
+        capacity=ctx.get("pack_capacity", 2048),
+        len_col="n_tok",
+        group_col=["source", "split"],
     )
 
 
@@ -106,5 +115,7 @@ def training_corpus_pipeline(ctx: dict | None = None) -> Process:
             Step("decontaminate", _decontaminate),
             Step("tokenize_pack", _tokenize_and_pack),
         ],
-        ctx=ctx or {},
+        # `ctx or {}` would swap a caller's EMPTY dict for a fresh one and
+        # silently disconnect them from the report entries
+        ctx=ctx if ctx is not None else {},
     )

@@ -298,9 +298,8 @@ def test_rollup_coarser_rejects_non_nesting_granularity(spark):
         [("2024-01-01 00:10:00", "a", 1.0)], "ts string, event_type string, value double"
     ).select(F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value")
     fine = rollup(ev, "ts", ["event_type"], "value", bucket_seconds=90)
-    # 240 % 90 != 0: a 90 s bucket [3510, 3600) would straddle the 240 s
-    # boundary at 3600... no — [180, 270) straddles 240; non-multiples
-    # always produce straddling fine buckets somewhere
+    # 240 % 90 != 0, so some 90 s fine bucket straddles a 240 s boundary
+    # (e.g. [180, 270) straddles 240) — non-nesting granularities must raise
     with pytest.raises(ValueError, match="not a multiple"):
         rollup_coarser(fine, ["event_type"], bucket_seconds=240, fine_seconds=90)
     # multiples nest fine (90 | 3600) — no error
