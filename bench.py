@@ -50,6 +50,8 @@ HEADLINE = [
     "q50_hypertable_rollup",
     "q51_count_min_sketch",
     "q52_unigram_lm_score",
+    "q53_sessionize",
+    "q54_embedding_mean_pool",
 ]
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at

@@ -230,6 +230,37 @@ def embedding_neardup_pairs(
     )
 
 
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid (mean pooling) — the array-aggregation
+    pattern done Spark-first: posexplode to (group, pos, x), ONE hash
+    aggregate per (group, position) with map-side combine, then reassemble
+    the ordered array per group. The shuffle carries (group × dim) partial
+    rows, never vectors; compare with collect_list-of-vectors approaches,
+    which move every embedding into one reducer per group. Returns
+    (group_col, centroid: array<double>, dim)."""
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col).cast("array<double>"))
+    ).toDF(group_col, "pos", "x")
+    agg = ex.groupBy(group_col, "pos").agg(F.avg("x").alias("m"))
+    return (
+        agg.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_pm")
+        )
+        .select(
+            group_col,
+            F.transform(F.col("_pm"), lambda s: s["m"]).alias("centroid"),
+            F.size("_pm").alias("dim"),
+        )
+    )
+
+
 def _kmeans_lloyd(
     sample: np.ndarray, n_clusters: int, n_iter: int, seed: int
 ) -> np.ndarray:

@@ -152,6 +152,43 @@ def range_join_bucketed(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_seconds``. Adds ``session_idx``
+    (0-based per key) — the standard lag + running-sum-of-boundaries
+    window pair, one shuffle per key, no state store needed for batch /
+    replay analytics (the streaming twin is ``session_window``; this is
+    the deterministic batch formulation the oracle can mirror).
+
+    ``order_col`` breaks timestamp ties deterministically (pass the event
+    sequence column); required for exact cross-engine parity when (key,
+    time) is not unique."""
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
+    order = [F.col(time_col).asc()] + (
+        [F.col(order_col).asc()] if order_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(time_col).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (_epoch_s(F.col(time_col)) - _epoch_s(prev) > gap_seconds),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        "session_idx", (F.sum(new_session).over(cum) - 1).cast("int")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -2073,3 +2073,76 @@ _Q52_SQL = r"""
 @query("q52_unigram_lm_score", _Q52_SQL)
 def q52(spark, sf_dir):
     return text.unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+_Q53_SQL = """
+    WITH o AS (SELECT user_id, ts, event_id, value,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT *, CASE WHEN prev IS NULL
+                           OR floor(epoch(ts))::BIGINT
+                              - floor(epoch(prev))::BIGINT > 1800
+                         THEN 1 ELSE 0 END AS ns
+          FROM o),
+    s AS (SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - 1)::INT AS session_idx
+          FROM f)
+    SELECT user_id, session_idx, count(*) AS n_events,
+           cast(min(ts) AS VARCHAR) AS start_ts,
+           cast(max(ts) AS VARCHAR) AS end_ts,
+           sum(round(value * 100)::BIGINT) AS sum_value_c
+    FROM s GROUP BY 1, 2
+"""
+
+
+# gap-based SESSIONIZATION (30 min inactivity -> new session): the
+# standard lag + running-boundary-sum window pair
+# (operators/temporal.py::sessionize), tie-broken by event_id for exact
+# cross-engine parity; per-session aggregates in exact integer cents.
+@query("q53_sessionize", _Q53_SQL)
+def q53(spark, sf_dir):
+    from georef_ar_etl_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, order_col="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").cast("string").alias("start_ts"),
+        F.max("ts").cast("string").alias("end_ts"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+    )
+
+
+_Q54_SQL = """
+    WITH e AS (SELECT vec_id % 8 AS grp,
+                      unnest(embedding::DOUBLE[]) AS x,
+                      unnest(generate_series(1, len(embedding))) AS pos
+               FROM embeddings),
+    a AS (SELECT grp, pos, round(avg(x) * 1000000)::BIGINT AS m
+          FROM e GROUP BY 1, 2)
+    SELECT grp, md5(array_to_string(list(m ORDER BY pos), ',')) AS centroid_fp,
+           count(*) AS dim
+    FROM a GROUP BY grp
+"""
+
+
+# per-group embedding centroid (mean pooling) via posexplode + per-position
+# hash aggregate — the shuffle carries (group x dim) partials, never the
+# vectors. Centroids projected as integer micro-units (double->string
+# formatting differs across engines; exact ints do not).
+@query("q54_embedding_mean_pool", _Q54_SQL)
+def q54(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 8).alias("grp"), "embedding"
+    )
+    pooled = similarity.mean_pool(emb, "grp")
+    micro = F.transform(
+        F.col("centroid"), lambda x: F.round(x * 1000000).cast("long")
+    )
+    return pooled.select(
+        "grp",
+        _arr_fp(micro).alias("centroid_fp"),
+        F.col("dim").cast("long").alias("dim"),
+    )
