@@ -241,16 +241,22 @@ def mean_pool(
     the ordered array per group. The shuffle carries (group × dim) partial
     rows, never vectors; compare with collect_list-of-vectors approaches,
     which move every embedding into one reducer per group. Returns
-    (group_col, centroid: array<double>, dim)."""
+    (group_col, centroid: array<double>, dim).
+
+    Groups whose vectors are ALL null/empty emit NO output row (posexplode
+    produces nothing for them — the same convention as SQL unnest); join
+    the result back to your group universe if absent-as-null matters."""
+    if group_col in ("__pos", "__x"):
+        raise ValueError(f"group_col {group_col!r} collides with internal names")
     ex = df.select(
         F.col(group_col), F.posexplode(F.col(vec_col).cast("array<double>"))
-    ).toDF(group_col, "pos", "x")
-    agg = ex.groupBy(group_col, "pos").agg(F.avg("x").alias("m"))
+    ).toDF(group_col, "__pos", "__x")
+    agg = ex.groupBy(group_col, "__pos").agg(F.avg("__x").alias("m"))
     return (
         agg.groupBy(group_col)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                F.collect_list(F.struct(F.col("__pos"), F.col("m")))
             ).alias("_pm")
         )
         .select(

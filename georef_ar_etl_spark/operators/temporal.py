@@ -168,7 +168,12 @@ def sessionize(
 
     ``order_col`` breaks timestamp ties deterministically (pass the event
     sequence column); required for exact cross-engine parity when (key,
-    time) is not unique."""
+    time) is not unique.
+
+    Gap granularity: the comparison runs on SECOND-truncated epochs
+    (cross-engine-exact integers), so sub-second timestamps whose true gap
+    is within one second above ``gap_seconds`` still merge — boundaries
+    are second-granular by contract, not microsecond-granular."""
     if gap_seconds < 1:
         raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
     order = [F.col(time_col).asc()] + (
@@ -181,9 +186,9 @@ def sessionize(
         | (_epoch_s(F.col(time_col)) - _epoch_s(prev) > gap_seconds),
         1,
     ).otherwise(0)
-    cum = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # derived from w so boundary detection and numbering can never use
+    # divergent orderings
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(
         "session_idx", (F.sum(new_session).over(cum) - 1).cast("int")
     )

@@ -304,3 +304,25 @@ def test_rollup_coarser_rejects_non_nesting_granularity(spark):
         rollup_coarser(fine, ["event_type"], bucket_seconds=240, fine_seconds=90)
     # multiples nest fine (90 | 3600) — no error
     rollup_coarser(fine, ["event_type"], bucket_seconds=3600, fine_seconds=90)
+
+
+def test_sessionize_gap_boundary(spark):
+    """Second-granular gap contract: a floored-epoch gap of exactly
+    gap_seconds stays in the SAME session (> not >=); one second more
+    splits. Also: each key's first event starts session 0."""
+    from georef_ar_etl_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (1, 2, "2024-01-01 00:30:00"),   # gap exactly 1800 -> same session
+        (1, 3, "2024-01-01 01:00:01"),   # gap 1801 -> new session
+        (2, 4, "2024-01-01 05:00:00"),   # other key -> its own session 0
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string"
+    ).select("user_id", "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap_seconds=1800, order_col="event_id").collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
