@@ -52,6 +52,7 @@ HEADLINE = [
     "q52_unigram_lm_score",
     "q53_sessionize",
     "q54_embedding_mean_pool",
+    "q55_per_group_sample",
 ]
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at

@@ -181,3 +181,30 @@ def token_budget_sample(
     return df.withColumn("_started", started).filter(
         F.col("_started") < budget
     ).drop("_started")
+
+
+def per_group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "groupsample",
+) -> DataFrame:
+    """Exactly-k (or all, for smaller groups) documents per group, chosen
+    as the k smallest salted md5 hashes — a deterministic uniform sample
+    per group (balanced per-source eval sets, few-shot pools) with the
+    same reproducibility contract as the other samplers: stable under
+    repartitioning and retries, identical across engines. One window
+    rank per group; ties impossible (the hash input embeds the unique
+    key)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

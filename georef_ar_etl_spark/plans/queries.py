@@ -2146,3 +2146,34 @@ def q54(spark, sf_dir):
         _arr_fp(micro).alias("centroid_fp"),
         F.col("dim").cast("long").alias("dim"),
     )
+
+
+_Q55_SQL = """
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(doc_id::VARCHAR || 'groupsample'), doc_id
+                      ) AS rk
+               FROM documents)
+    SELECT source, count(*) AS n_docs,
+           md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_fp
+    FROM r WHERE rk <= 10
+    GROUP BY 1
+"""
+
+
+# exactly-k-per-group deterministic sampling (balanced per-source subsets):
+# k smallest salted hashes per group — completes the sampling family
+# (fraction-based q32 splits, budget-based q47, count-based here).
+@query("q55_per_group_sample", _Q55_SQL)
+def q55(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    s = corpus.per_group_sample(d, k=10)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ",")
+        ).alias("docs_fp"),
+    )
