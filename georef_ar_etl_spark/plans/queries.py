@@ -1948,7 +1948,9 @@ _Q49_SQL = """
            -- exact integer cents: per-element round then int64 sum is
            -- order-independent; a float sum's rounding could differ across
            -- engines/summation orders exactly on a .005 boundary
-           sum(round(e.value * 100)::BIGINT) AS sum_value_c
+           -- (outer ::BIGINT: duckdb sum(BIGINT) returns HUGEINT, which
+           -- pandas renders as float64 and the driver's hash rejects)
+           sum(round(e.value * 100)::BIGINT)::BIGINT AS sum_value_c
     FROM probes p JOIN events e
       ON e.user_id = p.k AND e.ts >= p.t
      AND e.ts < p.t + INTERVAL 3600 SECONDS
@@ -1980,8 +1982,9 @@ _Q50_SQL = """
     SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_s,
            event_type,
            count(*) AS n,
-           -- exact integer cents, order-independent (see q49)
-           sum(round(value * 100)::BIGINT) AS sum_c,
+           -- exact integer cents, order-independent (see q49); outer
+           -- ::BIGINT guards the duckdb sum->HUGEINT->float64 artifact
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_c,
            min(round(value * 100)::BIGINT) AS min_c,
            max(round(value * 100)::BIGINT) AS max_c
     FROM events
@@ -2092,7 +2095,7 @@ _Q53_SQL = """
     SELECT user_id, session_idx, count(*) AS n_events,
            cast(min(ts) AS VARCHAR) AS start_ts,
            cast(max(ts) AS VARCHAR) AS end_ts,
-           sum(round(value * 100)::BIGINT) AS sum_value_c
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_c
     FROM s GROUP BY 1, 2
 """
 

@@ -1,11 +1,19 @@
 """Side-by-side contract check: every queries() entry vs its DuckDB oracle at
 sf0.001 — replicating the driver's compare (row count, column names, and an
-order-insensitive value hash over name-sorted columns)."""
+order-insensitive value hash over name-sorted columns).
+
+The oracle side goes through ``duckdb ... .df()`` (pandas) exactly like the
+driver, and canon() is DTYPE-SENSITIVE: an int64 ``4079`` and a float64
+``4079.0`` canonicalize differently.  This is deliberate — duckdb's
+``sum(BIGINT)`` returns HUGEINT, which pandas renders as float64, and the
+driver's hash rejects that even when every value is numerically equal
+(round-4 q49/q50/q53 regression).  Local green must imply driver green."""
 
 import math
 import os
 
 import duckdb
+import numpy as np
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -28,11 +36,20 @@ def ddb():
 
 
 def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
+    # bool before int: bool is a subclass of int in both python and numpy
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        return f"{v:.10g}"
-    if isinstance(v, (list, tuple)):
+        # 'f' marker: a float64 4079.0 must NOT collapse to the int64 4079
+        # (dtype-sensitive like the driver); %.10g still folds last-bit
+        # double differences between engines
+        return f"f{f:.10g}"
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
@@ -52,11 +69,19 @@ def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    # toPandas(), NOT collect(): the driver compares pandas-to-pandas, where
+    # a nullable int64 column (e.g. q48's left-join miss rows) becomes
+    # float64 on BOTH sides — collect() would keep python ints and flag a
+    # mismatch the driver does not (and vice versa for HUGEINT sums)
+    spdf = sdf.toPandas()
+    srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
 
-    res = ddb.execute(entry_mod.oracle_sql()[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    # .df() (pandas), NOT fetchall(): the driver compares through pandas,
+    # where duckdb HUGEINT becomes float64 — fetchall() hands back python
+    # ints and would hide exactly the dtype drift the driver rejects
+    odf = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    dcols = list(odf.columns)
+    drows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
 
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
