@@ -272,42 +272,56 @@ class DerivedValueIndex:
 
     # ---------------------------------------------------------------- internal
     def _commit(self, table, schema, df, touched, source_epoch, kind) -> None:
-        m = table.latest_manifest()
-        epoch = 0 if m is None else m["epoch"] + 1
-        table.commit(
-            epoch=epoch,
-            schema=schema,
-            new_buckets_df=df,
-            touched_buckets=touched,
-            batch_id=None,
-            batch_digest=f"dvidx:{kind}:{source_epoch}",
-            metrics={"kind": kind, "source_epoch": source_epoch},
-        )
+        _commit_epoch(table, schema, df, touched, source_epoch, kind)
 
     def _apply(
         self, table, schema, ups, dels, key_cols, bucket_of, source_epoch,
         always_commit=False,
     ) -> int:
-        """COW merge of a small change set into a bucketed index table:
-        anti-join out the changed keys from the TOUCHED buckets only, union
-        the upserts back, commit those buckets as a new epoch. The touched
-        set comes from one metadata-sized collect; untouched buckets carry
-        over by reference in the manifest (zero IO)."""
-        ups_b = ups.withColumn("bucket", bucket_of())
-        dels_b = dels.select(*key_cols).withColumn("bucket", bucket_of())
-        changed = ups_b.select(*key_cols, "bucket").unionByName(dels_b).distinct()
-        touched = sorted(r["bucket"] for r in changed.select("bucket").distinct().collect())
-        if not touched:
-            if always_commit:
-                self._commit(table, schema, None, [], source_epoch, "refresh")
-            return 0
-        cols = [f.name for f in schema.fields] + ["bucket"]
-        old = table.read_state(buckets=touched)
-        keep = old.join(F.broadcast(changed.select(*key_cols)), key_cols, "left_anti")
-        new = keep.select(*cols).unionByName(ups_b.select(*cols))
-        self._commit(table, schema, new, touched, source_epoch, "refresh")
-        n = int(changed.count())
-        return n
+        return _cow_apply(
+            table, schema, ups, dels, key_cols, bucket_of, source_epoch,
+            always_commit=always_commit,
+        )
+
+
+def _commit_epoch(table, schema, df, touched, source_epoch, kind) -> None:
+    m = table.latest_manifest()
+    epoch = 0 if m is None else m["epoch"] + 1
+    table.commit(
+        epoch=epoch,
+        schema=schema,
+        new_buckets_df=df,
+        touched_buckets=touched,
+        batch_id=None,
+        batch_digest=f"dvidx:{kind}:{source_epoch}",
+        metrics={"kind": kind, "source_epoch": source_epoch},
+    )
+
+
+def _cow_apply(
+    table, schema, ups, dels, key_cols, bucket_of, source_epoch,
+    always_commit=False,
+) -> int:
+    """COW merge of a small change set into a bucketed index table:
+    anti-join out the changed keys from the TOUCHED buckets only, union
+    the upserts back, commit those buckets as a new epoch. The touched
+    set comes from one metadata-sized collect; untouched buckets carry
+    over by reference in the manifest (zero IO)."""
+    ups_b = ups.withColumn("bucket", bucket_of())
+    dels_b = dels.select(*key_cols).withColumn("bucket", bucket_of())
+    changed = ups_b.select(*key_cols, "bucket").unionByName(dels_b).distinct()
+    touched = sorted(r["bucket"] for r in changed.select("bucket").distinct().collect())
+    if not touched:
+        if always_commit:
+            _commit_epoch(table, schema, None, [], source_epoch, "refresh")
+        return 0
+    cols = [f.name for f in schema.fields] + ["bucket"]
+    old = table.read_state(buckets=touched)
+    keep = old.join(F.broadcast(changed.select(*key_cols)), key_cols, "left_anti")
+    new = keep.select(*cols).unionByName(ups_b.select(*cols))
+    _commit_epoch(table, schema, new, touched, source_epoch, "refresh")
+    n = int(changed.count())
+    return n
 
 
 class FingerprintIndex(DerivedValueIndex):
@@ -364,4 +378,284 @@ class IvfClusterIndex(DerivedValueIndex):
             value_name="cluster",
             value_type=T.IntegerType(),
             n_buckets=n_buckets,
+        )
+
+
+def _integral(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+class ContinuousAggregate:
+    """Changelog-maintained rollup — the CONTINUOUS AGGREGATE (timescale
+    continuous aggregate / materialized-view maintenance): per-group
+    partials (count / sum / min / max; avg derives as sum/count) of one
+    numeric value over the source table's live rows, refreshed from
+    ``engine.changes()`` by touching ONLY the groups the change set hits —
+    never by re-aggregating the corpus. The batch twin is
+    ``operators/temporal.py::rollup`` (group = time bucket); equality
+    against a full recompute is the q56 oracle.
+
+    Three derived SnapshotTables under one root:
+
+    * ``forward`` — (doc_id, <groups>, val), bucketed by **doc_id**: the
+      old-contribution lookup for a change set (which group did this doc
+      count toward, with what value?), bucket-pruned to the changed keys;
+    * ``members`` — (<groups>, doc_id, val), bucketed by the **group
+      key**: the membership lists that make min/max maintainable — a
+      deletion that removes a group's minimum needs the next-smallest
+      member, which no amount of partial arithmetic can give (sum/count
+      alone would be subtractable, min/max are not);
+    * ``rollup`` — (<groups>, n, sum_v, min_v, max_v), bucketed by the
+      same group key: the aggregate itself, recomputed per TOUCHED group
+      from its (bucket-aligned) member lists.
+
+    Per-epoch cost is O(changed docs + touched groups' member buckets) —
+    group/value expressions evaluate only on changed rows, the forward
+    lookup reads only the changed keys' buckets, and the rollup rewrite
+    touches only the buckets the affected groups hash into. A coarser
+    granularity chains for free: when the leading group column is a time
+    bucket, ``temporal.rollup_coarser(agg.aggregate(), ...)`` re-aggregates
+    these maintained partials without ever touching raw data.
+
+    Commit order per refresh is members -> rollup -> forward; forward (the
+    old-contribution source) advances LAST, so a refresh that crashes
+    between commits re-runs idempotently against the same old values:
+    member deletes of already-removed rows anti-join to nothing, member
+    upserts rewrite identical rows, and the rollup recompute is a pure
+    function of the (already-correct) member state. Reference analogue:
+    per-run changed-ID reports feeding downstream consumers
+    (georef_ar_etl/transformers.py:145-149)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_exprs: Callable[[], list[Column]],
+        group_fields: list[tuple[str, T.DataType]],
+        value_expr: Callable[[], Column],
+        value_type: T.DataType,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.group_exprs = group_exprs
+        self.group_names = [n for n, _ in group_fields]
+        self.value_expr = value_expr
+        gf = [T.StructField(n, t, False) for n, t in group_fields]
+        sum_t = T.LongType() if _integral(value_type) else T.DoubleType()
+        self.forward_schema = T.StructType(
+            [T.StructField("doc_id", T.StringType(), False)]
+            + gf + [T.StructField("val", value_type, False)]
+        )
+        self.members_schema = T.StructType(
+            gf + [T.StructField("doc_id", T.StringType(), False),
+                  T.StructField("val", value_type, False)]
+        )
+        self.rollup_schema = T.StructType(gf + [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sum_v", sum_t, False),
+            T.StructField("min_v", value_type, False),
+            T.StructField("max_v", value_type, False),
+        ])
+        r = root.rstrip("/")
+        self.forward = SnapshotTable(spark, f"{r}/forward", n_buckets)
+        self.members = SnapshotTable(spark, f"{r}/members", n_buckets)
+        self.rollup = SnapshotTable(spark, f"{r}/rollup", n_buckets)
+
+    def _gbucket(self) -> Column:
+        """Group-key bucket — members and rollup share it, so a touched
+        group's member lists and its aggregate row live in the SAME bucket
+        number of their respective tables (the recompute reads exactly the
+        touched buckets of each)."""
+        return F.pmod(
+            F.xxhash64(*[F.col(n) for n in self.group_names]),
+            F.lit(self.members.n_buckets),
+        ).cast("int")
+
+    # ------------------------------------------------------------- bookkeeping
+    @property
+    def last_source_epoch(self) -> int | None:
+        m = self.forward.latest_manifest()
+        return None if m is None else int(m["metrics"]["source_epoch"])
+
+    @property
+    def pending_refresh_epoch(self) -> int | None:
+        """Non-None when a refresh tore between its commits: members and/or
+        rollup reached this source epoch but forward did not. The next
+        refresh must target exactly this epoch (idempotent re-run)."""
+        fm = self.forward.latest_manifest()
+        if fm is None:
+            return None
+        f = int(fm["metrics"]["source_epoch"])
+        ahead = [
+            int(m["metrics"]["source_epoch"])
+            for m in (self.members.latest_manifest(), self.rollup.latest_manifest())
+            if m is not None and int(m["metrics"]["source_epoch"]) > f
+        ]
+        return max(ahead) if ahead else None
+
+    # --------------------------------------------------------------- bootstrap
+    def bootstrap(self, state_df: DataFrame, source_epoch: int = 0) -> None:
+        """Full aggregation ONCE at the source epoch the aggregate starts
+        from; everything after is incremental. forward commits last (it is
+        the progress authority the early return checks)."""
+        if self.forward.latest_manifest() is not None:
+            return
+        g = self.group_names
+        fwd = state_df.select(
+            "doc_id",
+            *[e.alias(n) for n, e in zip(g, self.group_exprs())],
+            self.value_expr().alias("val"),
+        ).localCheckpoint(eager=True)
+        all_m = list(range(self.members.n_buckets))
+        _commit_epoch(
+            self.members, self.members_schema,
+            fwd.select(*g, "doc_id", "val").withColumn("bucket", self._gbucket()),
+            all_m, source_epoch, "bootstrap",
+        )
+        _commit_epoch(
+            self.rollup, self.rollup_schema,
+            self._aggregate_members(fwd).withColumn("bucket", self._gbucket()),
+            all_m, source_epoch, "bootstrap",
+        )
+        _commit_epoch(
+            self.forward, self.forward_schema,
+            fwd.withColumn(
+                "bucket", bucket_expr(F.col("doc_id"), self.forward.n_buckets)
+            ),
+            list(range(self.forward.n_buckets)), source_epoch, "bootstrap",
+        )
+
+    def _aggregate_members(self, members_df: DataFrame) -> DataFrame:
+        return members_df.groupBy(*self.group_names).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast(self.rollup_schema["sum_v"].dataType).alias("sum_v"),
+            F.min("val").alias("min_v"),
+            F.max("val").alias("max_v"),
+        )
+
+    # ----------------------------------------------------------------- refresh
+    def refresh(self, changes_df: DataFrame, source_epoch: int) -> dict:
+        """Apply a changelog range (``engine.changes(from, to]`` rows) and
+        advance the aggregate to ``source_epoch``. Multi-epoch ranges
+        collapse to the latest change per doc first; same-value re-upserts
+        (the delta changelog's event-based mode) are idempotent rewrites."""
+        pending = self.pending_refresh_epoch
+        if pending is not None and source_epoch != pending:
+            raise ValueError(
+                f"torn refresh detected: members/rollup reached source epoch "
+                f"{pending} but forward did not — re-run "
+                f"refresh(changes({self.last_source_epoch}, {pending}), "
+                f"{pending}) first (idempotent), then continue"
+            )
+        g = self.group_names
+        payload = [c for c in changes_df.columns
+                   if c not in ("change_epoch", "batch_id", "op", "bucket")]
+        net = latest_per_key(
+            changes_df.select("op", "change_epoch", *payload),
+            key="doc_id", order="change_epoch",
+        )
+        up = F.col("op") == "upsert"
+        staged = net.select(
+            "doc_id", "op",
+            *[F.when(up, e).alias(f"_n_{n}")
+              for n, e in zip(g, self.group_exprs())],
+            F.when(up, self.value_expr()).alias("_nv"),
+            bucket_expr(F.col("doc_id"), self.forward.n_buckets).alias("bucket"),
+        ).localCheckpoint(eager=True)
+        fwd_touched = sorted(
+            r["bucket"] for r in staged.select("bucket").distinct().collect()
+        )
+        enriched = self._lookup_old(staged, fwd_touched).localCheckpoint(eager=True)
+
+        has_old = F.col("_has_old")
+        key_moved = None
+        for n in g:
+            diff = ~F.col(f"_o_{n}").eqNullSafe(F.col(f"_n_{n}"))
+            key_moved = diff if key_moved is None else (key_moved | diff)
+
+        # members FIRST (crash-safe order, see class docstring)
+        m_ups = enriched.filter(up).select(
+            *[F.col(f"_n_{n}").alias(n) for n in g], "doc_id",
+            F.col("_nv").alias("val"),
+        )
+        m_dels = enriched.filter(has_old & ((~up) | key_moved)).select(
+            *[F.col(f"_o_{n}").alias(n) for n in g], "doc_id",
+        )
+        n_members = _cow_apply(
+            self.members, self.members_schema, m_ups, m_dels,
+            key_cols=[*g, "doc_id"], bucket_of=self._gbucket,
+            source_epoch=source_epoch,
+        )
+
+        # touched groups = every group the change set adds to OR removes
+        # from; their partials recompute from the (bucket-aligned) member
+        # lists — the only correct path once min/max are in the aggregate
+        tg = (
+            enriched.filter(up)
+            .select(*[F.col(f"_n_{n}").alias(n) for n in g])
+            .unionByName(
+                enriched.filter(has_old)
+                .select(*[F.col(f"_o_{n}").alias(n) for n in g])
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        g_buckets = sorted(
+            r["b"] for r in tg.select(self._gbucket().alias("b")).distinct().collect()
+        )
+        if g_buckets:
+            live = self.members.read_state(buckets=g_buckets).join(
+                F.broadcast(tg), g, "left_semi"
+            )
+            new_rollup = self._aggregate_members(live)
+        else:
+            new_rollup = self.spark.createDataFrame(
+                [], self.rollup_schema
+            )
+        n_groups = _cow_apply(
+            self.rollup, self.rollup_schema, new_rollup, tg,
+            key_cols=list(g), bucket_of=self._gbucket,
+            source_epoch=source_epoch,
+        )
+
+        f_ups = enriched.filter(up).select(
+            "doc_id",
+            *[F.col(f"_n_{n}").alias(n) for n in g],
+            F.col("_nv").alias("val"),
+        )
+        f_dels = enriched.filter(~up).select("doc_id")
+        _cow_apply(
+            self.forward, self.forward_schema, f_ups, f_dels,
+            key_cols=["doc_id"],
+            bucket_of=lambda: bucket_expr(F.col("doc_id"), self.forward.n_buckets),
+            source_epoch=source_epoch,
+            always_commit=True,  # forward tracks source_epoch even on no-ops
+        )
+        return {"member_rows": n_members, "touched_groups": n_groups}
+
+    def _lookup_old(self, staged: DataFrame, fwd_touched: list[int]) -> DataFrame:
+        """Old-contribution lookup — same two-step shape as
+        DerivedValueIndex._lookup_old: broadcast LEFT-SEMI trim of the
+        pruned forward-bucket scan by the change keys, then a small-x-small
+        broadcast outer join (the pruned buckets never shuffle)."""
+        old = self.forward.read_state(buckets=fwd_touched).select(
+            "doc_id",
+            *[F.col(n).alias(f"_o_{n}") for n in self.group_names],
+            F.col("val").alias("_ov"),
+            F.lit(True).alias("_has_old"),
+        )
+        trimmed = old.join(
+            F.broadcast(staged.select("doc_id")), "doc_id", "left_semi"
+        )
+        out = staged.join(F.broadcast(trimmed), "doc_id", "left")
+        return out.withColumn("_has_old", F.coalesce("_has_old", F.lit(False)))
+
+    # ------------------------------------------------------------------ query
+    def aggregate(self) -> DataFrame:
+        """The maintained rollup: (<groups>, n, sum_v, min_v, max_v). When
+        the leading group is a time bucket named ``bucket_s``, this frame
+        feeds ``temporal.rollup_coarser`` unchanged — the continuous
+        aggregate IS the finest level of the hypertable chain."""
+        return self.rollup.read_state().select(
+            *self.group_names, "n", "sum_v", "min_v", "max_v"
         )

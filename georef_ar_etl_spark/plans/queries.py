@@ -2180,3 +2180,51 @@ def q55(spark, sf_dir):
             F.array_join(F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ",")
         ).alias("docs_fp"),
     )
+
+
+_Q56_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT source, ((n_tok // 2) * 2)::INT AS tok_bucket,
+           count(*) AS n, sum(n_tok)::BIGINT AS sum_v,
+           min(n_tok) AS min_v, max(n_tok) AS max_v
+    FROM state
+    GROUP BY 1, 2
+"""
+
+
+# CONTINUOUS AGGREGATE maintenance (timescale continuous-aggregate /
+# materialized-view refresh): the per-(source, n_tok-bucket) rollup of the
+# CDC table is bootstrapped once from epoch 0, then maintained epoch-by-
+# epoch from engine.changes() — only the groups a change batch touches are
+# recomputed, from bucket-aligned member lists (min/max make pure
+# add/subtract impossible; see ContinuousAggregate). The oracle aggregates
+# the FULL final replay state directly: equality proves incremental
+# maintenance == batch recompute across inserts, updates, group moves and
+# deletes.
+@query("q56_continuous_aggregate", _Q56_SQL)
+def q56(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.operators.index_maintenance import ContinuousAggregate
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("cdc_contagg_q56", sf_dir)
+    eng = CdcEngine(spark, f"{root}/src", n_buckets=16)
+    eng.bootstrap(initial)
+    agg = ContinuousAggregate(
+        spark, f"{root}/agg",
+        group_exprs=lambda: [
+            F.col("source"),
+            (F.floor(F.col("n_tok") / 2) * 2).cast("int"),
+        ],
+        group_fields=[("source", T.StringType()), ("tok_bucket", T.IntegerType())],
+        value_expr=lambda: F.col("n_tok"),
+        value_type=T.IntegerType(),
+        n_buckets=8,
+    )
+    agg.bootstrap(eng.state(epoch=0), source_epoch=0)
+    for b in (0, 1, 2, 3):
+        m = eng.apply_batch(events.filter(F.col("batch_id") == b), b)
+        agg.refresh(eng.changes(agg.last_source_epoch, m["epoch"]), m["epoch"])
+    return agg.aggregate()

@@ -839,11 +839,15 @@ class SnapshotTable:
         self, df: DataFrame, epoch: int, n_buckets: int | None = None
     ) -> dict[int, str]:
         """Write (payload + bucket) rows under data/epoch=K, one directory per
-        bucket, deterministically sorted by doc_id within files."""
+        bucket, deterministically sorted within files by the payload columns
+        in schema order (key-first by the payload-key contract — tables
+        keyed by doc_id sort by doc_id first; group-keyed derived tables
+        such as ContinuousAggregate's rollup sort by their group key)."""
         epoch_dir = os.path.join(self.root, DATA_DIR, f"epoch={epoch}")
+        payload_order = [c for c in df.columns if c != "bucket"]
         (
             df.repartition(n_buckets or self.n_buckets, F.col("bucket"))
-            .sortWithinPartitions("bucket", "doc_id")
+            .sortWithinPartitions("bucket", *payload_order)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(epoch_dir)

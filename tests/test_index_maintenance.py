@@ -214,3 +214,178 @@ def test_stream_heal_of_torn_refresh(spark, tmp_path):
     fresh = FingerprintIndex(spark, str(tmp_path / "idx2"), n_buckets=4)
     with pytest.raises(ValueError, match="not bootstrapped"):
         _refresh_consumers(eng, [fresh])
+
+
+def _ca(spark, root, n_buckets=4):
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.index_maintenance import ContinuousAggregate
+
+    return ContinuousAggregate(
+        spark, root,
+        group_exprs=lambda: [
+            F.col("source"),
+            (F.floor(F.col("n_tok") / 4) * 4).cast("int"),
+        ],
+        group_fields=[("source", T.StringType()), ("tok_bucket", T.IntegerType())],
+        value_expr=lambda: F.col("n_tok"),
+        value_type=T.IntegerType(),
+        n_buckets=n_buckets,
+    )
+
+
+def _agg_rows(df):
+    return sorted(
+        (r["source"], r["tok_bucket"], r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in df.collect()
+    )
+
+
+def _agg_recompute(state_df):
+    return (
+        state_df.groupBy(
+            "source", (F.floor(F.col("n_tok") / 4) * 4).cast("int").alias("tok_bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tok").alias("sum_v"),
+            F.min("n_tok").alias("min_v"),
+            F.max("n_tok").alias("max_v"),
+        )
+    )
+
+
+def test_continuous_aggregate_equals_batch_across_maintenance(spark, tmp_path):
+    """The changelog-maintained rollup must equal a full re-aggregation of
+    the live state after every epoch — including updates that MOVE a row
+    between groups, deletes that remove a group's min/max member, a source
+    compaction, a source rescale, and a multi-epoch refresh range."""
+    initial = datagen.gen_initial_state(300, seed=201, max_len=12)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=300, n_batches=6, seed=202, max_len=12
+    )
+    evdf = datagen.events_to_df(spark, events)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4, mor_max_deltas=2)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    agg = _ca(spark, str(tmp_path / "agg"))
+    agg.bootstrap(eng.state(epoch=0), source_epoch=0)
+    assert agg.last_source_epoch == 0
+    assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state(epoch=0)))
+
+    def refresh_to(head):
+        agg.refresh(eng.changes(agg.last_source_epoch, head), head)
+        assert agg.last_source_epoch == head
+
+    for b in range(3):
+        m = eng.apply_batch(evdf.filter(F.col("batch_id") == b), b)
+        refresh_to(m["epoch"])
+        assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state())), b
+
+    # cross a compaction (emits no changes; bookkeeping must advance)
+    cm = eng.compact()
+    if cm is not None:
+        refresh_to(cm["epoch"])
+        assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state()))
+
+    # cross a rescale of the source (new bucket numbering; no changes)
+    rm = eng.rescale(8)
+    refresh_to(rm["epoch"])
+
+    # one multi-epoch range: latest-change-per-doc collapse across epochs
+    eng.apply_batch(evdf.filter(F.col("batch_id") == 3), 3)
+    m2 = eng.apply_batch(evdf.filter(F.col("batch_id") == 4), 4)
+    assert m2["epoch"] - agg.last_source_epoch == 2
+    refresh_to(m2["epoch"])
+    assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state()))
+
+    m3 = eng.apply_batch(evdf.filter(F.col("batch_id") == 5), 5)
+    refresh_to(m3["epoch"])
+    assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state()))
+
+
+def test_continuous_aggregate_group_removal_and_minmax(spark, tmp_path):
+    """Surgical cases partial arithmetic cannot handle: deleting a group's
+    ONLY member removes the rollup row; deleting the max member shrinks
+    max_v to the runner-up (needs the member list, not subtraction)."""
+    rows = [
+        {"doc_id": "000000000000a", "tokens": [1], "n_tok": 1, "source": "s1"},
+        {"doc_id": "000000000000b", "tokens": [1, 2], "n_tok": 2, "source": "s1"},
+        {"doc_id": "000000000000c", "tokens": [1] * 9, "n_tok": 9, "source": "s2"},
+    ]
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=2)
+    eng.bootstrap(datagen.state_to_df(spark, rows))
+    agg = _ca(spark, str(tmp_path / "agg"), n_buckets=8)
+    agg.bootstrap(eng.state(epoch=0), source_epoch=0)
+
+    ev = [
+        # delete s2's only member -> (s2, 8) rollup row must vanish
+        {"batch_id": 0, "seq": 1, "op": "delete", "doc_id": "000000000000c",
+         "tokens": None, "n_tok": None, "source": None},
+        # delete the max member of (s1, 0) -> max_v must drop 2 -> 1
+        {"batch_id": 0, "seq": 2, "op": "delete", "doc_id": "000000000000b",
+         "tokens": None, "n_tok": None, "source": None},
+    ]
+    m = eng.apply_batch(datagen.events_to_df(spark, ev), 0)
+    agg.refresh(eng.changes(0, m["epoch"]), m["epoch"])
+    got = _agg_rows(agg.aggregate())
+    assert got == [("s1", 0, 1, 1, 1, 1)]
+
+    # move a row between groups: update a's n_tok 1 -> 6 (bucket 0 -> 4)
+    ev2 = [{"batch_id": 1, "seq": 3, "op": "update", "doc_id": "000000000000a",
+            "tokens": [1, 2, 3, 4, 5, 6], "n_tok": 6, "source": "s1"}]
+    m2 = eng.apply_batch(datagen.events_to_df(spark, ev2), 1)
+    agg.refresh(eng.changes(agg.last_source_epoch, m2["epoch"]), m2["epoch"])
+    assert _agg_rows(agg.aggregate()) == [("s1", 4, 1, 6, 6, 6)]
+
+    # the refresh was INCREMENTAL: it touched only the two affected groups'
+    # rollup buckets (old (s1,0) + new (s1,4)), never the whole table
+    last = agg.rollup.latest_manifest()
+    assert last["metrics"]["kind"] == "refresh"
+    assert 0 < len(last["touched_buckets"]) <= 2 < agg.rollup.n_buckets
+
+
+def test_continuous_aggregate_torn_refresh(spark, tmp_path, monkeypatch):
+    """A refresh crashing after the members/rollup commits but before
+    forward leaves pending_refresh_epoch set; a wider range is refused;
+    re-running exactly the pending range heals idempotently."""
+    import pytest
+
+    from georef_ar_etl_spark.operators import index_maintenance as im
+
+    initial = datagen.gen_initial_state(120, seed=301, max_len=8)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=120, n_batches=3, seed=302, max_len=8
+    )
+    evdf = datagen.events_to_df(spark, events)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    agg = _ca(spark, str(tmp_path / "agg"))
+    agg.bootstrap(eng.state(epoch=0))
+
+    m0 = eng.apply_batch(evdf.filter(F.col("batch_id") == 0), 0)
+    agg.refresh(eng.changes(0, m0["epoch"]), m0["epoch"])
+    assert agg.pending_refresh_epoch is None
+
+    m1 = eng.apply_batch(evdf.filter(F.col("batch_id") == 1), 1)
+    orig = im._cow_apply
+
+    def torn(table, *a, **k):
+        if table is agg.forward:
+            raise RuntimeError("simulated crash before forward commit")
+        return orig(table, *a, **k)
+
+    monkeypatch.setattr(im, "_cow_apply", torn)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        agg.refresh(eng.changes(agg.last_source_epoch, m1["epoch"]), m1["epoch"])
+    monkeypatch.setattr(im, "_cow_apply", orig)
+    assert agg.pending_refresh_epoch == m1["epoch"]
+    assert agg.last_source_epoch == m0["epoch"]
+
+    m2 = eng.apply_batch(evdf.filter(F.col("batch_id") == 2), 2)
+    with pytest.raises(ValueError, match="torn refresh"):
+        agg.refresh(eng.changes(agg.last_source_epoch, m2["epoch"]), m2["epoch"])
+
+    agg.refresh(eng.changes(agg.last_source_epoch, m1["epoch"]), m1["epoch"])
+    assert agg.pending_refresh_epoch is None
+    agg.refresh(eng.changes(agg.last_source_epoch, m2["epoch"]), m2["epoch"])
+    assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state()))
