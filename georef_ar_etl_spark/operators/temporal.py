@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 _EPOCH_NTZ = "1970-01-01 00:00:00"
@@ -31,6 +32,17 @@ def _epoch_s(time_col) -> "F.Column":
     engine's pinned UTC, session.py.)"""
     return F.timestamp_diff(
         "SECOND",
+        F.lit(_EPOCH_NTZ).cast("timestamp_ntz"),
+        time_col.cast("timestamp_ntz"),
+    )
+
+
+def _epoch_us(time_col) -> "F.Column":
+    """Microsecond epoch (Spark timestamp precision) — used where exact
+    sub-second distances matter (as-of nearest/tolerance), unlike the
+    second-truncated axis bucketing uses."""
+    return F.timestamp_diff(
+        "MICROSECOND",
         F.lit(_EPOCH_NTZ).cast("timestamp_ntz"),
         time_col.cast("timestamp_ntz"),
     )
@@ -204,25 +216,55 @@ def asof_join(
     right_cols: list[str],
     tie_col: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
-    """Left as-of join (backward, inclusive): attach to every left row the
-    right row with the greatest ``right_time`` <= ``left_time`` for the
-    same key, or nulls when no such row exists.
+    """Left as-of join: attach to every left row the right row nearest in
+    time for the same key, or nulls when no such row exists (pandas
+    ``merge_asof`` semantics, all three directions):
 
-    Ordering contract: right rows AT the probe timestamp match (inclusive
-    <=); among right rows sharing (key, time), the one with the greatest
-    ``tie_col`` wins — pass the event sequence column for deterministic
-    results, or leave None when (key, time) is unique.
+    * ``backward`` (default) — greatest ``right_time`` <= ``left_time``;
+    * ``forward`` — smallest ``right_time`` >= ``left_time``;
+    * ``nearest`` — whichever of the two is closer in absolute time;
+      exact-tie distances pick the BACKWARD row (pandas tie-break).
+
+    ``tolerance`` bounds the match distance: a candidate farther than the
+    tolerance yields nulls, like merge_asof's ``tolerance``, applied per
+    side BEFORE the nearest choice as pandas does. Units: SECONDS when the
+    time columns are timestamps (compared microsecond-exact), the column's
+    own units when they are numeric epochs.
+
+    Ordering contract: rows AT the probe timestamp match in every
+    direction (inclusive); among right rows sharing (key, time), backward
+    picks the GREATEST ``tie_col`` (latest event at that instant), forward
+    the SMALLEST (earliest event at that instant) — pass the event
+    sequence column for deterministic results, or leave None when
+    (key, time) is unique.
 
     Output: every left column plus ``<prefix><col>`` for ``right_cols``.
+
+    Plan shape: still the sort-merge union+window formulation — ONE
+    shuffle on the key for any direction; ``nearest`` adds a second
+    within-partition sort (the two directions need opposite side orders
+    at equal timestamps), never a second exchange.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if "_rt" in right_cols:
+        raise ValueError("right_cols may not contain the reserved name '_rt'")
     # null right timestamps can never be "at or before" anything (SQL
     # three-valued semantics; pandas merge_asof drops them too) — without
     # this filter the nulls-first ascending sort would place them at the
     # START of every window frame and carry their payload onto probes that
     # should get no match
     right = right.filter(F.col(right_time).isNotNull())
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    # the matched row's own timestamp rides along in the payload ("_rt") —
+    # tolerance and nearest-distance need it after the window carry
+    payload = F.struct(
+        F.col(right_time).alias("_rt"), *[F.col(c) for c in right_cols]
+    )
     r = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
@@ -241,17 +283,67 @@ def asof_join(
         ).alias("_payload"),
         *left.columns,
     )
-    # sort: time asc, then right rows BEFORE left probes at equal time
-    # (inclusive semantics), right ties ascending so last() = max tie
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").desc(), F.col("_tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = r.unionByName(l)
+    if direction in ("backward", "nearest"):
+        # sort: time asc, then right rows BEFORE left probes at equal time
+        # (inclusive semantics), right ties ascending so last() = max tie
+        wb = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_side").desc(), F.col("_tie").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("_mb", F.last("_payload", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        # mirrored: left probes BEFORE right rows at equal time (so the
+        # equal-time right row is inside [current, following]), right ties
+        # ascending so first() = min tie
+        wf = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        u = u.withColumn("_mf", F.first("_payload", ignorenulls=True).over(wf))
+    probes = u.filter(F.col("_side") == 0)
+
+    # distance axis: microsecond epochs for timestamp columns, the raw
+    # values for numeric epoch columns (the axis only matters when
+    # tolerance or nearest is in play)
+    is_ts = isinstance(
+        left.schema[left_time].dataType, (T.TimestampType, T.TimestampNTZType)
     )
-    carried = r.unionByName(l).withColumn(
-        "_match", F.last("_payload", ignorenulls=True).over(w)
-    )
-    return carried.filter(F.col("_side") == 0).select(
+    axis = _epoch_us if is_ts else (lambda c: c.cast("double"))
+    tol_ax = None
+    if tolerance is not None:
+        tol_ax = tolerance * 1_000_000 if is_ts else tolerance
+    t_probe = axis(F.col("_t"))
+
+    def within(m, dt):
+        if tol_ax is None:
+            return m
+        return F.when(m.isNotNull() & (dt <= F.lit(tol_ax)), m)
+
+    if direction in ("backward", "nearest"):
+        mb = within(
+            F.col("_mb"), t_probe - axis(F.col("_mb").getField("_rt"))
+        )
+    if direction in ("forward", "nearest"):
+        mf = within(
+            F.col("_mf"), axis(F.col("_mf").getField("_rt")) - t_probe
+        )
+    if direction == "backward":
+        match = mb
+    elif direction == "forward":
+        match = mf
+    else:
+        db = t_probe - axis(mb.getField("_rt"))
+        df_ = axis(mf.getField("_rt")) - t_probe
+        match = F.when(
+            mb.isNotNull() & (mf.isNull() | (db <= df_)), mb
+        ).otherwise(mf)
+    return probes.withColumn("_match", match).select(
         *left.columns,
-        *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_cols],
+        *[
+            F.col("_match").getField(c).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
     )

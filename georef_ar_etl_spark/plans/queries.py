@@ -2228,3 +2228,156 @@ def q56(spark, sf_dir):
         m = eng.apply_batch(events.filter(F.col("batch_id") == b), b)
         agg.refresh(eng.changes(agg.last_source_epoch, m["epoch"]), m["epoch"])
     return agg.aggregate()
+
+
+def _q57_sql(depth: int = 4, width: int = 512, seed: int = 11) -> str:
+    """Count-Min ESTIMATE oracle: the q51 sketch rebuilt in SQL, then each
+    seeded query item hashed through the identical md5+affine cells and
+    estimated as min over the d row counters (missing cell = 0). The query
+    set is deterministic — every distinct corpus word whose md5 starts
+    '00' (~1/256 of the vocabulary) plus one certainly-absent literal."""
+    from georef_ar_etl_spark.operators.doc_dedup import minhash_affine_params
+
+    A, B = minhash_affine_params(depth, seed=seed)
+    P = (1 << 31) - 1
+    sk_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, ((hv * {int(A[j])} + {int(B[j])}) % {P}) % {width} AS bucket FROM h"
+        for j in range(depth)
+    )
+    q_rows = " UNION ALL ".join(
+        f"SELECT w, {j} AS j, ((hv * {int(A[j])} + {int(B[j])}) % {P}) % {width} AS bucket FROM qh"
+        for j in range(depth)
+    )
+    return rf"""
+    WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents),
+    t AS (SELECT w FROM toks WHERE w <> ''),
+    h AS (SELECT (('0x' || substr(md5(w), 1, 8))::UBIGINT % {P})::BIGINT AS hv
+          FROM t),
+    cells AS ({sk_rows}),
+    sk AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    q AS (SELECT DISTINCT w FROM t WHERE substr(md5(w), 1, 2) = '00'
+          UNION ALL SELECT 'notaword-xyz'),
+    qh AS (SELECT w, (('0x' || substr(md5(w), 1, 8))::UBIGINT % {P})::BIGINT AS hv
+           FROM q),
+    qc AS ({q_rows})
+    SELECT qc.w, min(coalesce(sk.cnt, 0))::BIGINT AS est
+    FROM qc LEFT JOIN sk USING (j, bucket)
+    GROUP BY qc.w
+    """
+
+
+# COUNT-MIN ESTIMATE (the lookup half users actually call): min over the
+# d row counters per query item, sketch broadcast so the query side never
+# shuffles. Oracle-exact because the seeded hash family is deterministic;
+# the never-underestimates property is covered in tests/test_operators.py.
+@query("q57_count_min_estimate", _q57_sql())
+def q57(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    sk = sketches.count_min_sketch(toks, "w", depth=4, width=512, seed=11)
+    qry = (
+        toks.filter(F.substring(F.md5(F.col("w")), 1, 2) == "00")
+        .select("w")
+        .distinct()
+        .unionByName(spark.createDataFrame([("notaword-xyz",)], "w string"))
+    )
+    return sketches.cm_estimate(sk, qry, "w", depth=4, width=512, seed=11)
+
+
+_Q58_SQL = """
+    WITH {probes},
+    e AS (SELECT user_id, ts, event_id, event_type, value FROM events)
+    SELECT p.probe_id, p.k, cast(p.t AS VARCHAR) AS t,
+           ev.event_id AS asof_event_id,
+           ev.event_type AS asof_event_type,
+           cast(ev.ts AS VARCHAR) AS asof_ts
+    FROM probes p LEFT JOIN LATERAL (
+      SELECT * FROM e
+      WHERE e.user_id = p.k AND e.ts >= p.t
+        AND e.ts <= p.t + INTERVAL 7200 SECONDS
+      ORDER BY e.ts ASC, e.event_id ASC
+      LIMIT 1) ev ON TRUE
+""".format(probes=_PROBES_CTE)
+
+
+# AS-OF JOIN, FORWARD direction with a tolerance bound (merge_asof
+# direction='forward', tolerance=2h): earliest event at or after each
+# probe, nulls when the nearest one is farther than the tolerance — the
+# same one-shuffle union+window skeleton as q48, window frame reversed.
+# Equal-time ties break to MIN event_id in both engines.
+@query("q58_asof_join_forward_tolerance", _Q58_SQL)
+def q58(spark, sf_dir):
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    probes = _probes(spark, sf_dir)
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = asof_join(
+        probes, events,
+        left_key="k", right_key="user_id",
+        left_time="t", right_time="ts",
+        right_cols=["event_id", "event_type", "ts"],
+        tie_col="event_id",
+        direction="forward",
+        tolerance=7200,
+    )
+    return out.select(
+        "probe_id", "k",
+        F.col("t").cast("string").alias("t"),
+        F.col("asof_event_id"),
+        F.col("asof_event_type"),
+        F.col("asof_ts").cast("string").alias("asof_ts"),
+    )
+
+
+_Q59_SQL = """
+    WITH {probes},
+    e AS (SELECT user_id, ts, event_id, event_type FROM events)
+    SELECT p.probe_id, p.k, cast(p.t AS VARCHAR) AS t,
+           ev.event_id AS asof_event_id,
+           cast(ev.ts AS VARCHAR) AS asof_ts
+    FROM probes p LEFT JOIN LATERAL (
+      SELECT * FROM e
+      WHERE e.user_id = p.k
+      -- exact integer-microsecond distance (a double epoch() could break
+      -- ties differently than Spark's integer axis); equal distance ->
+      -- smaller ts = the BACKWARD row (pandas nearest tie-break); within
+      -- one instant, backward rows take MAX event_id, forward rows MIN
+      ORDER BY abs(date_diff('microsecond', p.t, e.ts)) ASC, e.ts ASC,
+               CASE WHEN e.ts <= p.t THEN -e.event_id ELSE e.event_id END ASC
+      LIMIT 1) ev ON TRUE
+""".format(probes=_PROBES_CTE)
+
+
+# AS-OF JOIN, NEAREST direction (merge_asof direction='nearest'): the
+# closer of the backward/forward candidates per probe, exact-tie
+# distances preferring backward — one shuffle, two within-partition
+# sorts, never a pair explosion. Cross-checked row-for-row against
+# pandas.merge_asof in tests/test_operators.py.
+@query("q59_asof_join_nearest", _Q59_SQL)
+def q59(spark, sf_dir):
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    probes = _probes(spark, sf_dir)
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = asof_join(
+        probes, events,
+        left_key="k", right_key="user_id",
+        left_time="t", right_time="ts",
+        right_cols=["event_id", "ts"],
+        tie_col="event_id",
+        direction="nearest",
+    )
+    return out.select(
+        "probe_id", "k",
+        F.col("t").cast("string").alias("t"),
+        F.col("asof_event_id"),
+        F.col("asof_ts").cast("string").alias("asof_ts"),
+    )

@@ -326,3 +326,89 @@ def test_sessionize_gap_boundary(spark):
         for r in sessionize(df, gap_seconds=1800, order_col="event_id").collect()
     }
     assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """forward / nearest / tolerance against the reference implementation:
+    on seeded random frames with unique (key, time) pairs, every
+    (direction, tolerance) combination must agree with pandas.merge_asof
+    row for row — including nearest's backward tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(23)
+    n_l, n_r = 400, 300
+    lpd = pd.DataFrame({
+        "k": rng.randint(0, 12, n_l).astype("int64"),
+        "t": rng.choice(np.arange(0, 5000, dtype="int64"), n_l, replace=False),
+    })
+    rpd = pd.DataFrame({
+        "k": rng.randint(0, 12, n_r).astype("int64"),
+        "t": rng.choice(np.arange(0, 5000, dtype="int64"), n_r, replace=False),
+        "v": rng.randint(0, 10_000, n_r).astype("int64"),
+    })
+    ldf, rdf = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 40):
+            want = pd.merge_asof(
+                lpd.sort_values("t"), rpd.sort_values("t"),
+                on="t", by="k", direction=direction,
+                allow_exact_matches=True,
+                tolerance=tol, suffixes=("", "_r"),
+            )
+            expect = {
+                (int(r.k), int(r.t)): (None if pd.isna(r.v) else int(r.v))
+                for r in want.itertuples()
+            }
+            got = {
+                (r["k"], r["t"]): r["asof_v"]
+                for r in asof_join(
+                    ldf, rdf, "k", "k", "t", "t", right_cols=["v"],
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            assert got == expect, (direction, tol)
+
+
+def test_asof_join_forward_nearest_semantics(spark):
+    """Deterministic contract cases: forward inclusive equal-time match
+    with MIN tie; nearest exact-tie distance prefers backward; tolerance
+    nulls a too-far match per side."""
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100, "x"), (1, 10, 101, "x2"), (1, 40, 102, "y"),
+         (2, 7, 103, "z")],
+        "k long, t long, seq long, v string",
+    )
+
+    def run(**kw):
+        return {
+            (r["k"], r["t"]): (r["asof_seq"], r["asof_v"])
+            for r in asof_join(
+                left, right, "k", "k", "t", "t",
+                right_cols=["seq", "v"], tie_col="seq", **kw,
+            ).collect()
+        }
+
+    fwd = run(direction="forward")
+    assert fwd[(1, 10)] == (100, "x")    # inclusive + MIN-tie at equal time
+    assert fwd[(1, 25)] == (102, "y")    # earliest later row
+    assert fwd[(2, 5)] == (103, "z")
+
+    near = run(direction="nearest")
+    # probe t=25: backward at 10 (d=15), forward at 40 (d=15) -> tie ->
+    # backward wins (pandas tie-break); backward-at-tie is max tie_col
+    assert near[(1, 25)] == (101, "x2")
+    assert near[(1, 10)] == (101, "x2")  # d=0 backward
+
+    tol = run(direction="nearest", tolerance=10)
+    assert tol[(1, 25)] == (None, None)  # both sides beyond tolerance
+    assert tol[(2, 5)] == (103, "z")     # forward d=2 within tolerance
