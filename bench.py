@@ -53,7 +53,12 @@ HEADLINE = [
     "q53_sessionize",
     "q54_embedding_mean_pool",
     "q55_per_group_sample",
+    "q57_count_min_estimate",
+    "q58_asof_join_forward_tolerance",
+    "q59_asof_join_nearest",
 ]
+# q56_continuous_aggregate drives a full engine replay like q24/q30/q34 —
+# the CDC replay benchmark below measures that path end-to-end
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at
 # sf0.1; the LSH families above are the scale path it calibrates)

@@ -340,6 +340,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 15,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of a near-duplicate pair graph — the step that
     turns pairwise findings (MinHash/SimHash/winnowing candidates) into
@@ -365,6 +366,10 @@ def connected_components(
     an unconverged graph means the
     edge set is pathological (e.g. an un-thresholded similarity join),
     which should fail loudly, not loop forever.
+
+    Pass a ``stats`` dict to get ``stats["rounds"]`` back — the O(log
+    diameter) claim is measurable (tests/test_doc_dedup chain case;
+    BENCH/components_chain.py).
     """
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -375,7 +380,7 @@ def connected_components(
     labels = sym.select(F.col("src").alias("v")).distinct().withColumn(
         "label", F.col("v")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         neigh = (
             sym.join(
                 labels.select(F.col("v").alias("dst"), F.col("label").alias("nl")),
@@ -412,6 +417,8 @@ def connected_components(
         )
         labels = jumped
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels.select("v", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "

@@ -483,3 +483,30 @@ def test_quality_gate_rejects_null_text(spark):
     assert out[1] == (False, "no_text")
     assert out[2] == (False, "too_short")
     assert out[3][1] in (None, "too_short", "low_stopword")  # tiny doc: some rule or pass
+
+
+def test_connected_components_adversarial_long_chain(spark):
+    """The O(log diameter) pointer-jump claim at an adversarial scale: a
+    10^4-vertex PATH (diameter 9,999 — the worst case for pure label
+    propagation, which would need 10^4 rounds) must converge inside the
+    default max_iter, in ~log2(n) rounds. And the loud-failure mode: an
+    insufficient round budget raises instead of looping or returning a
+    half-merged labeling."""
+    import pytest
+
+    from georef_ar_etl_spark.operators.doc_dedup import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    comp = connected_components(edges, max_iter=15, stats=stats)
+    assert comp.filter(F.col("component") != 0).count() == 0  # one component
+    assert comp.count() == n
+    # measured: 14 rounds for diameter 10^4 (11 for 2^10) — O(log d), far
+    # from the O(d) a propagation-only algorithm would need
+    assert stats["rounds"] <= 15
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=5)
