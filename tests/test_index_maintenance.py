@@ -389,3 +389,81 @@ def test_continuous_aggregate_torn_refresh(spark, tmp_path, monkeypatch):
     assert agg.pending_refresh_epoch is None
     agg.refresh(eng.changes(agg.last_source_epoch, m2["epoch"]), m2["epoch"])
     assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state()))
+
+
+def test_continuous_aggregate_chains_into_coarser_rollup(spark, tmp_path):
+    """Composition claim from the class docstring: when the leading group
+    column is a time bucket named bucket_s, the maintained aggregate IS
+    the finest hypertable level — rollup_coarser over it must equal a
+    direct coarse aggregation of the live rows, across refreshes that
+    insert, move and delete. (Changelog rows are synthesized directly:
+    ContinuousAggregate consumes any (op, change_epoch, doc_id, payload)
+    frame, engine or not.)"""
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.index_maintenance import ContinuousAggregate
+    from georef_ar_etl_spark.operators.temporal import rollup, rollup_coarser, time_bucket_s
+
+    def ts(s):
+        return F.lit(s).cast("timestamp_ntz")
+
+    state = spark.createDataFrame(
+        [("d1", "2024-01-01 00:00:10", 100),
+         ("d2", "2024-01-01 00:00:50", 250),
+         ("d3", "2024-01-01 00:02:30", 400),
+         ("d4", "2024-01-01 01:10:00", 70)],
+        "doc_id string, ev_ts string, cents long",
+    ).select("doc_id", F.col("ev_ts").cast("timestamp_ntz").alias("ev_ts"), "cents")
+
+    agg = ContinuousAggregate(
+        spark, str(tmp_path / "agg"),
+        group_exprs=lambda: [time_bucket_s(F.col("ev_ts"), 60)],
+        group_fields=[("bucket_s", T.LongType())],
+        value_expr=lambda: F.col("cents"),
+        value_type=T.LongType(),
+        n_buckets=4,
+    )
+    agg.bootstrap(state, source_epoch=0)
+
+    changes = spark.createDataFrame(
+        [  # epoch 1: new row, a value update, a move to another minute
+            (1, "upsert", "d5", "2024-01-01 00:01:05", 30),
+            (1, "upsert", "d1", "2024-01-01 00:00:10", 110),
+            (1, "upsert", "d3", "2024-01-01 00:59:00", 400),
+            # epoch 2: delete one, move one across the HOUR boundary
+            (2, "delete", "d2", None, None),
+            (2, "upsert", "d4", "2024-01-01 02:00:00", 70),
+        ],
+        "change_epoch int, op string, doc_id string, ev_ts string, cents long",
+    ).select(
+        "change_epoch", "op", "doc_id",
+        F.col("ev_ts").cast("timestamp_ntz").alias("ev_ts"), "cents",
+    )
+    agg.refresh(changes, source_epoch=2)
+
+    live = spark.createDataFrame(
+        [("d1", "2024-01-01 00:00:10", 110),
+         ("d3", "2024-01-01 00:59:00", 400),
+         ("d5", "2024-01-01 00:01:05", 30),
+         ("d4", "2024-01-01 02:00:00", 70)],
+        "doc_id string, ev_ts string, cents long",
+    ).select("doc_id", F.col("ev_ts").cast("timestamp_ntz").alias("ev_ts"), "cents")
+
+    # fine level: maintained == direct minute rollup of the live rows
+    fine_want = sorted(
+        tuple(r) for r in rollup(live, "ev_ts", [], "cents", 60).collect()
+    )
+    fine_got = sorted(tuple(r) for r in agg.aggregate().collect())
+    assert fine_got == fine_want
+
+    # coarse level: re-aggregated PARTIALS == direct hour rollup of raw
+    coarse_want = sorted(
+        tuple(r) for r in rollup(live, "ev_ts", [], "cents", 3600).collect()
+    )
+    coarse_got = sorted(
+        tuple(r)
+        for r in rollup_coarser(
+            agg.aggregate(), [], 3600, fine_seconds=60
+        ).collect()
+    )
+    assert coarse_got == coarse_want
