@@ -99,3 +99,17 @@ def cm_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+def merge_sketches(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME (depth, width, seed):
+    cell-wise addition — the property that makes the sketch the
+    constant-memory path at corpus scale (shard sketches in parallel,
+    merge d×w-sized results; never re-scan). Missing cells are implicit
+    zeros, so a plain union + sum is exact."""
+    if not sketches:
+        raise ValueError("merge_sketches needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))

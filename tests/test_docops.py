@@ -510,3 +510,25 @@ def test_connected_components_adversarial_long_chain(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=5)
+
+
+def test_count_min_shard_merge_equals_whole(spark):
+    """Mergeability, exactly: sketches of two corpus shards merged
+    cell-wise must be bit-identical to the sketch of the union — the
+    property that lets 100 TB shard in parallel and merge d*w rows."""
+    from georef_ar_etl_spark.operators import sketches
+
+    words = [(f"w{i % 37}",) for i in range(500)]
+    df = spark.createDataFrame(words, "w string")
+    a, b = df.filter(F.md5("w").startswith("a") == False), df.filter(
+        F.md5("w").startswith("a")
+    )
+    kw = dict(depth=4, width=64, seed=11)
+    merged = sketches.merge_sketches(
+        sketches.count_min_sketch(a, "w", **kw),
+        sketches.count_min_sketch(b, "w", **kw),
+    )
+    whole = sketches.count_min_sketch(df, "w", **kw)
+    mrows = sorted(tuple(r) for r in merged.collect())
+    wrows = sorted(tuple(r) for r in whole.collect())
+    assert mrows == wrows

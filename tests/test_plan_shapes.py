@@ -158,3 +158,26 @@ def test_index_refresh_lookup_never_shuffles_the_bucket_read(spark, tmp_path):
     p = plan(idx._lookup_old(staged, [0, 1, 2, 3]))
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_asof_nearest_single_exchange_two_sorts(spark):
+    """The nearest as-of needs BOTH window orderings (opposite side order
+    at equal timestamps) — the plan must reuse ONE hash exchange of the
+    union and pay only a second within-partition sort, never a second
+    shuffle of the data."""
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 9, 5)], "k long, t long, v long")
+    df = asof_join(
+        left, right, "k", "k", "t", "t", right_cols=["v"], direction="nearest"
+    )
+    p = plan(df)
+    # exchanges partitioning by the join key _k: exactly one (the two
+    # leaf-side round-robin/parallelize exchanges don't carry _k)
+    key_exchanges = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning(_k" in ln
+    ]
+    assert len(key_exchanges) == 1, p
+    assert p.count("Window ") >= 2  # both direction windows present

@@ -258,3 +258,65 @@ def test_stream_apply_keeps_changelog_consumers_fresh(spark, tmp_path):
     stream_apply(spark, eng, str(landing), ckpt, consumers=[idx])
     assert idx.last_source_epoch == eng.table.latest_manifest()["epoch"]
     assert current() == recompute()
+
+
+def test_stream_apply_keeps_continuous_aggregate_fresh(spark, tmp_path):
+    """ContinuousAggregate conforms to the same changelog-consumer protocol
+    (last_source_epoch / pending_refresh_epoch / refresh) — attached to
+    stream_apply it stays equal to a full re-aggregation of the live state
+    after every drain, including the start-of-stream lag heal."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.index_maintenance import ContinuousAggregate
+
+    initial = datagen.gen_initial_state(150, seed=33, max_len=12)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=300, n_batches=4, seed=34, max_len=12
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    agg = ContinuousAggregate(
+        spark, str(tmp_path / "agg"),
+        group_exprs=lambda: [F.col("source")],
+        group_fields=[("source", T.StringType())],
+        value_expr=lambda: F.col("n_tok"),
+        value_type=T.IntegerType(),
+        n_buckets=4,
+    )
+    agg.bootstrap(eng.state(epoch=0), source_epoch=0)
+
+    def recompute():
+        return sorted(
+            tuple(r)
+            for r in eng.state()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tok").alias("sum_v"),
+                F.min("n_tok").alias("min_v"),
+                F.max("n_tok").alias("max_v"),
+            )
+            .collect()
+        )
+
+    def current():
+        return sorted(tuple(r) for r in agg.aggregate().collect())
+
+    for b in (0, 1):
+        _write_batch_file(events, b, str(landing))
+    stream_apply(spark, eng, str(landing), ckpt, consumers=[agg])
+    assert agg.last_source_epoch == eng.table.latest_manifest()["epoch"]
+    assert current() == recompute()
+
+    # engine advances without the consumer, then an empty-drain call heals
+    for b in (2, 3):
+        _write_batch_file(events, b, str(landing))
+    stream_apply(spark, eng, str(landing), ckpt)
+    assert agg.last_source_epoch < eng.table.latest_manifest()["epoch"]
+    stream_apply(spark, eng, str(landing), ckpt, consumers=[agg])
+    assert agg.last_source_epoch == eng.table.latest_manifest()["epoch"]
+    assert current() == recompute()
