@@ -101,15 +101,36 @@ def cm_estimate(
     )
 
 
-def merge_sketches(*sketches: DataFrame) -> DataFrame:
+def merge_sketches(
+    *sketches: DataFrame, depth: int | None = None, width: int | None = None
+) -> DataFrame:
     """Merge Count-Min sketches built with the SAME (depth, width, seed):
     cell-wise addition — the property that makes the sketch the
     constant-memory path at corpus scale (shard sketches in parallel,
     merge d×w-sized results; never re-scan). Missing cells are implicit
-    zeros, so a plain union + sum is exact."""
+    zeros, so a plain union + sum is exact.
+
+    Sketches of DIFFERENT dimensions merge into garbage that silently
+    violates the never-underestimate guarantee (a later estimate misses
+    the other sketch's cells) — pass ``depth``/``width`` to assert every
+    cell is in range, a d×w-sized check."""
     if not sketches:
         raise ValueError("merge_sketches needs at least one sketch")
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
-    return u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    merged = u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    if depth is not None or width is not None:
+        bad = F.lit(False)
+        if depth is not None:
+            bad = bad | (F.col("j") >= depth) | (F.col("j") < 0)
+        if width is not None:
+            bad = bad | (F.col("bucket") >= width) | (F.col("bucket") < 0)
+        n_bad = merged.filter(bad).count()
+        if n_bad:
+            raise ValueError(
+                f"merge_sketches: {n_bad} cells outside depth={depth}/"
+                f"width={width} — the inputs were built with different "
+                f"sketch dimensions and their merge is not a valid sketch"
+            )
+    return merged

@@ -520,13 +520,13 @@ def test_count_min_shard_merge_equals_whole(spark):
 
     words = [(f"w{i % 37}",) for i in range(500)]
     df = spark.createDataFrame(words, "w string")
-    a, b = df.filter(F.md5("w").startswith("a") == False), df.filter(
-        F.md5("w").startswith("a")
-    )
+    a = df.filter(~F.md5("w").startswith("a"))
+    b = df.filter(F.md5("w").startswith("a"))
     kw = dict(depth=4, width=64, seed=11)
     merged = sketches.merge_sketches(
         sketches.count_min_sketch(a, "w", **kw),
         sketches.count_min_sketch(b, "w", **kw),
+        depth=4, width=64,
     )
     whole = sketches.count_min_sketch(df, "w", **kw)
     mrows = sorted(tuple(r) for r in merged.collect())
