@@ -467,3 +467,38 @@ def test_continuous_aggregate_chains_into_coarser_rollup(spark, tmp_path):
         ).collect()
     )
     assert coarse_got == coarse_want
+
+
+def test_consumers_refresh_across_schema_evolution(spark, tmp_path):
+    """A refresh range that CROSSES an additive schema evolution (src_meta
+    appears mid-replay) must work for both consumer families: the changelog
+    rows gain a column, latest-per-key collapse carries it, and derive/
+    group expressions that don't reference it are unaffected — while the
+    aggregate stays equal to a batch recompute."""
+    initial = datagen.gen_initial_state(150, seed=401, max_len=10)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=300, n_batches=4, seed=402,
+        max_len=10, evolve_from_batch=2,
+    )
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+    agg = _ca(spark, str(tmp_path / "agg"))
+    agg.bootstrap(eng.state(epoch=0), source_epoch=0)
+
+    last_epoch = 0
+    for b in range(4):
+        batch = [e for e in events if e["batch_id"] == b]
+        if b < 2:
+            batch = [{k: v for k, v in e.items() if k != "src_meta"} for e in batch]
+        m = eng.apply_batch(datagen.events_to_df(spark, batch), b)
+        if b == 2:
+            assert m["metrics"]["schema_added_columns"] == ["src_meta"]
+        last_epoch = m["epoch"]
+
+    # ONE refresh range spanning pre-evolution AND post-evolution epochs
+    idx.refresh(eng.changes(0, last_epoch), last_epoch)
+    agg.refresh(eng.changes(0, last_epoch), last_epoch)
+    assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state()))
+    assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state()))
