@@ -368,7 +368,8 @@ def connected_components(
     which should fail loudly, not loop forever.
 
     Pass a ``stats`` dict to get ``stats["rounds"]`` back — the O(log
-    diameter) claim is measurable (tests/test_doc_dedup chain case;
+    diameter) claim is measurable
+    (tests/test_docops.py::test_connected_components_adversarial_long_chain;
     BENCH/components_chain.py).
     """
     sym = (

@@ -317,7 +317,19 @@ def _cow_apply(
         return 0
     cols = [f.name for f in schema.fields] + ["bucket"]
     old = table.read_state(buckets=touched)
-    keep = old.join(F.broadcast(changed.select(*key_cols)), key_cols, "left_anti")
+    # NULL-SAFE key equality: SQL GROUP BY treats NULL as a real group, so
+    # a nullable group/value key (e.g. an additively-evolved source column
+    # that is NULL for pre-evolution rows) must anti-join out like any
+    # other key — plain `=` never matches NULL, which would leave the
+    # stale row in place AND union the replacement in (double counting).
+    # Catalyst plans `<=>` as an ordinary hash-join key, so this costs
+    # nothing over the null-unsafe form.
+    changed_k = changed.select(*key_cols)
+    cond = None
+    for c in key_cols:
+        eq = old[c].eqNullSafe(changed_k[c])
+        cond = eq if cond is None else (cond & eq)
+    keep = old.join(F.broadcast(changed_k), cond, "left_anti")
     new = keep.select(*cols).unionByName(ups_b.select(*cols))
     _commit_epoch(table, schema, new, touched, source_epoch, "refresh")
     n = int(changed.count())
@@ -440,7 +452,10 @@ class ContinuousAggregate:
         self.group_exprs = group_exprs
         self.group_names = [n for n, _ in group_fields]
         self.value_expr = value_expr
-        gf = [T.StructField(n, t, False) for n, t in group_fields]
+        # group columns are nullable: SQL GROUP BY keeps NULL as a real
+        # group (e.g. an additively-evolved source column that is NULL for
+        # every pre-evolution row) — all key joins downstream are null-safe
+        gf = [T.StructField(n, t, True) for n, t in group_fields]
         sum_t = T.LongType() if _integral(value_type) else T.DoubleType()
         self.forward_schema = T.StructType(
             [T.StructField("doc_id", T.StringType(), False)]
@@ -604,9 +619,14 @@ class ContinuousAggregate:
             r["b"] for r in tg.select(self._gbucket().alias("b")).distinct().collect()
         )
         if g_buckets:
-            live = self.members.read_state(buckets=g_buckets).join(
-                F.broadcast(tg), g, "left_semi"
-            )
+            # null-safe semi join for the same reason as _cow_apply: a NULL
+            # group is a real SQL group and must recompute when touched
+            members_live = self.members.read_state(buckets=g_buckets)
+            sem = None
+            for n in g:
+                eq = members_live[n].eqNullSafe(tg[n])
+                sem = eq if sem is None else (sem & eq)
+            live = members_live.join(F.broadcast(tg), sem, "left_semi")
             new_rollup = self._aggregate_members(live)
         else:
             new_rollup = self.spark.createDataFrame(
@@ -641,7 +661,6 @@ class ContinuousAggregate:
         old = self.forward.read_state(buckets=fwd_touched).select(
             "doc_id",
             *[F.col(n).alias(f"_o_{n}") for n in self.group_names],
-            F.col("val").alias("_ov"),
             F.lit(True).alias("_has_old"),
         )
         trimmed = old.join(

@@ -121,6 +121,11 @@ def merge_sketches(
         u = u.unionByName(s)
     merged = u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
     if depth is not None or width is not None:
+        # materialize the (≤ d×w rows) merged frame BEFORE the validation
+        # count — counting the lazy frame would re-run the input sketches'
+        # whole lineage (potentially full corpus scans) once for the check
+        # and again for every downstream use
+        merged = merged.localCheckpoint(eager=True)
         bad = F.lit(False)
         if depth is not None:
             bad = bad | (F.col("j") >= depth) | (F.col("j") < 0)

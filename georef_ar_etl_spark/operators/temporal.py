@@ -294,24 +294,36 @@ def asof_join(
         )
         u = u.withColumn("_mb", F.last("_payload", ignorenulls=True).over(wb))
     if direction in ("forward", "nearest"):
-        # mirrored: left probes BEFORE right rows at equal time (so the
-        # equal-time right row is inside [current, following]), right ties
-        # ascending so first() = min tie
+        # the MIRRORED backward formulation: time DESCENDING with a running
+        # [unboundedPreceding, currentRow] frame and last(ignorenulls) —
+        # the most recently seen right payload is the SMALLEST time >= the
+        # probe. A [currentRow, unboundedFollowing] frame with first()
+        # would be O(rows²) per key partition (Spark rebuilds an
+        # unbounded-following aggregate buffer from scratch per row);
+        # this running frame is O(rows). Sort: right rows BEFORE probes
+        # at equal time (inclusive), right ties DESC so last() = min tie.
         wf = (
             Window.partitionBy("_k")
-            .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("_t").desc(), F.col("_side").desc(), F.col("_tie").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        u = u.withColumn("_mf", F.first("_payload", ignorenulls=True).over(wf))
+        u = u.withColumn("_mf", F.last("_payload", ignorenulls=True).over(wf))
     probes = u.filter(F.col("_side") == 0)
 
-    # distance axis: microsecond epochs for timestamp columns, the raw
-    # values for numeric epoch columns (the axis only matters when
-    # tolerance or nearest is in play)
-    is_ts = isinstance(
-        left.schema[left_time].dataType, (T.TimestampType, T.TimestampNTZType)
-    )
-    axis = _epoch_us if is_ts else (lambda c: c.cast("double"))
+    # distance axis: microsecond epochs for timestamp columns; for numeric
+    # epoch columns, LONG for integral types (a double axis would round
+    # int64 epochs above 2^53 — microsecond epochs today are ~1.7e18 — and
+    # flip tolerance/nearest comparisons near the boundary) and double
+    # only for genuinely fractional time columns
+    t_type = left.schema[left_time].dataType
+    is_ts = isinstance(t_type, (T.TimestampType, T.TimestampNTZType))
+    integral = isinstance(t_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if is_ts:
+        axis = _epoch_us
+    elif integral:
+        axis = lambda c: c.cast("long")  # noqa: E731
+    else:
+        axis = lambda c: c.cast("double")  # noqa: E731
     tol_ax = None
     if tolerance is not None:
         tol_ax = tolerance * 1_000_000 if is_ts else tolerance

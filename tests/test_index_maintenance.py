@@ -344,6 +344,87 @@ def test_continuous_aggregate_group_removal_and_minmax(spark, tmp_path):
     assert 0 < len(last["touched_buckets"]) <= 2 < agg.rollup.n_buckets
 
 
+def test_continuous_aggregate_null_group_is_a_real_group(spark, tmp_path):
+    """SQL GROUP BY keeps NULL as a real group, and so must the maintained
+    aggregate: all key joins in the refresh path are null-safe. Before the
+    eqNullSafe fix, a NULL-keyed member row never anti-joined out (stale
+    row survived AND the replacement unioned in -> double counting) and
+    the NULL group dropped out of the touched-group recompute."""
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.index_maintenance import ContinuousAggregate
+
+    rows = [
+        {"doc_id": "000000000000a", "tokens": [1], "n_tok": 1, "source": "s1"},
+        {"doc_id": "000000000000b", "tokens": [1, 2], "n_tok": 2, "source": "s1"},
+        {"doc_id": "000000000000c", "tokens": [1] * 9, "n_tok": 9, "source": "s2"},
+        {"doc_id": "000000000000d", "tokens": [1] * 5, "n_tok": 5, "source": "s2"},
+    ]
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=2)
+    eng.bootstrap(datagen.state_to_df(spark, rows))
+
+    # group expr yields NULL for small docs — the nullable-group case the
+    # review flagged (stand-in for an additively-evolved NULL column)
+    agg = ContinuousAggregate(
+        spark, str(tmp_path / "agg"),
+        group_exprs=lambda: [F.when(F.col("n_tok") >= 4, F.col("source"))],
+        group_fields=[("src_big", T.StringType())],
+        value_expr=lambda: F.col("n_tok"),
+        value_type=T.IntegerType(),
+        n_buckets=8,
+    )
+    agg.bootstrap(eng.state(epoch=0), source_epoch=0)
+
+    def rows_of(df):
+        return sorted(
+            (
+                (r["src_big"], r["n"], r["sum_v"], r["min_v"], r["max_v"])
+                for r in df.collect()
+            ),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1:]),
+        )
+
+    def got():
+        return rows_of(agg.aggregate())
+
+    # bootstrap: NULL group {a:1, b:2}, s2 {c:9, d:5}
+    assert got() == [(None, 2, 3, 1, 2), ("s2", 2, 14, 5, 9)]
+
+    # delete a NULL-group member; move c INTO the NULL group (9 -> 2)
+    ev0 = [
+        {"batch_id": 0, "seq": 1, "op": "delete", "doc_id": "000000000000b",
+         "tokens": None, "n_tok": None, "source": None},
+        {"batch_id": 0, "seq": 2, "op": "update", "doc_id": "000000000000c",
+         "tokens": [1, 2], "n_tok": 2, "source": "s2"},
+    ]
+    m0 = eng.apply_batch(datagen.events_to_df(spark, ev0), 0)
+    agg.refresh(eng.changes(0, m0["epoch"]), m0["epoch"])
+    assert got() == [(None, 2, 3, 1, 2), ("s2", 1, 5, 5, 5)]
+
+    # empty the NULL group entirely; move d into it (5 -> 3) in the SAME
+    # batch — the NULL rollup row must be REPLACED, not duplicated
+    ev1 = [
+        {"batch_id": 1, "seq": 3, "op": "delete", "doc_id": "000000000000a",
+         "tokens": None, "n_tok": None, "source": None},
+        {"batch_id": 1, "seq": 4, "op": "delete", "doc_id": "000000000000c",
+         "tokens": None, "n_tok": None, "source": None},
+        {"batch_id": 1, "seq": 5, "op": "update", "doc_id": "000000000000d",
+         "tokens": [1, 2, 3], "n_tok": 3, "source": "s2"},
+    ]
+    m1 = eng.apply_batch(datagen.events_to_df(spark, ev1), 1)
+    agg.refresh(eng.changes(m0["epoch"], m1["epoch"]), m1["epoch"])
+    assert got() == [(None, 1, 3, 3, 3)]
+
+    # and the full-recompute invariant (NULL group included) still holds
+    recompute = rows_of(
+        eng.state()
+        .groupBy(F.when(F.col("n_tok") >= 4, F.col("source")).alias("src_big"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("sum_v"),
+             F.min("n_tok").alias("min_v"), F.max("n_tok").alias("max_v"))
+    )
+    assert got() == recompute
+
+
 def test_continuous_aggregate_torn_refresh(spark, tmp_path, monkeypatch):
     """A refresh crashing after the members/rollup commits but before
     forward leaves pending_refresh_epoch set; a wider range is refused;
