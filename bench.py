@@ -57,7 +57,8 @@ HEADLINE = [
     "q58_asof_join_forward_tolerance",
     "q59_asof_join_nearest",
 ]
-# q56_continuous_aggregate drives a full engine replay like q24/q30/q34 —
+# q56_continuous_aggregate and q60_cdc_patch_replay_state drive a full
+# engine replay like q24/q30/q34 —
 # the CDC replay benchmark below measures that path end-to-end
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at
@@ -71,6 +72,7 @@ def run_cdc_replay(
     n_batches: int,
     merge_impl: str = "copartitioned",
     trials: int = 1,
+    patch_frac: float = 0.0,
 ) -> dict:
     """The north-rule workload: bootstrap a token-sequence table, replay a
     change-event log, measure end-to-end change-events/sec applied.
@@ -86,7 +88,8 @@ def run_cdc_replay(
     cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/cdc_bench_cache")
     mean_tokens = float(os.environ.get("BENCH_CDC_MEAN_TOKENS", "64"))
     ipath, edir = gen_bench_workload(
-        cache, n_initial, n_events, n_batches, mean_tokens=mean_tokens
+        cache, n_initial, n_events, n_batches, mean_tokens=mean_tokens,
+        patch_frac=patch_frac,
     )
     initial = spark.read.parquet(ipath)
 
@@ -197,6 +200,21 @@ def main() -> None:
     )
     cdc["cdc_join_merge_events_per_sec"] = cdc_join["cdc_events_per_sec"]
     times["cdc_replay_join_merge"] = cdc_join["cdc_replay_sec"]
+
+    # patch workload (25% partial-column updates): every patch forces a
+    # read-modify-write of its bucket's payload, so this tracks the cost of
+    # the patch-resolve path relative to the plain replay above.
+    patch_events = max(n_events // 4, 1000)
+    cdc_patch = run_cdc_replay(
+        spark,
+        n_initial=max(patch_events // 4, 1000),
+        n_events=patch_events,
+        n_batches=4,
+        trials=int(os.environ.get("BENCH_PATCH_TRIALS", "2")),
+        patch_frac=0.25,
+    )
+    cdc["cdc_patch_events_per_sec"] = cdc_patch["cdc_events_per_sec"]
+    times["cdc_replay_patch"] = cdc_patch["cdc_replay_sec"]
 
     total = round(sum(times.values()), 3)
     out = {

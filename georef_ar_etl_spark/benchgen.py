@@ -59,9 +59,16 @@ def gen_bench_workload(
     n_batches: int,
     seed: int = 42,
     mean_tokens: float = 24.0,
+    patch_frac: float = 0.0,
 ) -> tuple[str, str]:
-    """Write initial.parquet + events.parquet under out_dir (cached)."""
+    """Write initial.parquet + events.parquet under out_dir (cached).
+
+    ``patch_frac`` converts that share of events into partial-column
+    ``op='patch'`` updates (half withhold tokens, half withhold source —
+    null = "keep"), carved out of the update share."""
     tag = f"i{n_initial}_e{n_events}_b{n_batches}_s{seed}_t{int(mean_tokens)}"
+    if patch_frac:
+        tag += f"_p{int(patch_frac * 100)}"
     root = os.path.join(out_dir, tag)
     ipath = os.path.join(root, "initial.parquet")
     edir = os.path.join(root, "events")
@@ -88,7 +95,16 @@ def gen_bench_workload(
     # events: 60% update / 30% insert / 10% delete; updates+deletes hit the
     # known-id pool (skewed by the pool's own Zipf group mass); one hot key
     # gets a burst. source skew: 70% 'wal'.
-    ops = rng.choice(["update", "insert", "delete"], size=n_events, p=[0.6, 0.3, 0.1])
+    if patch_frac:
+        ops = rng.choice(
+            ["update", "insert", "delete", "patch"],
+            size=n_events,
+            p=[max(0.6 - patch_frac, 0.0), 0.3, 0.1, patch_frac],
+        )
+    else:
+        ops = rng.choice(
+            ["update", "insert", "delete"], size=n_events, p=[0.6, 0.3, 0.1]
+        )
     ev_ids = np.empty(n_events, dtype=ids.dtype)
     upd = ops != "insert"
     ev_ids[upd] = ids[rng.randint(0, len(ids), size=int(upd.sum()))]
@@ -99,15 +115,27 @@ def gen_bench_workload(
 
     tokens_e, lens_e = _token_lists(rng, n_events, mean_tokens)
     is_del = ops == "delete"
-    mask = pa.array(~is_del)
+    is_patch = ops == "patch"
+    # partial images: half the patches withhold tokens, half withhold
+    # source (null = keep); n_tok is derived-only so patches never carry it
+    no_tokens = is_del | (is_patch & (rng.rand(n_events) < 0.5))
+    mask = pa.array(~no_tokens)
     tokens_col = pa.compute.if_else(mask, tokens_e, pa.nulls(n_events, _EVENT_PA.field("tokens").type))
-    lens_col = pa.compute.if_else(mask, pa.array(lens_e), pa.nulls(n_events, pa.int32()))
+    lens_col = pa.compute.if_else(
+        pa.array(~(is_del | is_patch)), pa.array(lens_e), pa.nulls(n_events, pa.int32())
+    )
     src = np.where(rng.rand(n_events) < 0.7, "wal", rng.choice(SOURCES, size=n_events))
+    src_col = pa.array(src)
+    if patch_frac:
+        no_src = is_patch & (rng.rand(n_events) < 0.5)
+        src_col = pa.compute.if_else(
+            pa.array(~no_src), src_col, pa.nulls(n_events, pa.string())
+        )
     batch = np.sort(rng.randint(0, n_batches, size=n_events).astype(np.int64))
     seq = np.arange(1, n_events + 1, dtype=np.int64)
     table = pa.Table.from_arrays(
         [pa.array(batch), pa.array(seq), pa.array(ops), pa.array(ev_ids),
-         tokens_col, lens_col, pa.array(src)],
+         tokens_col, lens_col, src_col],
         schema=_EVENT_PA,
     )
     # one WAL-segment file per batch_id (the natural CDC landing layout;

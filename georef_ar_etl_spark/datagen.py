@@ -79,6 +79,7 @@ def gen_events(
     dup_frac: float = 0.05,
     hot_key_frac: float = 0.03,
     evolve_from_batch: int | None = None,
+    patch_frac: float = 0.0,
 ) -> list[dict]:
     """Change-event log per FIXTURES.md F2 (+F3 when ``evolve_from_batch``).
 
@@ -86,6 +87,12 @@ def gen_events(
     events come from the 'wal' source. Updates/deletes target known ids when
     possible; inserts mint new ids (some in group '25'+, unknown to the dim
     table → quarantine path).
+
+    ``patch_frac`` > 0 converts that share of events into partial-column
+    ``op='patch'`` updates (schemas.OPS): a random subset of patchable
+    columns set, the rest null ("keep"), ~15% aimed at absent keys
+    (patch_noop path). Default 0.0 draws NO extra rng values, so every
+    existing seeded log is byte-identical.
     """
     rng = _rng(seed)
     known = list(initial_doc_ids)
@@ -100,10 +107,16 @@ def gen_events(
             seq += 1
             r = rng.rand()
             op = "update" if r < 0.6 else ("insert" if r < 0.9 else "delete")
+            if patch_frac and rng.rand() < patch_frac:
+                op = "patch"
             source = "wal" if rng.rand() < 0.7 else str(rng.choice(SOURCES))
 
             if rng.rand() < hot_key_frac and known:
                 doc_id = hot_id  # hot-key burst
+            elif op == "patch" and known and rng.rand() >= 0.15:
+                doc_id = str(known[rng.randint(0, len(known))])
+            elif op == "patch":
+                doc_id = make_doc_id(rng)  # likely-absent key → patch_noop
             elif op == "insert" or not known:
                 unknown_group = rng.rand() < 0.05
                 group = str(rng.choice(["25", "26", "99"])) if unknown_group else None
@@ -116,6 +129,17 @@ def gen_events(
             ev: dict = {"batch_id": batch, "seq": seq, "op": op, "doc_id": doc_id}
             if op == "delete":
                 ev.update({"tokens": None, "n_tok": None, "source": source})
+            elif op == "patch":
+                # partial image: null = keep current value; n_tok is
+                # derived-only so a patch never carries it
+                set_tokens = rng.rand() < 0.6
+                ev.update({
+                    "tokens": dirty_tokens(rng, make_tokens(rng, max_len))
+                    if set_tokens
+                    else None,
+                    "n_tok": None,
+                    "source": source if rng.rand() < 0.5 else None,
+                })
             else:
                 tokens = dirty_tokens(rng, make_tokens(rng, max_len))
                 # stale n_tok arrives wrong ~half the time; engine recomputes
@@ -123,7 +147,11 @@ def gen_events(
                 ev.update({"tokens": tokens, "n_tok": n_tok, "source": source})
 
             if evolved:
-                ev["src_meta"] = f"m{int(rng.randint(0, 1000)):03d}"
+                meta = f"m{int(rng.randint(0, 1000)):03d}"
+                # a patch keeps src_meta null half the time ("keep" path)
+                ev["src_meta"] = (
+                    None if op == "patch" and rng.rand() < 0.5 else meta
+                )
 
             # invalid events to quarantine
             bad = rng.rand()

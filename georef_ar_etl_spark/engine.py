@@ -28,7 +28,12 @@ from pyspark.sql import types as T
 from georef_ar_etl_spark.functions.tokens import with_normalized_tokens
 from georef_ar_etl_spark.operators.dedup_events import latest_per_key
 from georef_ar_etl_spark.operators.copart_merge import merge_copartitioned
-from georef_ar_etl_spark.operators.merge import ACTIONS, align_columns, merge_upsert
+from georef_ar_etl_spark.operators.merge import (
+    ACTIONS,
+    align_columns,
+    fold_patch_events,
+    merge_upsert,
+)
 from georef_ar_etl_spark.operators.validate import QUARANTINE_REASONS, tag_invalid
 from georef_ar_etl_spark.schemas import (
     EVENT_META_COLS,
@@ -370,6 +375,14 @@ class CdcEngine:
                     "bit_xor(xxhash64(%s))" % ", ".join(f"`{c}`" for c in orig_cols)
                 ).alias("_x"),
                 F.count(F.lit(1)).alias("_n"),
+                # valid partial-column updates present? routes the dedup to
+                # the patch-aware fold (costless here — one more column in an
+                # aggregate the pre-pass already runs)
+                F.sum(
+                    F.when(
+                        F.col("reason").isNull() & (F.col("op") == "patch"), 1
+                    ).otherwise(0)
+                ).alias("_np"),
                 *[
                     F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(r)
                     for r in QUARANTINE_REASONS
@@ -399,12 +412,13 @@ class CdcEngine:
                 .collect()
             )
             mask = (1 << 64) - 1
-            x, events_in = 0, 0
+            x, events_in, patch_rows = 0, 0, 0
             q_counts: dict[str, int] = {}
             bucket_events: dict[int, int] = {}
             for r in pre_rows:
                 x ^= r["_x"] & mask
                 events_in += r["_n"]
+                patch_rows += int(r["_np"])
                 for reason in QUARANTINE_REASONS:
                     if r[reason]:
                         q_counts[reason] = q_counts.get(reason, 0) + int(r[reason])
@@ -454,7 +468,12 @@ class CdcEngine:
             written_deltas: dict[int, list[str]] = {}
             if merge_impl == "copartitioned":
                 if self.strict_dup:
-                    latest_per_key(valid, strict=True)  # raises on duplicates
+                    # patches legitimately repeat a key (they compose); the
+                    # at-most-one-event-per-key contract binds FULL events only
+                    full_only = (
+                        valid.filter(F.col("op") != "patch") if patch_rows else valid
+                    )
+                    latest_per_key(full_only, strict=True)  # raises on duplicates
                 # dedup AND normalization happen inside the merge tasks (post-
                 # shuffle, full parallelism, no winners broadcast) — see
                 # copart_merge.merge_copartitioned
@@ -507,7 +526,7 @@ class CdcEngine:
                 bucket_lineage = {
                     int(r["bucket"]): {
                         a: list(r[f"{a}_ids"])
-                        for a in ("inserted", "updated", "deleted")
+                        for a in ("inserted", "updated", "deleted", "patched")
                         if len(r[f"{a}_ids"])
                     }
                     for r in results
@@ -521,14 +540,28 @@ class CdcEngine:
                         ("update", sum(int(r["updated"]) for r in results)),
                         ("delete", sum(int(r["deleted"]) for r in results)),
                         ("delete_noop", sum(int(r["delete_noop"]) for r in results)),
+                        ("patched", sum(int(r["patched"]) for r in results)),
+                        ("patch_noop", sum(int(r["patch_noop"]) for r in results)),
                     )
                     if s
                 }
-                keep = total_after - action_counts.get("insert", 0) - action_counts.get("update", 0)
+                keep = (
+                    total_after
+                    - action_counts.get("insert", 0)
+                    - action_counts.get("update", 0)
+                    - action_counts.get("patched", 0)
+                )
                 if keep:
                     action_counts["keep"] = keep
             else:
-                deduped = latest_per_key(valid, strict=self.strict_dup)
+                if patch_rows:
+                    # patch-aware in-batch fold (partial-column overlay in
+                    # replay order). Strict mode still binds full events.
+                    if self.strict_dup:
+                        latest_per_key(valid.filter(F.col("op") != "patch"), strict=True)
+                    deduped = fold_patch_events(valid, payload_cols)
+                else:
+                    deduped = latest_per_key(valid, strict=self.strict_dup)
                 normalized = with_normalized_tokens(deduped, impl=self.normalize_impl)
                 state_touched = align_columns(
                     self.table.read_state(buckets=touched, manifest=latest), new_schema
@@ -541,7 +574,9 @@ class CdcEngine:
                 ]
                 observed = merged.tagged.observe(m_obs, *m_aggs)
                 new_buckets_df = observed.filter(
-                    ~F.col("_action").isin("delete", "delete_noop")
+                    # patch_noop rows are null-payload join residue of an
+                    # absent key, not state
+                    ~F.col("_action").isin("delete", "delete_noop", "patch_noop")
                 ).drop("_key", "_action").withColumn(
                     "bucket", bucket_expr(F.col("doc_id"), nb)
                 )

@@ -50,6 +50,10 @@ RESULT_SCHEMA = T.StructType([
     T.StructField("updated", T.LongType()),
     T.StructField("deleted", T.LongType()),
     T.StructField("delete_noop", T.LongType()),
+    # partial-column updates (op='patch', schemas.OPS): resolved against the
+    # bucket's live row; a patch whose key is absent is a counted no-op
+    T.StructField("patched", T.LongType()),
+    T.StructField("patch_noop", T.LongType()),
     T.StructField("path", T.StringType()),
     # per-bucket action ID lineage (sorted, capped samples — the reference
     # reports the full added/updated/deleted ID lists per extraction,
@@ -58,7 +62,66 @@ RESULT_SCHEMA = T.StructType([
     T.StructField("inserted_ids", T.ArrayType(T.StringType())),
     T.StructField("updated_ids", T.ArrayType(T.StringType())),
     T.StructField("deleted_ids", T.ArrayType(T.StringType())),
+    T.StructField("patched_ids", T.ArrayType(T.StringType())),
 ])
+
+
+def _fold_patches_pandas(
+    pdf: pd.DataFrame, key: str, order: str, patchable: list[str]
+) -> pd.DataFrame:
+    """In-task fold of a seq-sorted event frame containing ``op='patch'``
+    rows to one effective event per key — the pandas twin of
+    merge.fold_patch_events (same replay semantics, asserted equal by
+    tests/test_patch_events.py). Runs AFTER the bucket shuffle, so all of a
+    key's events are local; the hot non-patch path never enters here.
+
+    * last full event per key wins (existing LWW);
+    * patches AFTER it overlay column-wise, last non-null per column;
+    * patches at/before it — including after an in-batch delete — are
+      superseded and fold away, like any LWW-shadowed event;
+    * keys with only patches come out as one combined ``op='patch'`` row.
+    """
+    is_p = pdf["op"].eq("patch")
+    full = pdf[~is_p].drop_duplicates(key, keep="last")
+    patches = pdf[is_p]
+
+    live = patches.merge(
+        full[[key, order]].rename(columns={order: "_bseq"}), on=key, how="left"
+    )
+    live = live[live["_bseq"].isna() | (live[order] > live["_bseq"])]
+    if live.empty:
+        return full
+    # one row per key (bookkeeping cols from the LAST live patch), then the
+    # per-column last-non-null overlay values
+    folded = live.drop_duplicates(key, keep="last")[
+        [c for c in pdf.columns if c not in patchable]
+    ]
+    for c in patchable:
+        pc = live[[key, c]].dropna(subset=[c]).drop_duplicates(key, keep="last")
+        folded = folded.merge(
+            pc.rename(columns={c: f"_p_{c}"}), on=key, how="left"
+        )
+
+    full_keys = pd.Index(full[key])
+    on_full = folded[key].isin(full_keys).to_numpy()
+    # overlay onto non-delete full rows
+    base = full.merge(
+        folded.loc[on_full, [key] + [f"_p_{c}" for c in patchable]],
+        on=key,
+        how="left",
+    )
+    not_del = base["op"].ne("delete")
+    for c in patchable:
+        pv = base[f"_p_{c}"]
+        base[c] = pv.where(pv.notna() & not_del, base[c])
+    base = base.drop(columns=[f"_p_{c}" for c in patchable])
+
+    pure = folded.loc[~on_full].copy()
+    pure["op"] = "patch"
+    for c in patchable:
+        pure[c] = pure[f"_p_{c}"]
+    pure = pure.drop(columns=[f"_p_{c}" for c in patchable])[base.columns]
+    return pd.concat([base, pure], ignore_index=True)
 
 
 def merge_copartitioned(
@@ -121,6 +184,8 @@ def merge_copartitioned(
     bd_bc = sc.broadcast(bucket_deltas)
     bl_bc = sc.broadcast(bucket_live)
 
+    patchable = [c for c in payload_cols if c not in (key, "n_tok")]
+
     def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [c for c in batches if not c.empty]
         if not chunks:
@@ -128,9 +193,13 @@ def merge_copartitioned(
         pdf = pd.concat(chunks, ignore_index=True)
         out = []
         if dedup_order is not None:
-            pdf = pdf.sort_values(dedup_order, kind="stable").drop_duplicates(
-                key, keep="last"
-            )
+            pdf = pdf.sort_values(dedup_order, kind="stable")
+            if pdf["op"].eq("patch").any():
+                # patch-aware fold (per-column overlay in replay order);
+                # the hot non-patch path stays on the plain LWW dedup
+                pdf = _fold_patches_pandas(pdf, key, dedup_order, patchable)
+            else:
+                pdf = pdf.drop_duplicates(key, keep="last")
         for bucket, grp in pdf.groupby("bucket", sort=True):
             bucket = int(bucket)
             files = bf_bc.value.get(bucket, [])
@@ -139,13 +208,11 @@ def merge_copartitioned(
 
             # last-writer-wins already applied upstream → unique keys per side
             dels = grp.loc[grp["op"] == "delete", key]
-            ups = grp.loc[grp["op"] != "delete", payload_cols].copy()
-            if normalize and len(ups):
-                # token normalization runs HERE, after the bucket shuffle —
-                # full task parallelism, and one fewer Arrow round-trip than
-                # a separate pandas_udf stage (same numpy kernel either way)
-                ups["tokens"] = normalize_series(ups["tokens"])
-                ups["n_tok"] = ups["tokens"].map(len).astype("int32")
+            pp = grp.loc[grp["op"] == "patch"]
+            ups = grp.loc[~grp["op"].isin(("delete", "patch")), payload_cols].copy()
+            # patches are read-modify-write: they need the bucket's payload
+            # even when the write side stays a cheap delta
+            needs_state = len(pp) > 0
 
             use_delta = (
                 mor_rewrite_ratio > 0
@@ -153,14 +220,15 @@ def merge_copartitioned(
                 and len(dfiles) < mor_max_deltas
                 and len(grp) <= mor_rewrite_ratio * live
             )
-            if use_delta:
+            if use_delta and not needs_state:
                 # keys-only read of base + delta chain: classify actions
                 # without touching the payload columns at all
                 state_keys = live_keys(files, dfiles, key)
                 state = None
             else:
                 # full resolve (base + pending deltas) — the COW/inline-
-                # compaction path; writing the new base clears the chain
+                # compaction path (also the patch read path; writing a new
+                # base clears the chain, a patch delta leaves it)
                 state = resolve_live(files, dfiles, payload_cols, key)
                 state_keys = pd.Index(state[key])
             del_mask = state_keys.isin(dels)
@@ -184,6 +252,48 @@ def merge_copartitioned(
             inserted_ids = sample(ups.loc[~up_mask, key]) if len(ups) else []
             updated_ids = sample(ups.loc[up_mask, key]) if len(ups) else []
             deleted_ids = sample(state_keys[del_mask])
+
+            patched = patch_noop = 0
+            patched_ids: list[str] = []
+            if len(pp):
+                pmask = pp[key].isin(state_keys).to_numpy()
+                patched = int(pmask.sum())
+                patch_noop = int(len(pp) - patched)
+                if patched:
+                    hit = pp.loc[pmask]
+                    patched_ids = sample(hit[key])
+                    # overlay non-null patch columns onto the live rows
+                    # (state dtypes win — only set cells actually patched)
+                    tgt = state.loc[state[key].isin(hit[key])].set_index(
+                        key, drop=False
+                    )
+                    hv = hit.set_index(key)
+                    for c in patchable:
+                        vals = hv[c].reindex(tgt.index)
+                        # Series.where, not .loc-set: assigning a Series of
+                        # list values through .loc trips pandas' broadcast
+                        # check; where() sets cell-wise for object dtypes
+                        tgt[c] = vals.where(vals.notna(), tgt[c])
+                    if not normalize and "tokens" in hv and "n_tok" in tgt:
+                        # normalize=True recomputes n_tok below for every
+                        # upsert row; without it the derived-field invariant
+                        # still holds for patched tokens
+                        tm = hv["tokens"].reindex(tgt.index).notna()
+                        if tm.any():
+                            tgt.loc[tm, "n_tok"] = tgt.loc[tm, "tokens"].map(len)
+                    ups = pd.concat(
+                        [ups, tgt.reset_index(drop=True)[payload_cols]],
+                        ignore_index=True,
+                    )
+
+            if normalize and len(ups):
+                # token normalization runs HERE, after the bucket shuffle —
+                # full task parallelism, and one fewer Arrow round-trip than
+                # a separate pandas_udf stage (same numpy kernel either way);
+                # patched rows re-normalize too (idempotent on carried state
+                # tokens, required for freshly patched ones)
+                ups["tokens"] = normalize_series(ups["tokens"])
+                ups["n_tok"] = ups["tokens"].map(len).astype("int32")
 
             if use_delta:
                 # noop tombstones are dropped: a key absent from state needs
@@ -217,7 +327,8 @@ def merge_copartitioned(
                 mode = "rewrite"
             out.append((
                 bucket, mode, rows_after, inserted, updated, deleted,
-                delete_noop, path, inserted_ids, updated_ids, deleted_ids,
+                delete_noop, patched, patch_noop, path,
+                inserted_ids, updated_ids, deleted_ids, patched_ids,
             ))
         yield pd.DataFrame(
             out, columns=[f.name for f in RESULT_SCHEMA.fields]

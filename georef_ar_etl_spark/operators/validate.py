@@ -45,12 +45,18 @@ def tag_invalid(events: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     validation (reference: CachedQuery lookups, context.py:63-146) — events
     whose doc_id prefix has no dimension row are quarantined, never fatal.
     """
-    is_upsert = F.col("op") != "delete"
+    # full upserts must carry valid tokens; a PATCH's null tokens mean "keep
+    # the current value" (schemas.OPS contract), so its token rules apply
+    # only when the patch actually sets tokens
+    is_upsert = F.col("op").isin("insert", "update")
+    is_patch = F.col("op") == "patch"
+    tok_checked = is_upsert | (is_patch & F.col("tokens").isNotNull())
     reason = (
         F.when(~F.col("op").isin(*OPS), F.lit(BAD_OP))
         .when(F.col("doc_id").isNull() | (F.length("doc_id") != DOC_ID_LEN), F.lit(BAD_ID))
         .when(
-            is_upsert & (F.col("tokens").isNull() | (F.size("tokens") == 0)),
+            (is_upsert & (F.col("tokens").isNull() | (F.size("tokens") == 0)))
+            | (is_patch & F.col("tokens").isNotNull() & (F.size("tokens") == 0)),
             F.lit(EMPTY_TOKENS),
         )
         # EVENT_SCHEMA allows null *elements* (containsNull=True) but state
@@ -60,7 +66,7 @@ def tag_invalid(events: DataFrame, dim: DataFrame | None = None) -> DataFrame:
         # [-1, NULL] would evaluate to NULL (not true) and skip the
         # empty-after-norm rule too.
         .when(
-            is_upsert & F.exists("tokens", lambda x: x.isNull()),
+            tok_checked & F.exists("tokens", lambda x: x.isNull()),
             F.lit(NULL_TOKEN_ELEM),
         )
         # normalization (drop negatives, strip trailing zeros) yields an empty
@@ -68,7 +74,7 @@ def tag_invalid(events: DataFrame, dim: DataFrame | None = None) -> DataFrame:
         # check is a cheap JVM predicate here, and the normalization UDF never
         # has to run on the quarantine path
         .when(
-            is_upsert & ~F.exists("tokens", lambda x: x > F.lit(0)),
+            tok_checked & ~F.exists("tokens", lambda x: x > F.lit(0)),
             F.lit(EMPTY_AFTER_NORM),
         )
     )

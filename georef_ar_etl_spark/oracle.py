@@ -44,15 +44,48 @@ def apply_events(
         if doc_id is None or len(doc_id) != DOC_ID_LEN:
             quarantined.append({**ev, "reason": V.BAD_ID})
             continue
-        if op != "delete" and (tokens is None or len(tokens) == 0):
+        # a PATCH's null tokens mean "keep" (schemas.OPS contract) — its
+        # token rules apply only when the patch sets tokens; rule PRECEDENCE
+        # mirrors tag_invalid's CASE chain exactly
+        tok_checked = op in ("insert", "update") or (op == "patch" and tokens is not None)
+        if (op in ("insert", "update") and (tokens is None or len(tokens) == 0)) or (
+            op == "patch" and tokens is not None and len(tokens) == 0
+        ):
             quarantined.append({**ev, "reason": V.EMPTY_TOKENS})
             continue
-        if op != "delete" and any(t is None for t in tokens):
+        if tok_checked and any(t is None for t in tokens):
             quarantined.append({**ev, "reason": V.NULL_TOKEN_ELEM})
             continue
 
         if op == "delete":
             state.pop(doc_id, None)
+            continue
+
+        if op == "patch":
+            norm = None
+            if tokens is not None:
+                norm = normalize_tokens_py(tokens)
+                if not norm:
+                    quarantined.append({**ev, "reason": V.EMPTY_AFTER_NORM})
+                    continue
+            if dim_groups is not None and doc_id[:GROUP_PREFIX_LEN] not in dim_groups:
+                quarantined.append({**ev, "reason": V.UNKNOWN_GROUP})
+                continue
+            row = state.get(doc_id)
+            if row is None:
+                continue  # patch of an absent key: counted no-op (patch_noop)
+            row = dict(row)
+            for k, v in ev.items():
+                # n_tok is derived-only: always recomputed from tokens, a
+                # patch never sets it directly
+                if k in ("batch_id", "seq", "op", "n_tok", "tokens") or v is None:
+                    continue
+                row[k] = v
+            if norm is not None:
+                row["tokens"] = norm
+                row["n_tok"] = len(norm)
+            payload_keys.update(row.keys())
+            state[doc_id] = row
             continue
 
         # rule PRECEDENCE matches tag_invalid exactly: empty-after-norm is

@@ -2381,3 +2381,152 @@ def q59(spark, sf_dir):
         F.col("asof_event_id"),
         F.col("asof_ts").cast("string").alias("asof_ts"),
     )
+
+
+_Q60_TOKENS_NULL = "(event_id % 5 = 0 AND event_id % 2 = 1)"
+_Q60_SOURCE_NULL = "(event_id % 5 = 0 AND event_id % 3 = 0)"
+
+_Q60_SQL = f"""
+    WITH init AS (
+      SELECT lpad(doc_id::varchar, 13, '0') AS doc_id,
+             [(doc_id % 89 + 1)::INT, 0, (n_chars % 97 + 1)::INT,
+              ((doc_id * 7) % 83 + 1)::INT] AS tokens,
+             4 AS n_tok, source
+      FROM documents),
+    ev AS (
+      SELECT (event_id % 4)::bigint AS batch_id, event_id::bigint AS seq,
+             CASE WHEN event_id % 97 = 0 THEN 'upsert'
+                  WHEN event_id % 5 = 0 THEN 'patch'
+                  WHEN event_type = 'error' THEN 'delete'
+                  WHEN event_type = 'signup' THEN 'insert'
+                  ELSE 'update' END AS op,
+             CASE WHEN event_id % 89 = 0
+                    THEN substr(lpad((event_id % 600)::varchar, 13, '0'), 1, 5)
+                  ELSE lpad((event_id % 600)::varchar, 13, '0') END AS doc_id,
+             CASE WHEN {_Q60_TOKENS_NULL} THEN NULL
+                  ELSE {_Q24_TOKENS_SQL} END AS tokens,
+             (event_id % 7)::INT AS n_tok,
+             CASE WHEN {_Q60_SOURCE_NULL} THEN NULL
+                  ELSE event_type END AS source
+      FROM events),
+    valid AS (
+      SELECT * FROM ev
+      WHERE op IN ('insert', 'update', 'delete', 'patch')
+        AND doc_id IS NOT NULL AND length(doc_id) = 13
+        AND (op = 'delete'
+             OR (op = 'patch' AND tokens IS NULL)
+             OR (tokens IS NOT NULL AND len(tokens) > 0
+                 AND len(list_filter(tokens, x -> x IS NULL)) = 0
+                 AND len(list_filter(tokens, x -> x > 0)) > 0))),
+    lastfull AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY batch_id DESC, seq DESC) AS rn
+        FROM valid WHERE op <> 'patch') WHERE rn = 1),
+    livep AS (
+      -- live patches: strictly after the key's last full event in
+      -- (batch_id, seq) replay order, or keys with no full event at all
+      SELECT p.* FROM valid p LEFT JOIN lastfull f ON p.doc_id = f.doc_id
+      WHERE p.op = 'patch'
+        AND (f.doc_id IS NULL OR (p.batch_id, p.seq) > (f.batch_id, f.seq))),
+    fold AS (
+      -- per-column last-non-null overlay (the partial-image rule)
+      SELECT doc_id,
+             arg_max(tokens, batch_id * 1000000000 + seq)
+               FILTER (WHERE tokens IS NOT NULL) AS tok_p,
+             arg_max(source, batch_id * 1000000000 + seq)
+               FILTER (WHERE source IS NOT NULL) AS src_p
+      FROM livep GROUP BY doc_id),
+    eff AS (
+      SELECT f.doc_id, coalesce(p.tok_p, f.tokens) AS tokens,
+             coalesce(p.src_p, f.source) AS source
+      FROM lastfull f LEFT JOIN fold p ON f.doc_id = p.doc_id
+      WHERE f.op <> 'delete'
+      UNION ALL
+      SELECT i.doc_id, coalesce(p.tok_p, i.tokens),
+             coalesce(p.src_p, i.source)
+      FROM init i LEFT JOIN fold p ON i.doc_id = p.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM lastfull l WHERE l.doc_id = i.doc_id)),
+    state AS (
+      SELECT doc_id, nn[1:lastnz::int] AS tokens, lastnz::int AS n_tok, source
+      FROM (
+        SELECT doc_id, nn,
+               coalesce(list_max(list_transform(
+                   generate_series(1, greatest(len(nn), 1)),
+                   i -> CASE WHEN nn[i::int] <> 0 THEN i ELSE 0 END)), 0) AS lastnz,
+               source
+        FROM (SELECT doc_id, list_filter(tokens, x -> x >= 0) AS nn, source
+              FROM eff)))
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state
+"""
+
+
+def _q60_inputs(spark, sf_dir):
+    """Spark twins of the q60 oracle's ``init``/``ev`` CTEs — the q24 log
+    with every 5th event turned into a partial-column ``op='patch'``
+    (tokens withheld on odd ids, source withheld on ids % 3 = 0, so the
+    log exercises tokens-only, source-only, both-set and both-null
+    patches, plus patches of bad ids and invalid token payloads)."""
+    initial, _ = _q24_inputs(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    base = [
+        ((eid % 97) - 3).cast("int"),
+        (uid % 50).cast("int"),
+        ((eid % 41) + 1).cast("int"),
+    ]
+    q24_tokens = (
+        F.when(eid % 53 == 0, F.array().cast("array<int>"))
+        .when(eid % 61 == 0, F.array(F.lit(1), F.lit(None).cast("int"), F.lit(2)))
+        .when(eid % 59 == 0, F.array(F.lit(-5), F.lit(0), F.lit(0)))
+        .when(eid % 3 == 0, F.array(*base, F.lit(0), F.lit(0)))
+        .otherwise(F.array(*base))
+    )
+    doc_id = F.lpad((eid % 600).cast("string"), 13, "0")
+    events = e.select(
+        (eid % 4).cast("long").alias("batch_id"),
+        eid.cast("long").alias("seq"),
+        F.when(eid % 97 == 0, "upsert")
+        .when(eid % 5 == 0, "patch")
+        .when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+        .alias("op"),
+        F.when(eid % 89 == 0, F.substring(doc_id, 1, 5)).otherwise(doc_id).alias("doc_id"),
+        F.when(
+            (eid % 5 == 0) & (eid % 2 == 1), F.lit(None).cast("array<int>")
+        ).otherwise(q24_tokens).alias("tokens"),
+        (eid % 7).cast("int").alias("n_tok"),
+        F.when(
+            (eid % 5 == 0) & (eid % 3 == 0), F.lit(None).cast("string")
+        ).otherwise(F.col("event_type")).alias("source"),
+    )
+    return initial, events
+
+
+# CDC REPLAY WITH PARTIAL-COLUMN UPDATES (op='patch', Debezium
+# partial-image style: null payload column = keep the current value). The
+# engine folds each batch to one effective event per key (full events LWW;
+# later patches overlay per column, operators/merge.py fold_patch_events /
+# the pandas twin inside the SPJ merge), then resolves patches against the
+# bucket's live row — read-modify-write that still WRITES a merge-on-read
+# delta. The oracle expresses the same algebra globally: last valid full
+# event per key, live patches folded per column by last-non-null in
+# (batch_id, seq) order, overlay, then normalize. Reference analogue:
+# per-field UPDATE patches, georef_ar_etl/patch.py update_field.
+@query("q60_cdc_patch_replay_state", _Q60_SQL)
+def q60(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q60_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("cdc_patch_q60", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events, batch_ids=[0, 1, 2, 3])
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

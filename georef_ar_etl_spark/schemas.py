@@ -45,7 +45,12 @@ EVENT_SCHEMA = T.StructType(EVENT_FIELDS)
 # columns the merge carries into state (everything except CDC bookkeeping)
 EVENT_META_COLS = ("batch_id", "seq", "op")
 
-OPS = ("insert", "update", "delete")
+# ``patch`` is a PARTIAL-column update (Debezium partial-image style): only
+# the event's non-null payload columns are set; null means "keep the current
+# value" (so a patch cannot null a column out — send a full update for that).
+# ``n_tok`` is derived-only and always recomputed from tokens; a patch to an
+# absent key is a counted no-op (``patch_noop``), mirroring delete-of-absent.
+OPS = ("insert", "update", "delete", "patch")
 
 
 class SchemaContractError(ValueError):
