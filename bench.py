@@ -56,6 +56,8 @@ HEADLINE = [
     "q57_count_min_estimate",
     "q58_asof_join_forward_tolerance",
     "q59_asof_join_nearest",
+    "q61_bloom_build",
+    "q62_bloom_runtime_filter",
 ]
 # q56_continuous_aggregate and q60_cdc_patch_replay_state drive a full
 # engine replay like q24/q30/q34 —

@@ -139,3 +139,62 @@ def merge_sketches(
                 f"sketch dimensions and their merge is not a valid sketch"
             )
     return merged
+
+
+# --------------------------------------------------------------- Bloom filter
+# Same deterministic md5+affine cell machinery as the Count-Min sketch, so a
+# DuckDB oracle reproduces every BIT exactly (q61/q62). Why it matters at
+# 100 TB: a selective dimension subset compressed to n_bits of state becomes
+# a broadcastable RUNTIME FILTER — the fact-side scan drops non-joining rows
+# before the shuffle (Spark's own runtime-filter/DPP machinery generalized
+# to any predicate side), at a false-positive (never false-negative) rate of
+# ~(1-e^{-kn/m})^k. The bit-set representation is mergeable: union+distinct.
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 8192,
+    k: int = 4,
+    seed: int = 17,
+) -> DataFrame:
+    """Distinct set bit positions of the Bloom filter over ``df[col]``
+    (cast the column to string first — md5 hashing is string-defined).
+    Returns at most ``n_bits`` single-column rows regardless of input
+    size; shard filters built with the same (n_bits, k, seed) merge by
+    union + distinct. Plan: one explode projection + one distinct —
+    map-side partial dedup, exchange carries ≤ n_bits rows per task."""
+    return (
+        df.select(_cells(col, k, n_bits, seed).alias("c"))
+        .select(F.col("c.bucket").alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_bitstring(bits: DataFrame, n_bits: int = 8192) -> str:
+    """Materialize the bit set as a '0'/'1' string of length ``n_bits`` —
+    the broadcastable literal form. The collect is metadata-sized by
+    construction (≤ n_bits rows, like the IVF centroid pull,
+    operators/similarity.py), never corpus-sized."""
+    out = bytearray(b"0") * n_bits
+    for r in bits.collect():
+        out[int(r["bit"])] = ord("1")
+    return out.decode("ascii")
+
+
+def bloom_might_contain(
+    col: Column, bitstring: str, k: int = 4, seed: int = 17
+) -> Column:
+    """Membership predicate (true = maybe present, false = DEFINITELY
+    absent): all k bits set. Pure Catalyst — the bitstring rides the plan
+    as a literal (broadcast with the codegen'd stage), each probe costs k
+    md5+affine evaluations and k substr probes; no UDF, no join, no
+    shuffle. Null inputs yield null (filtered like any null predicate)."""
+    n_bits = len(bitstring)
+    pred = F.lit(True)
+    for j in range(k):
+        b = cm_bucket(col, j, k, n_bits, seed)
+        pred = pred & (
+            F.lit(bitstring).substr(b.cast("int") + 1, F.lit(1)) == "1"
+        )
+    return pred

@@ -2530,3 +2530,126 @@ def q60(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+def _bloom_cells_sql(src: str, hv: str, n_bits: int, k: int, seed: int) -> str:
+    """k UNION ALL rows per input row: the Bloom bit positions, exactly the
+    md5+affine formula of operators/sketches.py (the q57 pattern)."""
+    from georef_ar_etl_spark.operators.doc_dedup import minhash_affine_params
+
+    A, B = minhash_affine_params(k, seed=seed)
+    P = (1 << 31) - 1
+    return " UNION ALL ".join(
+        f"SELECT *, (({hv} * {int(A[j])} + {int(B[j])}) % {P}) % {n_bits} AS bit"
+        f" FROM {src}"
+        for j in range(k)
+    )
+
+
+def _q61_sql(n_bits: int = 8192, k: int = 4, seed: int = 17) -> str:
+    cells = _bloom_cells_sql("h", "hv", n_bits, k, seed)
+    return rf"""
+    WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents),
+    t AS (SELECT DISTINCT w FROM toks WHERE w <> ''),
+    h AS (SELECT (('0x' || substr(md5(w), 1, 8))::UBIGINT % {(1 << 31) - 1})::BIGINT AS hv
+          FROM t),
+    cells AS ({cells}),
+    bits AS (SELECT DISTINCT bit FROM cells)
+    SELECT count(*)::BIGINT AS n_set,
+           md5(string_agg(bit::varchar, ',' ORDER BY bit)) AS bits_fp
+    FROM bits
+    """
+
+
+# BLOOM FILTER BUILD (corpus vocabulary membership in constant memory):
+# every distinct corpus word sets k md5+affine bits; the bit set — at most
+# n_bits rows from any input size — is the mergeable (union+distinct)
+# membership summary. Verified bit-for-bit against the oracle, not
+# statistically (the q51/q57 sketch pattern).
+@query("q61_bloom_build", _q61_sql())
+def q61(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    bits = sketches.bloom_bits(toks, "w", n_bits=8192, k=4, seed=17)
+    return bits.agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("bit")).cast("array<string>"), ",")
+        ).alias("bits_fp"),
+    )
+
+
+def _q62_sql(n_bits: int = 8192, k: int = 4, seed: int = 17) -> str:
+    P = (1 << 31) - 1
+    dim_cells = _bloom_cells_sql("h", "hv", n_bits, k, seed)
+    probe_cells = _bloom_cells_sql("oh", "hv", n_bits, k, seed)
+    return f"""
+    WITH dim AS (SELECT c_custkey::varchar AS key FROM customer
+                 WHERE c_acctbal > 9000),
+    h AS (SELECT key,
+                 (('0x' || substr(md5(key), 1, 8))::UBIGINT % {P})::BIGINT AS hv
+          FROM dim),
+    cells AS ({dim_cells}),
+    bits AS (SELECT DISTINCT bit FROM cells),
+    oh AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                  (('0x' || substr(md5(o_custkey::varchar), 1, 8))::UBIGINT
+                   % {P})::BIGINT AS hv
+           FROM orders),
+    ocells AS ({probe_cells}),
+    pass AS (
+      -- an order passes iff ALL k of its bits are set (each ocell row
+      -- matches at most one bits row — bits are distinct)
+      SELECT o_orderkey, any_value(o_custkey) AS o_custkey,
+             any_value(o_orderstatus) AS o_orderstatus
+      FROM ocells oc LEFT JOIN bits b USING (bit)
+      GROUP BY o_orderkey
+      HAVING count(b.bit) = {k})
+    SELECT p.o_orderstatus, count(*)::BIGINT AS n_pass,
+           count(d.key)::BIGINT AS n_true
+    FROM pass p LEFT JOIN dim d ON d.key = p.o_custkey::varchar
+    GROUP BY 1
+    """
+
+
+# BLOOM RUNTIME FILTER (broadcast semi-join pushdown): the high-balance
+# customer subset compresses to an 8 KiB bit set that rides the fact-side
+# scan as a pure-Catalyst literal predicate — orders drop BEFORE any
+# shuffle, no join for the filter itself (the generalized form of Spark's
+# runtime bloom filter / DPP). n_true vs n_pass exposes the exact
+# false-positive count, deterministically reproduced by the oracle.
+@query("q62_bloom_runtime_filter", _q62_sql())
+def q62(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").cast("string").alias("key"))
+    )
+    bits = sketches.bloom_bits(cust, "key", n_bits=8192, k=4, seed=17)
+    bs = sketches.bloom_bitstring(bits, n_bits=8192)
+    orders = _t(spark, sf_dir, "orders")
+    passed = orders.filter(
+        sketches.bloom_might_contain(
+            F.col("o_custkey").cast("string"), bs, k=4, seed=17
+        )
+    ).select("o_custkey", "o_orderstatus")
+    return (
+        passed.join(
+            F.broadcast(cust),
+            passed["o_custkey"].cast("string") == cust["key"],
+            "left",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_pass"),
+            F.count("key").alias("n_true"),
+        )
+    )

@@ -532,3 +532,36 @@ def test_count_min_shard_merge_equals_whole(spark):
     mrows = sorted(tuple(r) for r in merged.collect())
     wrows = sorted(tuple(r) for r in whole.collect())
     assert mrows == wrows
+
+
+def test_bloom_no_false_negatives_and_shard_merge(spark):
+    """Bloom contract: every TRUE member passes (false negatives are
+    impossible — membership would break silently otherwise); non-members
+    may pass at the predicted low rate but 'definitely absent' must hold
+    for most; shard filters merged by union+distinct are bit-identical to
+    the whole-input build."""
+    from georef_ar_etl_spark.operators import sketches
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(200)], "key string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "key string")
+    kw = dict(n_bits=8192, k=4, seed=17)
+    bits = sketches.bloom_bits(members, "key", **kw)
+    bs = sketches.bloom_bitstring(bits, n_bits=8192)
+
+    pred = sketches.bloom_might_contain(F.col("key"), bs, k=4, seed=17)
+    assert members.filter(~pred).count() == 0  # NO false negatives, ever
+    fp = others.filter(pred).count()
+    # 200 keys * 4 bits in 8192 cells -> fp rate ~ (1-e^{-0.098})^4 ~ 8e-5;
+    # 2000 probes should see ~0, bound loosely for determinism headroom
+    assert fp <= 5, fp
+
+    a = members.filter(F.md5("key").startswith("a"))
+    b = members.filter(~F.md5("key").startswith("a"))
+    merged = (
+        sketches.bloom_bits(a, "key", **kw)
+        .unionByName(sketches.bloom_bits(b, "key", **kw))
+        .distinct()
+    )
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in bits.collect()
+    )
