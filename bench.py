@@ -59,8 +59,8 @@ HEADLINE = [
     "q61_bloom_build",
     "q62_bloom_runtime_filter",
 ]
-# q56_continuous_aggregate and q60_cdc_patch_replay_state drive a full
-# engine replay like q24/q30/q34 —
+# q56_continuous_aggregate, q60_cdc_patch_replay_state and
+# q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —
 # the CDC replay benchmark below measures that path end-to-end
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at

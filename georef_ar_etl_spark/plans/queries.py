@@ -2653,3 +2653,47 @@ def q62(spark, sf_dir):
             F.count("key").alias("n_true"),
         )
     )
+
+
+# ------------------------- q63: MOR POINT LOOKUP (bloom delta skipping) ---
+# The q24 replay re-run on merge-on-read defaults (every batch small enough
+# to append a delta, chain cap high enough that no inline compaction clears
+# it), followed by SnapshotTable.lookup_keys on a fixed 42-key probe list:
+# bucket pruning -> per-delta bloom-sidecar skipping -> key predicate pushed
+# into the row-group-pruned reads (sinks/snapshot_table.py::lookup_keys).
+# The oracle is the q24 state algebra filtered to the same keys — a lookup
+# that skipped a chain link it needed (a bloom false negative) or resolved
+# LWW out of order would return a stale/ghost row and hash-red here.
+# Reference analogue: the reference reads individual synced rows through
+# SQLAlchemy query-by-pk against the loaded tables (georef_ar_etl/models.py
+# entity classes; process checks in georef_ar_etl/processes.py) — a point
+# lookup on the state table, served there by Postgres' pk index.
+_Q63_KEYS = [f"{(k * 37) % 600:013d}" for k in range(40)] + [
+    "9999999999999", "nope-absent-1"
+]
+_Q63_KEYLIST_SQL = ",".join(f"'{k}'" for k in _Q63_KEYS)
+
+_Q63_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state WHERE doc_id IN ({_Q63_KEYLIST_SQL})
+"""
+
+
+@query("q63_mor_point_lookup", _Q63_SQL)
+def q63(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("cdc_lookup_q63", sf_dir)
+    eng = CdcEngine(
+        spark, root, n_buckets=16, mor_rewrite_ratio=1.0, mor_max_deltas=8
+    )
+    eng.bootstrap(initial)
+    eng.replay(events, batch_ids=[0, 1, 2, 3])
+    return eng.table.lookup_keys(_Q63_KEYS).select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

@@ -23,6 +23,10 @@ storage-partitioned merge documents (operators/copart_merge.py).
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -30,6 +34,65 @@ import pyarrow.parquet as pq
 OP_COL = "op"
 OP_UPSERT = "upsert"
 OP_DELETE = "delete"
+
+# ---------------------------------------------------------------- key blooms
+# Per-delta-dir key bloom sidecar (`_bloom.json`), the Hudi/Delta bloom-index
+# idea applied to the MOR chain: a point lookup on a dirty bucket must
+# normally read EVERY delta file in the chain (any of them could carry the
+# key's latest version or its tombstone); the sidecar lets the reader skip
+# chain links whose bloom proves the key absent. No false negatives (a
+# skipped delta provably does not mention the key, so last-writer-wins over
+# the KEPT links is unchanged); false positives only cost a read. Hashing is
+# md5 double-hashing (Kirsch-Mitzenmacher) — NOT Spark's xxhash64 — because
+# the membership probe runs driver-side in plain Python at lookup-planning
+# time, before any job is launched.
+BLOOM_SIDECAR = "_bloom.json"
+BLOOM_BITS = 8192  # 1 KiB/delta; ~0.6% fp at 1k keys, k=5
+BLOOM_K = 5
+
+
+def _bloom_positions(value: str, n_bits: int, k: int) -> list[int]:
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd → full period mod 2^m bits
+    return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+def key_bloom_hex(keys, n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> str:
+    """Bloom filter of ``keys`` as a hex bitstring (bit i = byte i//8, MSB
+    first within the byte)."""
+    bits = bytearray(n_bits // 8)
+    for key in keys:
+        for p in _bloom_positions(key, n_bits, k):
+            bits[p >> 3] |= 0x80 >> (p & 7)
+    return bits.hex()
+
+
+def sidecar_might_contain(sidecar: dict, key) -> bool:
+    bits = bytes.fromhex(sidecar["bits"])
+    return all(
+        bits[p >> 3] & (0x80 >> (p & 7))
+        for p in _bloom_positions(key, int(sidecar["n_bits"]), int(sidecar["k"]))
+    )
+
+
+def write_bloom_sidecar(delta_dir: str, keys) -> None:
+    with open(os.path.join(delta_dir, BLOOM_SIDECAR), "w") as f:
+        json.dump(
+            {"n_bits": BLOOM_BITS, "k": BLOOM_K,
+             "bits": key_bloom_hex(keys)},
+            f,
+        )
+
+
+def read_bloom_sidecar(delta_dir: str) -> dict | None:
+    """None for pre-bloom delta dirs — the reader then keeps the link (no
+    sidecar ⇒ no skip, never a wrong skip)."""
+    p = os.path.join(delta_dir, BLOOM_SIDECAR)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def _frames_keys(base_files: list[str], delta_files: list[str], key: str):
@@ -74,11 +137,19 @@ def resolve_live(
     delta_files: list[str],
     payload_cols: list[str],
     key: str = "doc_id",
+    keys: list | None = None,
 ) -> pd.DataFrame:
     """Full-payload resolution: base rows + delta chain, latest version per
     key wins, tombstoned keys removed. Missing columns (pre-evolution base
-    files) read as null. Returns payload_cols sorted by key."""
+    files) read as null. Returns payload_cols sorted by key.
+
+    ``keys`` restricts resolution to those key values (point lookup): the
+    predicate is pushed into the parquet reads, where the files' sort-by-key
+    layout turns it into row-group min/max pruning. Filtering by key
+    commutes with per-key last-writer-wins, so the restricted resolve equals
+    the full resolve filtered."""
     frames = []
+    flt = None if keys is None else [(key, "in", list(keys))]
 
     def aligned(pdf: pd.DataFrame, op_series) -> pd.DataFrame:
         pdf = align_payload(pdf, payload_cols)[payload_cols].copy()
@@ -86,9 +157,11 @@ def resolve_live(
         return pdf
 
     if base_files:
-        frames.append(aligned(pq.read_table(base_files).to_pandas(), OP_UPSERT))
+        frames.append(
+            aligned(pq.read_table(base_files, filters=flt).to_pandas(), OP_UPSERT)
+        )
     for f in delta_files:
-        d = pq.read_table(f).to_pandas()
+        d = pq.read_table(f, filters=flt).to_pandas()
         frames.append(aligned(d, d[OP_COL].to_numpy()))
     if not frames:
         return pd.DataFrame({c: pd.Series(dtype=object) for c in payload_cols})
@@ -121,4 +194,9 @@ def write_delta(
     schema = arrow_schema.append(pa.field(OP_COL, pa.string()))
     table = pa.Table.from_pandas(full, schema=schema, preserve_index=False)
     pq.write_table(table, path, compression="lz4", row_group_size=65536)
+    # key-bloom sidecar for point-lookup delta skipping — computed here, in
+    # the merge task that already holds the keys (no extra read), and living
+    # inside the (orphan-until-manifest) delta dir so it shares the delta
+    # file's atomicity and vacuum lifecycle
+    write_bloom_sidecar(os.path.dirname(path), full[key].astype(str))
     return len(full)

@@ -597,12 +597,21 @@ class SnapshotTable:
             os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
         )
 
-    def _read_mor(self, specs: list[tuple[int, list[str], list[str]]], schema: T.StructType) -> DataFrame:
+    def _read_mor(
+        self,
+        specs: list[tuple[int, list[str], list[str]]],
+        schema: T.StructType,
+        bucket_keys: dict[int, list] | None = None,
+    ) -> DataFrame:
         """Merge-on-read scan: one task per dirty bucket resolves base +
         delta chain (pyarrow + pandas, last-writer-wins) and streams the live
         rows out via Arrow. Read amplification is bounded by the merge's
         ``mor_max_deltas`` chain cap; at cluster scale each task reads only
-        its own bucket's files — same contract as the copartitioned merge."""
+        its own bucket's files — same contract as the copartitioned merge.
+
+        ``bucket_keys`` (point lookup): bucket → key values to resolve; the
+        task pushes the key predicate into its parquet reads (row-group
+        pruning on the sort-by-key layout)."""
         from georef_ar_etl_spark.sinks.mor import resolve_live
 
         payload_cols = [f.name for f in schema.fields]
@@ -611,17 +620,129 @@ class SnapshotTable:
             [(b, base, dfiles) for b, base, dfiles in specs],
             "bucket int, base_files array<string>, delta_files array<string>",
         ).repartition(len(specs))
+        key_col = payload_cols[0]
 
         def read_merge(batches):
             for pdf in batches:
                 for r in pdf.itertuples(index=False):
                     live = resolve_live(
-                        list(r.base_files), list(r.delta_files), payload_cols
+                        list(r.base_files), list(r.delta_files), payload_cols,
+                        key=key_col,
+                        keys=None if bucket_keys is None
+                        else bucket_keys.get(int(r.bucket), []),
                     )
                     live["bucket"] = int(r.bucket)
                     yield live
 
         return spec_df.mapInPandas(read_merge, out_schema)
+
+    # ----------------------------------------------------------- point lookup
+    def lookup_keys(
+        self,
+        keys: list,
+        manifest: dict | None = None,
+        stats: dict | None = None,
+    ) -> DataFrame:
+        """Point lookup: live rows whose key (the FIRST payload column, by
+        the payload-key contract) is in ``keys``. The read plan touches the
+        minimum physical footprint the layout allows:
+
+        * **bucket pruning** — each key hashes to exactly one bucket
+          (``bucket_expr``), so only those buckets' files are opened;
+        * **delta skipping** — on a merge-on-read chain, each delta dir's
+          key-bloom sidecar (written by the merge task, ``mor.write_delta``)
+          is probed driver-side; links that provably don't mention any
+          looked-up key are dropped from the chain before the job launches.
+          Pre-bloom dirs (no sidecar) are always kept — skips are never
+          wrong, only missed;
+        * **row-group pruning** — bases and kept deltas are read with the
+          key predicate pushed down; files are sorted by key, so parquet
+          min/max statistics skip non-matching row groups.
+
+        At 100 TB this is the difference between "read the bucket" and
+        "read a handful of row groups": O(keys) work, independent of table
+        size. ``stats`` (optional dict) is filled with the plan's pruning
+        counts for observability/tests. Key→bucket assignment runs as one
+        metadata-sized local job (len(keys) rows) because the bucket hash is
+        Spark's xxhash64, which has no driver-side Python twin."""
+        m = manifest or self.latest_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        key_col = schema.fields[0].name
+        key_type = schema.fields[0].dataType
+        keys = list(dict.fromkeys(keys))  # de-dup, keep order
+        if stats is None:
+            stats = {}
+        stats.update(
+            buckets_read=0, clean_buckets=0, mor_buckets=0,
+            delta_dirs_total=0, delta_dirs_skipped=0,
+        )
+        if not keys:
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn("bucket", F.lit(None).cast("int"))
+
+        from georef_ar_etl_spark.sinks.mor import (
+            read_bloom_sidecar, sidecar_might_contain,
+        )
+
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField("k", key_type, False)])
+        )
+        by_bucket: dict[int, list] = {}
+        for r in kdf.select(
+            "k", bucket_expr(F.col("k"), self.n_buckets).alias("b")
+        ).collect():
+            by_bucket.setdefault(int(r["b"]), []).append(r["k"])
+
+        deltas_map = m.get("bucket_deltas") or {}
+        dirs, mor_specs, mor_keys = [], [], {}
+        for b, bkeys in sorted(by_bucket.items()):
+            d = m["buckets"].get(str(b))
+            dl = deltas_map.get(str(b)) or []
+            if not dl:
+                if d is not None:
+                    dirs.append(os.path.join(self.root, d))
+                    stats["clean_buckets"] += 1
+                continue
+            stats["mor_buckets"] += 1
+            stats["delta_dirs_total"] += len(dl)
+            kept = []
+            for dd in dl:
+                sc = read_bloom_sidecar(os.path.join(self.root, dd))
+                if sc is None or any(
+                    sidecar_might_contain(sc, str(k)) for k in bkeys
+                ):
+                    kept.append(dd)
+                else:
+                    stats["delta_dirs_skipped"] += 1
+            base = self._dir_files(d) if d else []
+            dfiles = [f for dd in kept for f in self._dir_files(dd)]
+            mor_specs.append((b, base, dfiles))
+            mor_keys[b] = bkeys
+        stats["buckets_read"] = stats["clean_buckets"] + stats["mor_buckets"]
+
+        parts = []
+        if dirs:
+            parts.append(
+                self.spark.read.option("basePath", os.path.join(self.root, DATA_DIR))
+                .schema(
+                    T.StructType(list(schema.fields))
+                    .add("epoch", T.IntegerType())
+                    .add("bucket", T.IntegerType())
+                )
+                .parquet(*dirs)
+                .drop("epoch")
+            )
+        if mor_specs:
+            parts.append(self._read_mor(mor_specs, schema, bucket_keys=mor_keys))
+        if not parts:
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn("bucket", F.lit(None).cast("int"))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # the isin lands as a PushedFilter on the clean-bucket scan; on the
+        # MOR side it is already enforced inside resolve_live
+        return df.filter(F.col(key_col).isin(keys))
 
     # ------------------------------------------------------------- changelog
     def read_changes(
