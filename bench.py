@@ -58,6 +58,10 @@ HEADLINE = [
     "q59_asof_join_nearest",
     "q61_bloom_build",
     "q62_bloom_runtime_filter",
+    "q64_tf_idf",
+    "q65_rollup_grouping_sets",
+    "q66_moving_window",
+    "q67_group_quantile_profile",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

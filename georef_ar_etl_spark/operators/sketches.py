@@ -198,3 +198,35 @@ def bloom_might_contain(
             F.lit(bitstring).substr(b.cast("int") + 1, F.lit(1)) == "1"
         )
     return pred
+
+
+def group_numeric_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float] = (0.25, 0.5, 0.75, 0.99),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group numeric profile: count / min / max / quantiles — the
+    data-quality summary pass over a measure column.
+
+    ``exact=True`` uses SQL ``percentile`` (true sorted-order linear
+    interpolation — per-group full materialization, right for verification
+    and for group cardinalities that fit a task). ``exact=False`` is the
+    100 TB path: ``percentile_approx`` (Greenwald-Khanna style sketch) —
+    fixed memory per group, MERGEABLE partials so the aggregate combines
+    map-side like any sum; error is bounded by 1/accuracy of rank, not of
+    value. Same output shape, so callers A/B the two directly."""
+    pq_lit = F.array(*[F.lit(float(q)) for q in qs])
+    quant = (
+        F.percentile(F.col(value_col), pq_lit)
+        if exact
+        else F.percentile_approx(F.col(value_col), pq_lit, F.lit(accuracy))
+    )
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        quant.alias("quantiles"),
+    )

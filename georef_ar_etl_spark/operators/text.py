@@ -466,3 +466,46 @@ def winnow_fingerprints_udf(k: int = 8, window: int = 4):
         return winnow_series(text, k, window, powers)
 
     return winnow
+
+
+def tf_idf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF over whitespace words (lowercased) —
+    the classic relevance/keyword-extraction featurizer, self-contained
+    (no fitted vocabulary artifact): ``idf = ln((N+1)/(df+1)) + 1``
+    (sklearn's smooth idf), ``tfidf = tf * idf`` with raw-count tf.
+
+    Plan shape (the one that survives 100 TB): two word-count-shaped hash
+    aggregates with map-side partial combine — (doc, term) counts, then
+    term document frequencies off the ALREADY-aggregated tf frame (never a
+    second corpus scan) — a shuffle join back on term (AQE broadcasts the
+    df side when small; unbounded in general, so never hinted), and the
+    1-row corpus total as an explicit broadcast. No Python in the path.
+
+    ``min_df`` drops hapax/noise terms early (df < min_df), which is also
+    the knob that bounds the join's term dictionary in adversarial
+    corpora. Output: (id_col, term, tf, df, tfidf).
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, "term", "tf", "df",
+            (F.col("tf") * idf).alias("tfidf"),
+        )
+    )

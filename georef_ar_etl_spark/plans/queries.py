@@ -2697,3 +2697,135 @@ def q63(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# --------------------------- q64: TF-IDF (keyword/relevance featurizer) ---
+# Two word-count-shaped aggregates + a term join (operators/text.py::tf_idf,
+# smooth sklearn idf). The probe subset (doc_id % 17) bounds the verified
+# rows; df/N are computed over the FULL corpus on both sides. Reference
+# analogue: none (the reference has no text scoring) — this is a training-
+# data-pipeline op the north rule's token workload needs.
+_Q64_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           t.tf * (ln((n.n_docs + 1) / (d.df + 1)) + 1) AS tfidf
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    WHERE t.doc_id % 17 = 0
+"""
+
+
+@query("q64_tf_idf", _Q64_SQL)
+def q64(spark, sf_dir):
+    out = text.tf_idf(_t(spark, sf_dir, "documents"))
+    return out.filter(F.col("doc_id") % 17 == 0)
+
+
+# ------------------- q65: ROLLUP / grouping-sets aggregation surface ------
+# Multi-level summary in ONE pass — Spark expands the grouping sets before
+# the hash aggregate (still map-side combinable), vs the naive N separate
+# GROUP BYs that would each rescan the fact table. grouping_id disambiguates
+# a real NULL group value from a rollup subtotal row. Reference analogue:
+# per-level report counts (georef_ar_etl/utils.py report tallies), computed
+# there with one query per level.
+_Q65_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           sum(o_totalprice) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("q65_rollup_grouping_sets", _Q65_SQL)
+def q65(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+    )
+
+
+# ----------------------- q66: moving-window aggregate (ROWS frame) --------
+# Per-user trailing-10-event running sum/count — the sliding feature-window
+# shape (sessionless behavioral features). ONE shuffle on user_id, sort
+# within partition; the frame walks each partition linearly. Values go
+# through floor()::BIGINT so the windowed sum is exact integer arithmetic
+# on both engines (a double running sum is implementation-ordered).
+_Q66_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value) AS BIGINT) AS v,
+             ts
+      FROM events WHERE user_id % 37 = 0)
+    SELECT user_id, event_id,
+           (sum(v) OVER w)::BIGINT AS mov_sum,
+           count(*) OVER w AS mov_n,
+           min(v) OVER w AS mov_min
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q66_moving_window", _Q66_SQL)
+def q66(spark, sf_dir):
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 37 == 0)
+        .select(
+            "user_id", "event_id",
+            F.floor("value").cast("long").alias("v"), "ts",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.sum("v").over(w).alias("mov_sum"),
+        F.count(F.lit(1)).over(w).alias("mov_n"),
+        F.min("v").over(w).alias("mov_min"),
+    )
+
+
+# -------------------- q67: grouped numeric profile (exact quantiles) ------
+# Count/min/max/exact-quantile summary per group (operators/sketches.py::
+# group_numeric_profile) — the profiling pass a data-quality gate runs over
+# every numeric measure. The oracle pins Spark's sorted-order linear
+# interpolation against DuckDB quantile_cont (verified bit-identical); the
+# shipping scale path is the exact=False percentile_approx variant (fixed-
+# memory mergeable sketch), A/B'd against this exact twin in pytest.
+_Q67_SQL = """
+    SELECT event_type,
+           count(*) AS n,
+           min(value) AS min_v,
+           max(value) AS max_v,
+           quantile_cont(value, [0.25, 0.5, 0.75, 0.99]) AS quantiles
+    FROM events GROUP BY event_type
+"""
+
+
+@query("q67_group_quantile_profile", _Q67_SQL)
+def q67(spark, sf_dir):
+    from georef_ar_etl_spark.operators.sketches import group_numeric_profile
+
+    return group_numeric_profile(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )

@@ -412,3 +412,63 @@ def test_asof_join_forward_nearest_semantics(spark):
     tol = run(direction="nearest", tolerance=10)
     assert tol[(1, 25)] == (None, None)  # both sides beyond tolerance
     assert tol[(2, 5)] == (103, "z")     # forward d=2 within tolerance
+
+
+def test_group_numeric_profile_approx_tracks_exact(spark):
+    from georef_ar_etl_spark.operators.sketches import group_numeric_profile
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    qs = [0.25, 0.5, 0.75, 0.99]
+    # rank-error contract: the approx answer for q must land between the
+    # exact quantiles at q±eps (percentile_approx bounds RANK error — in a
+    # sparse tail the VALUE gap is legitimately wide)
+    eps = 0.02
+    bracket = sorted({max(0.0, q - eps) for q in qs} | {min(1.0, q + eps) for q in qs})
+    exact = {
+        r["event_type"]: r
+        for r in group_numeric_profile(ev, "event_type", "value", qs=qs).collect()
+    }
+    brackets = {
+        r["event_type"]: r["quantiles"]
+        for r in group_numeric_profile(ev, "event_type", "value", qs=bracket).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in group_numeric_profile(
+            ev, "event_type", "value", qs=qs, exact=False, accuracy=10000
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et, e in exact.items():
+        a = approx[et]
+        # count/min/max are exact in both paths
+        assert (e["n"], e["min_v"], e["max_v"]) == (a["n"], a["min_v"], a["max_v"])
+        for q, qa in zip(qs, a["quantiles"]):
+            lo = brackets[et][bracket.index(max(0.0, q - eps))]
+            hi = brackets[et][bracket.index(min(1.0, q + eps))]
+            assert lo - 1e-9 <= qa <= hi + 1e-9, (et, q, qa, lo, hi)
+
+
+def test_tf_idf_min_df_and_scores(spark):
+    from georef_ar_etl_spark.operators.text import tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "a a b rare"), (2, "a b b"), (3, "a c")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["term"]): r for r in tf_idf(df).collect()}
+    import math
+
+    # tf raw counts; smooth idf = ln((N+1)/(df+1)) + 1
+    assert rows[(1, "a")]["tf"] == 2 and rows[(1, "a")]["df"] == 3
+    assert abs(
+        rows[(1, "rare")]["tfidf"] - (math.log(4 / 2) + 1)
+    ) < 1e-12
+    assert abs(
+        rows[(2, "b")]["tfidf"] - 2 * (math.log(4 / 3) + 1)
+    ) < 1e-12
+    # min_df prunes hapax terms everywhere
+    pruned = {
+        r["term"] for r in tf_idf(df, min_df=2).collect()
+    }
+    assert pruned == {"a", "b"}
