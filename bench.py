@@ -62,6 +62,8 @@ HEADLINE = [
     "q65_rollup_grouping_sets",
     "q66_moving_window",
     "q67_group_quantile_profile",
+    "q68_shipping_priority",
+    "q69_local_supplier_volume",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

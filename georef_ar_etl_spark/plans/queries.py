@@ -2829,3 +2829,90 @@ def q67(spark, sf_dir):
     return group_numeric_profile(
         _t(spark, sf_dir, "events"), "event_type", "value"
     )
+
+
+# ---------------- q68: shipping-priority multi-join (TPC-H Q3 shape) ------
+# customer ⋈ orders ⋈ lineitem with selective filters on both fact sides —
+# the canonical Catalyst join-reorder / filter-pushdown exercise: both date
+# predicates reach the parquet scans (PushedFilters), the customer side
+# shrinks before the join, and the final agg is map-side combinable. At
+# 100 TB this is two co-keyed shuffles (orderkey) after a pre-filtered
+# custkey join; revenue sums stay in whole-stage codegen.
+_Q68_SQL = """
+    SELECT l.l_orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+"""
+
+
+@query("q68_shipping_priority", _Q68_SQL)
+def q68(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# -------------- q69: local-supplier volume (TPC-H Q5 shape, dims bcast) ---
+# Five-way join where nation/region are BROADCAST dims (the small sides a
+# 1000-executor plan must never shuffle) and the customer-nation = supplier-
+# nation equality is an extra join predicate, not a post-filter. The fact-
+# side shuffles key on orderkey; everything else rides broadcasts.
+_Q69_SQL = """
+    SELECT n.n_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE '1994-01-01'
+      AND o.o_orderdate < DATE '1995-01-01'
+    GROUP BY n.n_name
+"""
+
+
+@query("q69_local_supplier_volume", _Q69_SQL)
+def q69(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )

@@ -181,3 +181,18 @@ def test_asof_nearest_single_exchange_two_sorts(spark):
     ]
     assert len(key_exchanges) == 1, p
     assert p.count("Window ") >= 2  # both direction windows present
+
+
+def test_tpch_q68_filters_reach_all_three_scans(spark):
+    p = plan(QUERY_FNS["q68_shipping_priority"](spark, SF_DIR))
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+
+
+def test_tpch_q69_dims_are_broadcast(spark):
+    p = plan(QUERY_FNS["q69_local_supplier_volume"](spark, SF_DIR))
+    # nation and region must ride broadcasts — a shuffle for a 25/5-row dim
+    # is the classic 1000-executor plan bug
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(r_name,ASIA)" in p
