@@ -642,6 +642,7 @@ class SnapshotTable:
         keys: list,
         manifest: dict | None = None,
         stats: dict | None = None,
+        epoch: int | None = None,
     ) -> DataFrame:
         """Point lookup: live rows whose key (the FIRST payload column, by
         the payload-key contract) is in ``keys``. The read plan touches the
@@ -664,7 +665,12 @@ class SnapshotTable:
         size. ``stats`` (optional dict) is filled with the plan's pruning
         counts for observability/tests. Key→bucket assignment runs as one
         metadata-sized local job (len(keys) rows) because the bucket hash is
-        Spark's xxhash64, which has no driver-side Python twin."""
+        Spark's xxhash64, which has no driver-side Python twin.
+
+        ``epoch`` time-travels the lookup to a retained snapshot, same
+        contract as ``read_state``."""
+        if epoch is not None and manifest is None:
+            manifest = self.manifest_for_epoch(epoch)
         m = manifest or self.latest_manifest()
         schema = T.StructType.fromJson(m["schema"])
         key_col = schema.fields[0].name
@@ -687,9 +693,12 @@ class SnapshotTable:
         kdf = self.spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField("k", key_type, False)])
         )
+        # bucket by the TARGET manifest's count, not the live table's — a
+        # rescale after the looked-up epoch must not mis-route the probe
+        nb = int(m["n_buckets"])
         by_bucket: dict[int, list] = {}
         for r in kdf.select(
-            "k", bucket_expr(F.col("k"), self.n_buckets).alias("b")
+            "k", bucket_expr(F.col("k"), nb).alias("b")
         ).collect():
             by_bucket.setdefault(int(r["b"]), []).append(r["k"])
 

@@ -161,3 +161,19 @@ def test_bloom_sidecar_written_by_delta_merge(spark, tmp_path):
         with open(p) as f:
             sc = json.load(f)
         assert sc["n_bits"] == 8192 and len(sc["bits"]) == 8192 // 4
+
+
+def test_lookup_time_travel_across_rescale(spark, tmp_path):
+    eng, final, deleted = _build_mor(spark, str(tmp_path / "t"))
+    keys = _key_mix(final, deleted)
+    head = eng.table.latest_manifest()["epoch"]
+    want_then = _rows(
+        eng.table.read_state(epoch=head)
+        .filter("doc_id in ({})".format(",".join(f"'{k}'" for k in keys)))
+        .drop("bucket")
+    )
+    # rescale changes the live bucketing; the epoch lookup must bucket by
+    # the OLD manifest's count or it probes the wrong buckets
+    eng.table.rescale(8)
+    got_then = _rows(eng.table.lookup_keys(keys, epoch=head).drop("bucket"))
+    assert got_then == want_then
