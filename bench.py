@@ -64,6 +64,7 @@ HEADLINE = [
     "q67_group_quantile_profile",
     "q68_shipping_priority",
     "q69_local_supplier_volume",
+    "q70_line_dedup",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

@@ -509,3 +509,82 @@ def tf_idf(
             (F.col("tf") * idf).alias("tfidf"),
         )
     )
+
+def to_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+) -> DataFrame:
+    """Explode documents into deterministic fixed-width 'lines' of
+    ``words_per_line`` whitespace words — (id_col, line_no, line), one row
+    per line, empty documents contributing none.
+
+    Web corpora carry natural newlines; this synthetic corpus does not, so
+    the line boundary is derived (word-chunking) rather than parsed — the
+    downstream dedup is boundary-agnostic. Pure Catalyst (split/ transform/
+    slice/ posexplode), no Python, no shuffle: line derivation is embarrassingly
+    parallel and stays inside whole-stage codegen.
+    """
+    wpl = int(words_per_line)
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    w = F.col("_words")
+    n = F.size(w)
+    # n <= 0 guard matters: sequence(0, -1) would DESCEND, not be empty
+    lines_arr = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (F.ceil(n / F.lit(wpl)) - 1).cast("int")),
+            lambda i: F.array_join(F.slice(w, i * wpl + 1, wpl), " "),
+        )
+    )
+    return (
+        df.select(F.col(id_col), words.alias("_words"))
+        .select(F.col(id_col), F.posexplode(lines_arr).alias("line_no", "line"))
+    )
+
+
+def line_dedup(
+    lines: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup (the C4 three-sentence-span rule's
+    mechanism, Raffel et al. 2020 §2.2, applied at line granularity): every
+    duplicate line keeps exactly ONE occurrence — the minimum (id_col,
+    line_no) — and documents are reassembled from their surviving lines
+    (docs that lose every line drop out).
+
+    Input: (id_col, line_no, line) from ``to_lines`` (or a real
+    newline-split). Output: (id_col, text, n_lines) with surviving lines
+    re-joined by '\\n' in original order.
+
+    Plan shape at 100 TB: the winner per line is ``groupBy(line).agg(min(
+    struct(id, line_no)))`` — map-side combinable, so a boilerplate line
+    occurring a billion times ships ONE partial per map task rather than a
+    billion rows into one window partition (a row_number() over
+    PARTITION BY line would hot-key exactly there). Survivors come back via
+    a left-semi join on the full (line, id, line_no) composite, then one
+    groupBy(id) reassembles. Two shuffles total (line, then id), both on
+    well-distributed keys.
+
+    Reference analogue: none (the reference dedups whole rows by pk on
+    conflict, georef_ar_etl/loaders.py); this is the training-corpus
+    boilerplate-removal pass.
+    """
+    winners = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("w"))
+        .select(
+            "line",
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.line_no").alias("line_no"),
+        )
+    )
+    kept = lines.join(winners, ["line", id_col, "line_no"], "left_semi")
+    ordered = F.array_sort(F.collect_list(F.struct("line_no", "line")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["line"]), "\n"
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

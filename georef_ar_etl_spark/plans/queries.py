@@ -2916,3 +2916,41 @@ def q69(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
+
+# -------------------- q70: corpus-wide line-level exact dedup (C4) --------
+# Every duplicate line keeps its minimum-(doc_id, line_no) occurrence and
+# documents are reassembled from surviving lines (operators/text.py::
+# to_lines + line_dedup) — the boilerplate-removal pass of C4 (Raffel et
+# al. 2020 §2.2). This corpus has no natural newlines, so lines are derived
+# as fixed 8-word chunks IDENTICALLY on both sides. Spark avoids the
+# row_number-over-line hot key with a map-side-combinable min(struct)
+# winner aggregate; the oracle's window formulation is semantically equal.
+_Q70_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+      FROM documents),
+    lines AS (
+      SELECT doc_id, CAST(t.i AS INTEGER) AS line_no,
+             array_to_string(words[(t.i*8+1):(t.i*8+8)], ' ') AS line
+      FROM w, UNNEST(range(CAST(ceil(len(words)/8.0) AS BIGINT))) AS t(i)
+      WHERE len(words) > 0),
+    keep AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines)
+    SELECT doc_id,
+           md5(string_agg(line, chr(10) ORDER BY line_no)) AS text_fp,
+           count(*)::BIGINT AS n_lines
+    FROM keep WHERE rn = 1
+    GROUP BY doc_id
+"""
+
+
+@query("q70_line_dedup", _Q70_SQL)
+def q70(spark, sf_dir):
+    lines = text.to_lines(_t(spark, sf_dir, "documents"), words_per_line=8)
+    out = text.line_dedup(lines)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_fp"), "n_lines"
+    )

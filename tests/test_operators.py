@@ -472,3 +472,44 @@ def test_tf_idf_min_df_and_scores(spark):
         r["term"] for r in tf_idf(df, min_df=2).collect()
     }
     assert pruned == {"a", "b"}
+
+
+def test_line_dedup_semantics(spark):
+    from georef_ar_etl_spark.operators.text import line_dedup, to_lines
+
+    df = spark.createDataFrame(
+        [
+            # doc 1: two identical lines IN the same doc -> keeps line_no 0
+            (1, "a b a b"),
+            # doc 2: first line duplicates doc 1's -> dropped; second survives
+            (2, "a b c d"),
+            # doc 3: empty after split -> no lines, doc drops out
+            (3, "   "),
+            # doc 4: unique content survives whole
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    lines = to_lines(df, words_per_line=2)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"])
+        for r in line_dedup(lines).collect()
+    }
+    assert got == {
+        1: ("a b", 1),          # within-doc dup collapsed to first
+        2: ("c d", 1),          # cross-doc dup lost to doc 1
+        4: ("x y\nz", 2),       # trailing short chunk is its own line
+    }
+
+
+def test_to_lines_empty_and_short_docs(spark):
+    from georef_ar_etl_spark.operators.text import to_lines
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, None)], "doc_id long, text string"
+    )
+    rows = to_lines(df, words_per_line=8).collect()
+    # empty and NULL text contribute nothing; a 1-word doc is one line
+    assert [(r["doc_id"], r["line_no"], r["line"]) for r in rows] == [
+        (2, 0, "one")
+    ]
