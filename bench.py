@@ -65,6 +65,9 @@ HEADLINE = [
     "q68_shipping_priority",
     "q69_local_supplier_volume",
     "q70_line_dedup",
+    "q71_json_schema_on_read",
+    "q72_pivot_crosstab",
+    "q73_blocked_fuzzy_match",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

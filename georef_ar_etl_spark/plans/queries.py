@@ -2954,3 +2954,165 @@ def q70(spark, sf_dir):
     return out.select(
         "doc_id", F.md5(F.col("text")).alias("text_fp"), "n_lines"
     )
+
+# ----------------- q71: JSON schema-on-read (VARIANT, malformed-safe) -----
+# events.props is a raw JSON string column — the semi-structured sidecar
+# every event stream carries. Parsed with Spark 4's try_parse_json →
+# VARIANT (single pass, codegen, no shuffle until the agg), field k
+# extracted with try_variant_get; malformed payloads and missing keys are
+# COUNTED rather than crashing the job, pinned by three injected edge rows
+# on both sides (malformed JSON / wrong key / NULL). DuckDB's
+# try_cast(AS JSON) is semantics-identical (probed: malformed→NULL,
+# missing key→non-NULL with NULL field). Reference analogue: the JSON API
+# envelope ingest (georef_ar_etl/utils.py download + json.load path),
+# where a malformed body aborts the run — here it degrades to a metric.
+_Q71_SQL = """
+    WITH e AS (
+      SELECT event_type, props FROM events
+      UNION ALL
+      SELECT * FROM (VALUES ('error', '{not json'),
+                            ('error', '{"other": 1}'),
+                            ('error', NULL)) t(event_type, props)),
+    p AS (SELECT event_type, props, try_cast(props AS JSON) AS j FROM e),
+    x AS (SELECT event_type, props, j, CAST(j->>'k' AS INTEGER) AS k FROM p)
+    SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+           min(k) AS min_k, max(k) AS max_k,
+           (count(*) FILTER (props IS NOT NULL AND j IS NULL))::BIGINT
+             AS n_malformed,
+           (count(*) FILTER (j IS NOT NULL AND k IS NULL))::BIGINT
+             AS n_missing_key
+    FROM x GROUP BY event_type
+"""
+
+
+@query("q71_json_schema_on_read", _Q71_SQL)
+def q71(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_type", "props")
+    edge = spark.createDataFrame(
+        [("error", "{not json"), ("error", '{"other": 1}'), ("error", None)],
+        "event_type string, props string",
+    )
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        e.unionByName(edge)
+        .select(
+            "event_type",
+            v.isNull().alias("v_null"),
+            k.alias("k"),
+            F.col("props").isNotNull().alias("has_props"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(
+                F.when(F.col("has_props") & F.col("v_null"), 1)
+            ).alias("n_malformed"),
+            F.count(
+                F.when(~F.col("v_null") & F.col("k").isNull(), 1)
+            ).alias("n_missing_key"),
+        )
+    )
+
+# --------------------------- q72: pivot / cross-tab (explicit values) -----
+# Per-user event-type cross-tab. The pivot values are EXPLICIT — the
+# two-pass .pivot(col) without values runs a distinct scan over the fact
+# table first, which at 100 TB is a full extra pass; a curated value list
+# makes the pivot a single map-side conditional aggregate. Missing
+# combinations are coalesced to 0 to match SQL's FILTER-count semantics
+# (Spark's pivot yields NULL there). Reference analogue: the per-entity
+# per-category report tallies (georef_ar_etl/utils.py report counts).
+_Q72_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_Q72_SQL = """
+    SELECT user_id,
+           (count(*) FILTER (event_type = 'click'))::BIGINT    AS click,
+           (count(*) FILTER (event_type = 'error'))::BIGINT    AS error,
+           (count(*) FILTER (event_type = 'purchase'))::BIGINT AS purchase,
+           (count(*) FILTER (event_type = 'signup'))::BIGINT   AS signup,
+           (count(*) FILTER (event_type = 'view'))::BIGINT     AS view,
+           count(*)::BIGINT AS total
+    FROM events WHERE user_id % 19 = 0
+    GROUP BY user_id
+"""
+
+
+@query("q72_pivot_crosstab", _Q72_SQL)
+def q72(spark, sf_dir):
+    piv = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 19 == 0)
+        .groupBy("user_id")
+        .pivot("event_type", _Q72_EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    counts = [
+        F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _Q72_EVENT_TYPES
+    ]
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)) for t in _Q72_EVENT_TYPES),
+        F.lit(0),
+    ).alias("total")
+    return piv.select("user_id", *counts, total)
+
+
+# ------------------ q73: blocked fuzzy entity match (ER verify) -----------
+# Entity resolution over a deterministically-dirtied probe set: every 53rd
+# customer name gets a 1-edit corruption (matchable) and every 106th a
+# 3-edit corruption (must be REJECTED by max_dist=2 — absent from the
+# output). Blocking key = digits only (robust to the letter corruption),
+# verify = levenshtein, best = min(dist, clean_id) per probe
+# (operators/entity_match.py::blocked_fuzzy_match). Reference analogue:
+# cleaned-name equality joins (georef_ar_etl/utils.py clean_string
+# consumers) — this is the same match loosened to bounded edit distance.
+_Q73_SQL = """
+    WITH probe AS (
+      SELECT c_custkey AS probe_id,
+             CASE WHEN c_custkey % 106 = 0
+                  THEN regexp_replace(c_name, '^Customer', 'XXXtomer')
+                  ELSE regexp_replace(c_name, '^Customer', 'Kustomer')
+             END AS pname
+      FROM customer WHERE c_custkey % 53 = 0),
+    pb AS (SELECT probe_id, pname,
+                  regexp_replace(pname, '[^0-9]', '', 'g') AS blk
+           FROM probe WHERE regexp_replace(pname, '[^0-9]', '', 'g') <> ''),
+    cl AS (SELECT c_custkey AS clean_id, c_name,
+                  regexp_replace(c_name, '[^0-9]', '', 'g') AS blk
+           FROM customer
+           WHERE regexp_replace(c_name, '[^0-9]', '', 'g') <> ''),
+    cand AS (
+      SELECT probe_id, clean_id,
+             levenshtein(pname, c_name)::INTEGER AS dist
+      FROM pb JOIN cl USING (blk)),
+    ranked AS (
+      SELECT probe_id, clean_id, dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY dist, clean_id) AS rn
+      FROM cand WHERE dist <= 2)
+    SELECT probe_id, clean_id, dist FROM ranked WHERE rn = 1
+"""
+
+
+@query("q73_blocked_fuzzy_match", _Q73_SQL)
+def q73(spark, sf_dir):
+    from georef_ar_etl_spark.operators.entity_match import blocked_fuzzy_match
+
+    c = _t(spark, sf_dir, "customer")
+    probe = c.filter(F.col("c_custkey") % 53 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.when(
+            F.col("c_custkey") % 106 == 0,
+            F.regexp_replace("c_name", "^Customer", "XXXtomer"),
+        )
+        .otherwise(F.regexp_replace("c_name", "^Customer", "Kustomer"))
+        .alias("pname"),
+    )
+    clean = c.select(F.col("c_custkey").alias("clean_id"), "c_name")
+    return blocked_fuzzy_match(
+        probe, clean,
+        probe_id="probe_id", clean_id="clean_id",
+        probe_name="pname", clean_name="c_name", max_dist=2,
+    )

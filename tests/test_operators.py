@@ -513,3 +513,25 @@ def test_to_lines_empty_and_short_docs(spark):
     assert [(r["doc_id"], r["line_no"], r["line"]) for r in rows] == [
         (2, 0, "one")
     ]
+
+
+def test_blocked_fuzzy_match_reject_tie_and_empty_block(spark):
+    from georef_ar_etl_spark.operators.entity_match import blocked_fuzzy_match
+
+    clean = spark.createDataFrame(
+        [(1, "alpha 001"), (2, "alphb 001"), (3, "gamma 002"), (4, "!!!")],
+        "clean_id long, name string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (10, "alpha-001"),   # dist 1 to id 1, dist 2 to id 2 -> best wins
+            (11, "zzzzz 002"),   # dist 5 to gamma -> rejected by max_dist
+            (12, "???"),         # empty block key -> dropped, never matched
+        ],
+        "probe_id long, name string",
+    )
+    got = {
+        r["probe_id"]: (r["clean_id"], r["dist"])
+        for r in blocked_fuzzy_match(probe, clean, max_dist=2).collect()
+    }
+    assert got == {10: (1, 1)}
