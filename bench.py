@@ -68,6 +68,10 @@ HEADLINE = [
     "q71_json_schema_on_read",
     "q72_pivot_crosstab",
     "q73_blocked_fuzzy_match",
+    "q74_salted_skew_join",
+    "q75_ohlc_resample",
+    "q76_unpivot_melt",
+    "q77_retention_cohort",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

@@ -3116,3 +3116,183 @@ def q73(spark, sf_dir):
         probe_id="probe_id", clean_id="clean_id",
         probe_name="pname", clean_name="c_name", max_dist=2,
     )
+
+# ----------------------- q74: salted join under a manufactured hot key ----
+# Half of all events are remapped onto ONE key (user_id -> 0 when even) —
+# the adversarial distribution where a plain shuffle join puts 50% of the
+# fact table in a single task. salted_join (operators/skew.py) spreads
+# key 0 across 8 tasks; the oracle is the PLAIN join+agg, proving salting
+# is result-invariant. The dim side is built from distinct keys so the
+# query is self-contained and the dim is provably small (n_salt-fold
+# replication is bounded).
+_Q74_SQL = """
+    WITH e AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS skey,
+             CAST(FLOOR(value) AS BIGINT) AS v
+      FROM events),
+    dim AS (
+      SELECT DISTINCT skey,
+             CASE WHEN skey = 0 THEN 'hot' ELSE 'cold' END AS tier
+      FROM e)
+    SELECT tier, count(*)::BIGINT AS n, sum(v)::BIGINT AS sum_v
+    FROM e JOIN dim USING (skey)
+    GROUP BY tier
+"""
+
+
+@query("q74_salted_skew_join", _Q74_SQL)
+def q74(spark, sf_dir):
+    from georef_ar_etl_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skey"),
+        F.floor("value").cast("long").alias("v"),
+    )
+    dim = e.select("skey").distinct().select(
+        "skey",
+        F.when(F.col("skey") == 0, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("tier"),
+    )
+    return (
+        salted_join(e, dim, on="skey", n_salt=8)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+        )
+    )
+
+
+# ------------------- q75: OHLC resample (order-sensitive aggregate) -------
+# Open/high/low/close per (event_type, hour) — the canonical time-series
+# downsample. Open/close are ORDER-SENSITIVE; the scale-safe formulation
+# is min/max over a (ts, event_id, value) struct — map-side combinable,
+# deterministic under any partitioning (event_id breaks ts ties) — never
+# a sort-within-group. Values go through floor()::BIGINT so high/low/sum
+# are exact integer arithmetic on both engines.
+_Q75_SQL = """
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_h, ts, event_id,
+             CAST(FLOOR(value) AS BIGINT) AS v
+      FROM events),
+    ranked AS (
+      SELECT event_type, bucket_h, v,
+             row_number() OVER (PARTITION BY event_type, bucket_h
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, bucket_h
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM e)
+    SELECT event_type, bucket_h,
+           min(CASE WHEN rn_open = 1 THEN v END) AS open,
+           max(v) AS high, min(v) AS low,
+           min(CASE WHEN rn_close = 1 THEN v END) AS close,
+           count(*)::BIGINT AS n
+    FROM ranked
+    GROUP BY event_type, bucket_h
+"""
+
+
+@query("q75_ohlc_resample", _Q75_SQL)
+def q75(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_h"),
+        "ts", "event_id",
+        F.floor("value").cast("long").alias("v"),
+    )
+    first = F.min(F.struct("ts", "event_id", "v"))["v"].alias("open")
+    last = F.max(F.struct("ts", "event_id", "v"))["v"].alias("close")
+    return e.groupBy("event_type", "bucket_h").agg(
+        first,
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        last,
+        F.count(F.lit(1)).alias("n"),
+    ).select("event_type", "bucket_h", "open", "high", "low", "close", "n")
+
+
+# --------------------------- q76: unpivot / melt (wide -> long) -----------
+# lineitem's four numeric measures melted to (measure, value) rows — the
+# inverse of q72's pivot and the standard featurizer feed (one row per
+# metric). Spark's unpivot is a narrow transform (no shuffle, no Python);
+# the aggregate on top proves value fidelity. Measures are floor'd to
+# BIGINT cents upstream of the sum so both engines do exact integer math.
+_Q76_SQL = """
+    WITH m AS (
+      SELECT l_orderkey, measure, CAST(FLOOR(val * 100) AS BIGINT) AS cents
+      FROM (
+        SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'l_tax', l_tax FROM lineitem))
+    SELECT measure, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM m GROUP BY measure
+"""
+
+
+@query("q76_unpivot_melt", _Q76_SQL)
+def q76(spark, sf_dir):
+    melted = _t(spark, sf_dir, "lineitem").unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        melted.select(
+            "measure",
+            F.floor(F.col("val") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+# ----------------------- q77: retention cohort matrix ---------------------
+# Users bucketed by first-activity day (cohort), counted distinct-active
+# per (cohort_day, active_day) — the product-analytics retention matrix.
+# Two aggregates + one join: first-seen is a map-side-combinable min per
+# user (NOT a window over the raw stream), the fact side joins the tiny
+# per-user cohort frame (AQE broadcasts it), and the final distinct-count
+# shuffles once on the (cohort, day) pair.
+_Q77_SQL = """
+    WITH firstseen AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_d
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_d,
+             date_trunc('day', e.ts) AS active_d
+      FROM events e JOIN firstseen f USING (user_id))
+    SELECT cohort_d, active_d, count(*)::BIGINT AS n_users
+    FROM activity
+    GROUP BY cohort_d, active_d
+"""
+
+
+@query("q77_retention_cohort", _Q77_SQL)
+def q77(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    firstseen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_d")
+    )
+    return (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("active_d"))
+        .join(firstseen, "user_id")
+        .select("user_id", "cohort_d", "active_d")
+        .distinct()
+        .groupBy("cohort_d", "active_d")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -535,3 +535,32 @@ def test_blocked_fuzzy_match_reject_tie_and_empty_block(spark):
         for r in blocked_fuzzy_match(probe, clean, max_dist=2).collect()
     }
     assert got == {10: (1, 1)}
+
+
+def test_salted_join_preserves_semantics(spark):
+    from georef_ar_etl_spark.operators.skew import salted_join
+
+    import pytest
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "b"), (2, "c"), (3, "d")],
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # inner: multiplicity of the big side preserved exactly (incl. dup rows)
+    got = rows(salted_join(big, dim, "k", n_salt=4).select("k", "payload", "name"))
+    want = rows(big.join(dim, "k").select("k", "payload", "name"))
+    assert got == want and len(got) == 4
+
+    # left: unmatched big rows survive with nulls
+    got_l = rows(salted_join(big, dim, "k", n_salt=4, how="left")
+                 .select("k", "payload", "name"))
+    want_l = rows(big.join(dim, "k", "left").select("k", "payload", "name"))
+    assert got_l == want_l and (3, "d", None) in got_l
+
+    with pytest.raises(ValueError):
+        salted_join(big, dim, "k", how="right")
