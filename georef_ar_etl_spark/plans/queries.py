@@ -3296,3 +3296,130 @@ def q77(spark, sf_dir):
         .groupBy("cohort_d", "active_d")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+# ----------------------- q78: ordered funnel (signup -> click -> purchase) -
+# Behavioral funnel: per user, the earliest time of each step, a step
+# counting only if it happens AFTER the previous one. ONE aggregate over
+# the stream (conditional min per step via a running dependency), then a
+# count per furthest-stage — never a per-user sort or a self-join chain.
+# The two-phase formulation (min ts per (user, step), then the step-order
+# comparison on the tiny per-user frame) is the scale path: the wide
+# stream collapses before any cross-step logic runs.
+_Q78_SQL = """
+    WITH steps AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup')   AS t_signup,
+             min(ts) FILTER (event_type = 'click')    AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id),
+    ordered AS (
+      SELECT user_id,
+             t_signup IS NOT NULL AS s1,
+             (t_signup IS NOT NULL AND t_click > t_signup) AS s2,
+             (t_signup IS NOT NULL AND t_click > t_signup
+              AND t_purchase > t_click) AS s3
+      FROM steps)
+    SELECT (CASE WHEN s3 THEN 3 WHEN s2 THEN 2 WHEN s1 THEN 1 ELSE 0 END)
+             AS funnel_stage,
+           count(*)::BIGINT AS n_users
+    FROM ordered GROUP BY 1
+"""
+
+
+@query("q78_funnel_stages", _Q78_SQL)
+def q78(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    steps = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return (
+        steps.select(
+            F.when(s3, 3).when(s2, 2).when(s1, 1).otherwise(0)
+            .alias("funnel_stage")
+        )
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ------------------------ q79: top-k per group (ranked window) -------------
+# Top-3 longest documents per source, deterministic tie-break on doc_id —
+# the ranked-retrieval shape (best examples per bucket, worst offenders
+# per rule). rank-within-group IS a window sort, but the partition is the
+# GROUP (bounded by the group's row count, spread across tasks), never
+# the corpus; at 100 TB add a per-group pre-filter (approx threshold) to
+# shrink the sorted set — here groups are small and the plain window is
+# the honest baseline.
+_Q79_SQL = """
+    SELECT source, doc_id, n_chars, rnk FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents)
+    WHERE rnk <= 3
+"""
+
+
+@query("q79_topk_per_group", _Q79_SQL)
+def q79(spark, sf_dir):
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars",
+                F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ------------------- q80: calendar-spine gap fill (dense time series) ------
+# Hourly event counts per type INCLUDING empty hours as explicit zeros —
+# downstream forecasting/drift jobs need dense series. The spine is
+# GENERATED (sequence() over the observed [min,max] span, exploded, cross
+# joined with the 5 event types) — never a driver-side loop or a Python
+# range; the observed counts left-join the spine and coalesce to 0. The
+# spine is tiny (hours x types), so AQE broadcasts the counts join.
+_Q80_SQL = """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events),
+    spine AS (
+      SELECT t.h AS bucket_h, et.event_type
+      FROM bounds, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(h),
+           (SELECT DISTINCT event_type FROM events) et),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_h,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2)
+    SELECT s.event_type, s.bucket_h, coalesce(c.n, 0)::BIGINT AS n
+    FROM spine s LEFT JOIN counts c USING (event_type, bucket_h)
+"""
+
+
+@query("q80_time_spine_gap_fill", _Q80_SQL)
+def q80(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_h")
+    )
+    types = e.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    counts = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(counts, ["event_type", "bucket_h"], "left").select(
+        "event_type", "bucket_h", F.coalesce("n", F.lit(0)).alias("n")
+    )
