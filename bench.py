@@ -75,6 +75,8 @@ HEADLINE = [
     "q78_funnel_stages",
     "q79_topk_per_group",
     "q80_time_spine_gap_fill",
+    "q81_hll_registers",
+    "q82_snapshot_diff",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

@@ -219,3 +219,54 @@ def fold_patch_events(
         *[F.col(c) for c in patchable],
     )
     return overlaid.unionByName(pure)
+
+
+def table_diff(
+    left: DataFrame, right: DataFrame, keys: list[str] | str
+) -> DataFrame:
+    """Symmetric snapshot diff: which keys were added / removed / changed
+    between two versions of a table — the validation tool behind every
+    migration, backfill, and replica-consistency check (reference
+    analogue: per-run changed-ID reports,
+    georef_ar_etl/transformers.py:145-149, computed there by re-querying
+    the loaded table).
+
+    ONE full-outer sort-merge join on the key (each side shuffles once);
+    'changed' is an exact column-wise null-safe compare (eqNullSafe chain
+    — never a serialized-struct or hash fingerprint, so a changed-to-NULL
+    field is a change and hash collisions cannot mask one). Unchanged keys
+    are filtered out, so output size is bounded by the true drift, not
+    the table. Output: (*keys, change_type).
+
+    Both frames must share the non-key column set (schema drift is a
+    different tool — schemas.validate_contract)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    nonkeys = [c for c in left.columns if c not in keys]
+    if set(left.columns) != set(right.columns):
+        raise ValueError(
+            f"table_diff requires matching columns: {left.columns} vs "
+            f"{right.columns}"
+        )
+    l = left.select(
+        *keys,
+        F.lit(True).alias("_lp"),
+        *[F.col(c).alias(f"_l_{c}") for c in nonkeys],
+    )
+    r = right.select(
+        *keys,
+        F.lit(True).alias("_rp"),
+        *[F.col(c).alias(f"_r_{c}") for c in nonkeys],
+    )
+    same = F.lit(True)
+    for c in nonkeys:
+        same = same & F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+    change = (
+        F.when(F.col("_lp").isNull(), "added")
+        .when(F.col("_rp").isNull(), "removed")
+        .when(~same, "changed")
+    )
+    return (
+        l.join(r, keys, "full_outer")
+        .select(*keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

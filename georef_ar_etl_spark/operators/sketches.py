@@ -230,3 +230,72 @@ def group_numeric_profile(
         F.max(value_col).alias("max_v"),
         quant.alias("quantiles"),
     )
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 9, seed: int = 11
+) -> DataFrame:
+    """HyperLogLog register table over ``df[col]`` (Flajolet et al. 2007):
+    m = 2^p registers, register j = max over items hashing to j of
+    rho(suffix) — the 1-based position of the leftmost 1-bit in the
+    (31-p)-bit hash suffix, (31-p)+1 when the suffix is all zeros.
+
+    Like count_min_sketch this is a FIXED-SIZE mergeable aggregate: one
+    map-side-combinable max per register, at most m rows out regardless of
+    input, and shard sketches merge by register-wise max (never a rescan).
+    It is the register-level twin of approx_count_distinct (whose JVM
+    HLL++ state is opaque) — exposed so registers can be STORED per
+    partition/epoch and re-estimated after any union of shards.
+
+    Determinism: the md5-derived 31-bit hash (``_word_hash``) splits into
+    bucket = low p bits, suffix = hv >> p; rho uses integer bit-length
+    (length of the binary string), never float log2 — a DuckDB oracle
+    reproduces every register exactly (q81). Output: (bucket, r).
+    """
+    m = 1 << p
+    maxbits = 31 - p
+    hv = _word_hash(F.col(col))
+    w = F.shiftright(hv, p)
+    rho = F.when(w == 0, F.lit(maxbits + 1)).otherwise(
+        F.lit(maxbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select((hv % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Cardinality estimate from a register table: the classic HLL
+    harmonic mean with the small-range linear-counting correction
+    (E < 2.5m and empty registers present -> m*ln(m/V)). Registers absent
+    from the table are empty (rho 0). Returns a 1-row (est double) frame;
+    the whole computation is one tiny aggregate over <= m rows."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("n_present"))  # empty -> 2^0
+    raw = F.lit(alpha * m * m) / s
+    zeros = F.lit(m) - F.col("n_present")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+    ).otherwise(raw)
+    return agg.select(est.alias("est"))
+
+
+def merge_hll(*register_tables: DataFrame) -> DataFrame:
+    """Merge HLL sketches built with the SAME (p, seed): register-wise
+    max — union semantics, the property that lets every corpus shard
+    sketch independently."""
+    it = iter(register_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("r").cast("int").alias("r"))

@@ -3423,3 +3423,94 @@ def q80(spark, sf_dir):
     return spine.join(counts, ["event_type", "bucket_h"], "left").select(
         "event_type", "bucket_h", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+# --------------- q81: HyperLogLog registers (mergeable distinct sketch) ---
+# Register-level HLL over all document words (operators/sketches.py::
+# hll_registers) — the fixed-size mergeable twin of approx_count_distinct,
+# exposed so shard sketches can be STORED and re-merged (register-wise
+# max) without rescans. Deterministic md5-derived hashing + integer
+# bit-length rho (never float log2) make every register oracle-exact,
+# like the q51 Count-Min cells; the ESTIMATE path is pytest-verified
+# within 3% of exact (it is float arithmetic, deliberately not hashed).
+_Q81_SQL = r"""
+    WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents),
+    t AS (SELECT w FROM toks WHERE w <> ''),
+    h AS (SELECT (('0x' || substr(md5(w), 1, 8))::UBIGINT
+                  % 2147483647)::BIGINT AS hv
+          FROM t),
+    reg AS (SELECT hv % 512 AS bucket,
+                   CASE WHEN (hv >> 9) = 0 THEN 23
+                        ELSE 23 - length(bin(hv >> 9)) END AS rho
+            FROM h)
+    SELECT bucket, max(rho)::INTEGER AS r FROM reg GROUP BY bucket
+"""
+
+
+@query("q81_hll_registers", _Q81_SQL)
+def q81(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return sketches.hll_registers(toks, "w", p=9)
+
+# -------------------- q82: snapshot diff (added/removed/changed) -----------
+# table_diff (operators/merge.py) between orders and a deterministically
+# drifted next version (every 97th key dropped, every 31st price bumped,
+# every 53rd re-inserted under a shifted key): ONE full-outer join,
+# exact column-wise null-safe compares (no hash fingerprints — a
+# collision must not mask a change), unchanged keys filtered so output
+# is bounded by true drift. The validation pass behind backfills and
+# replica checks; reference analogue: per-run changed-ID reports
+# (georef_ar_etl/transformers.py:145-149).
+_Q82_SQL = """
+    WITH l AS (SELECT * FROM orders),
+    r AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 53 = 0),
+    j AS (
+      SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+             CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                  WHEN r.o_orderkey IS NULL THEN 'removed'
+                  WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey)
+                    OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+                    OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+                    OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate)
+                    OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority)
+                  THEN 'changed' END AS change_type
+      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+    SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
+"""
+
+
+@query("q82_snapshot_diff", _Q82_SQL)
+def q82(spark, sf_dir):
+    from georef_ar_etl_spark.operators.merge import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    right = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 53 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    return table_diff(o, right, "o_orderkey")

@@ -565,3 +565,31 @@ def test_bloom_no_false_negatives_and_shard_merge(spark):
     assert sorted(r["bit"] for r in merged.collect()) == sorted(
         r["bit"] for r in bits.collect()
     )
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from georef_ar_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        merge_hll,
+    )
+
+    # 20k rows, 1077 distinct keys — estimate must land within 5%
+    df = spark.range(20000).selectExpr("CAST(id % 1077 AS STRING) AS k")
+    regs = hll_registers(df, "k", p=9)
+    est = hll_estimate(regs, p=9).collect()[0]["est"]
+    assert abs(est - 1077) / 1077 < 0.05, est
+
+    # shard-and-merge == whole-corpus sketch, register for register
+    a = hll_registers(df.filter("id % 2 = 0"), "k", p=9)
+    b = hll_registers(df.filter("id % 2 = 1"), "k", p=9)
+    merged = {
+        (r["bucket"], r["r"]) for r in merge_hll(a, b).collect()
+    }
+    whole = {(r["bucket"], r["r"]) for r in regs.collect()}
+    assert merged == whole
+
+    # small-cardinality range: linear counting takes over and is near-exact
+    tiny = spark.range(40).selectExpr("CAST(id AS STRING) AS k")
+    est_t = hll_estimate(hll_registers(tiny, "k", p=9), p=9).collect()[0]["est"]
+    assert abs(est_t - 40) < 3, est_t

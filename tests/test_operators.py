@@ -564,3 +564,23 @@ def test_salted_join_preserves_semantics(spark):
 
     with pytest.raises(ValueError):
         salted_join(big, dim, "k", how="right")
+
+
+def test_table_diff_null_safety_and_schema_guard(spark):
+    from georef_ar_etl_spark.operators.merge import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k long, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "now-set"), (3, None), (5, "e")], "k long, v string"
+    )
+    got = {r["k"]: r["change_type"] for r in table_diff(left, right, "k").collect()}
+    # NULL->value and value->NULL are both 'changed' (eqNullSafe, not =)
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+    # identical tables -> empty diff
+    assert table_diff(left, left, "k").count() == 0
+
+    with pytest.raises(ValueError):
+        table_diff(left, right.withColumnRenamed("v", "w"), "k")
