@@ -86,6 +86,7 @@ class CdcEngine:
         hot_route_share: float = 0.5,
         hot_route_min_events: int = 100_000,
         cache_batch: bool = False,
+        spread_input: bool = False,
         max_bucket_bytes: int = 512 << 20,
         on_oversize_bucket: str = "warn",
     ):
@@ -117,6 +118,13 @@ class CdcEngine:
         costs one columnar-cached copy of each in-flight batch per
         executor.
 
+        ``spread_input``: round-robin the incoming batch to
+        defaultParallelism partitions before validation when the source
+        delivers fewer (functions/layout.py) — a batch arriving as ONE
+        small file otherwise runs the whole pre-pass map side on one core.
+        Costs an extra exchange of the batch, so it is opt-in and
+        A/B-measured like cache_batch (BENCH/BASELINE.md).
+
         ``max_bucket_bytes`` / ``on_oversize_bucket``: the copartitioned
         merge's contract is one bucket per task (copart_merge.py:18-23) — a
         bucket that outgrows worker memory OOMs the merge with no actionable
@@ -142,6 +150,7 @@ class CdcEngine:
         self.hot_route_share = hot_route_share
         self.hot_route_min_events = hot_route_min_events
         self.cache_batch = cache_batch
+        self.spread_input = spread_input
         self.max_bucket_bytes = max_bucket_bytes
         self.on_oversize_bucket = on_oversize_bucket
 
@@ -360,6 +369,10 @@ class CdcEngine:
             [f for f in new_schema.fields if f.name not in EVENT_META_COLS]
         ).add("batch_id", "long").add("seq", "long").add("op", "string"))
 
+        if self.spread_input:
+            from georef_ar_etl_spark.functions.layout import spread_for_compute
+
+            events = spread_for_compute(events)
         nb = self.table.n_buckets
         tagged = tag_invalid(events, self.dim)
         if self.cache_batch:

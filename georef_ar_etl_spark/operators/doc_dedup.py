@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from georef_ar_etl_spark.functions.layout import spread_for_compute
 from georef_ar_etl_spark.operators.text import (
     char_shingles,
     fingerprint,
@@ -123,7 +124,9 @@ def minhash_lsh_pairs(
     )
 
     rows_per_band = n_hashes // n_bands
-    normed = df.select(
+    # signature compute is per-row numpy — parallelism must come from
+    # cores, not the input file layout (no-op on well-partitioned input)
+    normed = spread_for_compute(df).select(
         F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("t")
     )
     id_type = df.schema[id_col].dataType
@@ -310,7 +313,10 @@ def winnow_candidate_pairs(
     """
     winnow = winnow_fingerprints_udf(k=k, window=window)
     ex = (
-        df.select(F.col(id_col).alias("id"), winnow(F.col(text_col)).alias("fps"))
+        # rolling-hash UDF = the dominant cost: spread it across cores
+        # even when the corpus arrives as one tidy file (no-op otherwise)
+        spread_for_compute(df)
+        .select(F.col(id_col).alias("id"), winnow(F.col(text_col)).alias("fps"))
         .select("id", F.explode("fps").alias("fp"))
         # materialize once: the doc-freq aggregation and the self-join are
         # independent consumers, and without this the rolling-hash UDF —
@@ -506,8 +512,11 @@ def cross_corpus_overlap(
     winnow = winnow_fingerprints_udf(k=k, window=window)
 
     def fps(df_, name):
+        # rolling-hash UDF = the dominant cost: parallelism must come from
+        # cores, not the input file layout (no-op on well-partitioned input)
         return (
-            df_.select(F.col(id_col).alias(name), winnow(F.col(text_col)).alias("fps"))
+            spread_for_compute(df_)
+            .select(F.col(id_col).alias(name), winnow(F.col(text_col)).alias("fps"))
             .select(name, F.explode("fps").alias("fp"))
         )
 
@@ -550,7 +559,10 @@ def corpus_stop_fingerprints(
     documents are removed, so a recomputed list changes the question."""
     winnow = winnow_fingerprints_udf(k=k, window=window)
     ex = (
-        df.select(F.col(id_col).alias("id"), winnow(F.col(text_col)).alias("fps"))
+        # rolling-hash UDF = the dominant cost: spread it across cores
+        # even when the corpus arrives as one tidy file (no-op otherwise)
+        spread_for_compute(df)
+        .select(F.col(id_col).alias("id"), winnow(F.col(text_col)).alias("fps"))
         .select("id", F.explode("fps").alias("fp"))
     )
     return ex.groupBy("fp").count().filter(F.col("count") > max_doc_freq).select("fp")

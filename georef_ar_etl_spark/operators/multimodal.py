@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from georef_ar_etl_spark.functions.layout import spread_for_compute
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -236,4 +237,5 @@ def extract_features(df: DataFrame) -> DataFrame:
                 "decode_error": err,
             })
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    # decode is per-row Python — spread regardless of file layout
+    return spread_for_compute(df).mapInPandas(run, FEATURE_SCHEMA)

@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from georef_ar_etl_spark.functions.layout import spread_for_compute
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -179,7 +180,7 @@ def knn_join_cosine(
             }
             yield pd.DataFrame(rows)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(part, out_schema)
+    partial = spread_for_compute(corpus).select(id_col, vec_col).mapInPandas(part, out_schema)
     w = F.row_number().over(
         Window.partitionBy("probe_id").orderBy(F.desc("score"), F.col(id_col))
     )
@@ -352,7 +353,7 @@ def ivf_assign(df, centroids, vec_col: str = "embedding", id_col: str = "vec_id"
             d = (X ** 2).sum(axis=1)[:, None] - 2 * (X @ C.T) + Csq[None, :]
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cluster": d.argmin(axis=1).astype("int32")})
 
-    return df.select(id_col, vec_col).mapInPandas(part, out_schema)
+    return spread_for_compute(df).select(id_col, vec_col).mapInPandas(part, out_schema)
 
 
 def probe_clusters(centroids, query_vec: list[float], nprobe: int) -> list[int]:
@@ -411,7 +412,7 @@ def ivf_topk(
                 "score": sims,
             })
 
-    scored = df.select(id_col, vec_col).mapInPandas(part, out_schema)
+    scored = spread_for_compute(df).select(id_col, vec_col).mapInPandas(part, out_schema)
     # round JVM-side (HALF_UP, like the DuckDB oracle) — np.round is
     # half-even and would disagree with the oracle exactly on the boundary
     return (
@@ -475,7 +476,7 @@ def ivf_topk_quantized(
                 "score": sims,
             })
 
-    scored = df.select(id_col, code_col, scale_col).mapInPandas(part, out_schema)
+    scored = spread_for_compute(df).select(id_col, code_col, scale_col).mapInPandas(part, out_schema)
     return (
         scored.select(id_col, F.round("score", round_to).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))

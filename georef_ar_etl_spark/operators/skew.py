@@ -50,6 +50,8 @@ def salted_join(
             f"salted_join supports how='inner'|'left', got {how!r}: the "
             "replicated small side would duplicate right/full results"
         )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("'_salt' is reserved by salted_join")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))
     b = big.withColumn("_salt", salt.cast("int"))
     s = small.withColumn(

@@ -588,3 +588,49 @@ def line_dedup(
         ).alias("text"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def posting_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) keyword search via posting intersection: docs
+    containing EVERY term in ``terms``. The inverted-index query shape —
+    postings (doc, term) are probed with a BROADCAST term list (never a
+    shuffle on the corpus side beyond the per-doc count), and the AND is
+    a count-distinct-equals-k filter, not an N-way self-join.
+
+    Here postings derive inline from the text (array_distinct BEFORE the
+    explode caps the per-doc fan-out at unique terms); in a maintained
+    deployment they come from a changelog-refreshed index — the
+    FingerprintIndex in operators/index_maintenance.py is that machinery
+    for fingerprint postings, the query shape is identical.
+
+    Reference analogue: name-token search against loaded entities
+    (georef_ar_etl street/locality lookups by normalized name).
+    """
+    if not terms:
+        raise ValueError("posting_search requires at least one term")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("term"),
+    )
+    probe = df.sparkSession.createDataFrame(
+        [(t.lower(),) for t in set(terms)], "term string"
+    )
+    return (
+        toks.join(F.broadcast(probe), "term")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("term")).alias("n_hit"))
+        .filter(F.col("n_hit") == len(set(t.lower() for t in terms)))
+        .select(id_col)
+    )

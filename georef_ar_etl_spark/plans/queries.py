@@ -18,6 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from georef_ar_etl_spark.functions.layout import spread_for_compute
 from georef_ar_etl_spark.functions.scalar import zero_pad
 from georef_ar_etl_spark.functions.tokens import with_normalized_tokens
 from georef_ar_etl_spark.operators import doc_dedup, multimodal, similarity, text
@@ -54,7 +55,12 @@ def all_oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # spread_for_compute: the sf fixtures are single-row-group files — ONE
+    # scan partition — which would serialize every compute stage on one
+    # core regardless of cluster size. At production scale inputs carry
+    # thousands of splits and this is a no-op (no shuffle inserted);
+    # filter pushdown and column pruning pass through the repartition.
+    return spread_for_compute(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _ephemeral_table_root(kind: str, sf_dir: str) -> str:
@@ -2740,7 +2746,10 @@ _Q65_SQL = """
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
            count(*) AS n_orders,
-           sum(o_totalprice) AS sum_price
+           -- exact decimal sum -> round -> double: a raw double sum is
+           -- summation-order-dependent and flips last digits per plan
+           cast(round(sum(cast(o_totalprice AS decimal(18,2))), 2) AS double)
+             AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -2754,7 +2763,7 @@ def q65(spark, sf_dir):
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("sum_price"),
+            _money(F.col("o_totalprice")).alias("sum_price"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
     )
@@ -2840,7 +2849,8 @@ def q67(spark, sf_dir):
 # custkey join; revenue sums stay in whole-stage codegen.
 _Q68_SQL = """
     SELECT l.l_orderkey,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                               AS decimal(18,6))), 2) AS double) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2861,7 +2871,16 @@ def q68(spark, sf_dir):
         .join(l, l["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            # exact decimal sum of the per-row double product: the product
+            # rounds identically per row on both engines (IEEE), the sum
+            # is then order-insensitive under any partitioning
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
@@ -2874,7 +2893,8 @@ def q68(spark, sf_dir):
 # side shuffles key on orderkey; everything else rides broadcasts.
 _Q69_SQL = """
     SELECT n.n_name,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                               AS decimal(18,6))), 2) AS double) AS revenue
     FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2913,7 +2933,16 @@ def q69(spark, sf_dir):
         .join(r, n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            # exact decimal sum of the per-row double product: the product
+            # rounds identically per row on both engines (IEEE), the sum
+            # is then order-insensitive under any partitioning
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -3514,3 +3543,30 @@ def q82(spark, sf_dir):
         )
     )
     return table_diff(o, right, "o_orderkey")
+
+# ------------- q83: conjunctive posting-intersection keyword search -------
+# Docs containing ALL of three query words, answered inverted-index-style
+# (operators/text.py::posting_search): per-doc distinct terms probe a
+# BROADCAST term list, the AND is count-distinct == k — never an N-way
+# self-join of posting lists. The maintained-index version of this shape
+# is FingerprintIndex (q34); this is the query path.
+_Q83_SQL = r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    hits AS (
+      SELECT doc_id, count(DISTINCT term) AS n
+      FROM toks WHERE term IN ('data', 'spark', 'query')
+      GROUP BY doc_id)
+    SELECT doc_id FROM hits WHERE n = 3
+"""
+
+
+@query("q83_posting_search", _Q83_SQL)
+def q83(spark, sf_dir):
+    out = text.posting_search(
+        _t(spark, sf_dir, "documents"), ["data", "spark", "query"]
+    )
+    return out

@@ -328,3 +328,14 @@ def test_hot_key_burst_single_batch(spark, tmp_path):
     assert got[hot] == [30000 % 97 + 1]  # highest seq won
     assert got[other] == [7]
     assert st.count() == len(initial)
+
+
+def test_spread_input_matches_oracle(spark, tmp_path, smoke_data):
+    """spread_input=True only changes task placement of the incoming
+    batch — final state must be byte-identical to the oracle."""
+    initial, events = smoke_data
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8, spread_input=True)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    eng.replay(datagen.events_to_df(spark, events))
+    oracle_state, _ = apply_events({r["doc_id"]: dict(r) for r in initial}, events)
+    assert_state_equals_oracle(eng, oracle_state)

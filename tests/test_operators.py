@@ -584,3 +584,41 @@ def test_table_diff_null_safety_and_schema_guard(spark):
 
     with pytest.raises(ValueError):
         table_diff(left, right.withColumnRenamed("v", "w"), "k")
+
+
+def test_spread_for_compute_noop_and_spread(spark):
+    from georef_ar_etl_spark.functions.layout import spread_for_compute
+
+    par = spark.sparkContext.defaultParallelism
+    # under-partitioned: coalesce(1) models a single-file scan
+    one = spark.range(1000).coalesce(1)
+    spread = spread_for_compute(one)
+    assert spread.rdd.getNumPartitions() == par
+    assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
+
+    # already wide enough: the SAME plan comes back, no exchange inserted
+    wide = spark.range(1000).repartition(par)
+    assert spread_for_compute(wide) is wide
+
+    # explicit target honored
+    assert spread_for_compute(one, target=5).rdd.getNumPartitions() == 5
+
+
+def test_spread_for_compute_preserves_pruning(spark, tmp_path):
+    """The repartition must not block scan-side column pruning — the
+    spread is for compute stages; reading every column to spread two
+    would be a regression at 100 TB."""
+    from georef_ar_etl_spark.functions.layout import spread_for_compute
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr(
+        "id", "id * 2 AS a", "repeat('x', 100) AS fat"
+    ).coalesce(1).write.parquet(p)
+    plan = (
+        spread_for_compute(spark.read.parquet(p))
+        .select("id", "a")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln or "Scan parquet" in ln]
+    assert scan and not re.search(r"fat", "".join(scan)), plan
