@@ -50,6 +50,23 @@ def main() -> None:
     def run_agg():
         return line_dedup(lines)
 
+    def run_agg_semi_join():
+        # the pre-round-5 formulation: winners + a redundant left-semi
+        # join back to the corpus — kept in the A/B as the regression pin
+        winners = (
+            lines.groupBy("line")
+            .agg(F.min(F.struct(F.col("doc_id"), F.col("line_no"))).alias("w"))
+            .select("line", F.col("w.doc_id").alias("doc_id"),
+                    F.col("w.line_no").alias("line_no"))
+        )
+        kept = lines.join(winners, ["line", "doc_id", "line_no"], "left_semi")
+        ordered = F.array_sort(F.collect_list(F.struct("line_no", "line")))
+        return kept.groupBy("doc_id").agg(
+            F.array_join(F.transform(ordered, lambda s: s["line"]), "\n")
+            .alias("text"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
     def run_window():
         w = Window.partitionBy("line").orderBy("doc_id", "line_no")
         kept = (
@@ -87,7 +104,11 @@ def main() -> None:
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
     out = {}
-    for name, fn in (("agg_min_struct", run_agg), ("window_row_number", run_window)):
+    for name, fn in (
+        ("agg_min_struct", run_agg),
+        ("agg_semi_join", run_agg_semi_join),
+        ("window_row_number", run_window),
+    ):
         best = None
         for _ in range(3):
             t0 = time.time()

@@ -77,6 +77,7 @@ HEADLINE = [
     "q80_time_spine_gap_fill",
     "q81_hll_registers",
     "q82_snapshot_diff",
+    "q83_posting_search",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

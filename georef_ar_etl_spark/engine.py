@@ -86,7 +86,7 @@ class CdcEngine:
         hot_route_share: float = 0.5,
         hot_route_min_events: int = 100_000,
         cache_batch: bool = False,
-        spread_input: bool = False,
+        spread_input: bool = True,
         max_bucket_bytes: int = 512 << 20,
         on_oversize_bucket: str = "warn",
     ):
@@ -122,8 +122,11 @@ class CdcEngine:
         defaultParallelism partitions before validation when the source
         delivers fewer (functions/layout.py) — a batch arriving as ONE
         small file otherwise runs the whole pre-pass map side on one core.
-        Costs an extra exchange of the batch, so it is opt-in and
-        A/B-measured like cache_batch (BENCH/BASELINE.md).
+        Default ON: measured 1.28x on the 2M-event replay whose segments
+        arrive as single files (BENCH/spread_input_ab.py), and it is a
+        guaranteed no-op when the batch already carries enough partitions,
+        so the only cost is one extra exchange of an under-partitioned
+        batch — exactly the case where it pays.
 
         ``max_bucket_bytes`` / ``on_oversize_bucket``: the copartitioned
         merge's contract is one bucket per task (copart_merge.py:18-23) — a

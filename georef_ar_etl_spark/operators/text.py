@@ -562,16 +562,19 @@ def line_dedup(
     struct(id, line_no)))`` — map-side combinable, so a boilerplate line
     occurring a billion times ships ONE partial per map task rather than a
     billion rows into one window partition (a row_number() over
-    PARTITION BY line would hot-key exactly there). Survivors come back via
-    a left-semi join on the full (line, id, line_no) composite, then one
-    groupBy(id) reassembles. Two shuffles total (line, then id), both on
-    well-distributed keys.
+    PARTITION BY line would hot-key exactly there). The winner rows ARE
+    the surviving lines — each distinct line keeps exactly its min
+    (id, line_no) occurrence — so no join back to the corpus is needed
+    (an earlier left-semi formulation re-shuffled the full line set on
+    the composite key and measured 2.8x slower than even the window
+    variant; BENCH/line_dedup_ab.py tracks all three). Two shuffles
+    total: line, then id over survivors only.
 
     Reference analogue: none (the reference dedups whole rows by pk on
     conflict, georef_ar_etl/loaders.py); this is the training-corpus
     boilerplate-removal pass.
     """
-    winners = (
+    kept = (
         lines.groupBy("line")
         .agg(F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("w"))
         .select(
@@ -580,7 +583,6 @@ def line_dedup(
             F.col("w.line_no").alias("line_no"),
         )
     )
-    kept = lines.join(winners, ["line", id_col, "line_no"], "left_semi")
     ordered = F.array_sort(F.collect_list(F.struct("line_no", "line")))
     return kept.groupBy(id_col).agg(
         F.array_join(
@@ -633,4 +635,81 @@ def posting_search(
         .agg(F.count_distinct(F.col("term")).alias("n_hit"))
         .filter(F.col("n_hit") == len(set(t.lower() for t in terms)))
         .select(id_col)
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a keyword query —
+    the standard ranking function behind Lucene/Elasticsearch scoring,
+    using Lucene's always-positive idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Plan shape (the one that survives 100 TB): per-doc length and the
+    (doc, term) term frequencies are ONE word-count-shaped pass each with
+    map-side combine; the tf shuffle is pre-filtered to the query terms
+    (an in-set predicate — the dictionary never shuffles); df and the
+    corpus stats (N, avgdl) are tiny 1-row/`len(terms)`-row broadcasts.
+
+    Determinism: per-(doc, term) partial scores are rounded then summed as
+    exact decimals (the q68 money-sum pattern), so the final score never
+    depends on double summation order across partitions. avgdl is
+    ``sum(dl)::double / N`` — an exact integer sum, not a double avg.
+
+    Output: (id_col, bm25) for documents matching ≥1 query term.
+    Reference analogue: ranked name search over normalized entity names
+    (georef_ar_etl street/locality search is exact-match; this is the
+    scored generalization).
+    """
+    if not terms:
+        raise ValueError("bm25_rank requires at least one term")
+    tset = sorted({t.lower() for t in terms})
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(tset))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    part = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(part, 9).cast("decimal(18,9)").alias("part"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("part"), round_to).cast("double").alias("bm25"))
     )

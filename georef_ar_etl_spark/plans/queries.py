@@ -3570,3 +3570,44 @@ def q83(spark, sf_dir):
         _t(spark, sf_dir, "documents"), ["data", "spark", "query"]
     )
     return out
+
+
+# ------------- q84: BM25 keyword ranking (Okapi, Lucene idf) --------------
+# Full-text relevance scoring over the corpus: per-doc length + query-term
+# tf are word-count-shaped passes (tf pre-filtered to the query terms
+# BEFORE its shuffle); df/N/avgdl ride broadcasts. Per-term partials are
+# rounded then summed as exact decimals so the score is partition-order-
+# independent (the q68 money-sum pattern).
+_Q84_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl,
+                     count(*)::BIGINT AS n_docs FROM dl),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term IN ('data', 'spark', 'vector') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    parts AS (
+      SELECT t.doc_id,
+             round(ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE)
+                                    / (d.df + 0.5::DOUBLE))
+                   * ((t.tf * 2.2::DOUBLE)
+                      / (t.tf + 1.2::DOUBLE
+                               * (0.25::DOUBLE
+                                  + 0.75::DOUBLE * l.dl / s.avgdl))),
+                   9)::DECIMAL(18,9) AS part
+      FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s)
+    SELECT doc_id, cast(round(sum(part), 4) AS DOUBLE) AS bm25
+    FROM parts GROUP BY 1
+"""
+
+
+@query("q84_bm25_rank", _Q84_SQL)
+def q84(spark, sf_dir):
+    return text.bm25_rank(
+        _t(spark, sf_dir, "documents"), ["data", "spark", "vector"]
+    )
