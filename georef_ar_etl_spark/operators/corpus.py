@@ -208,3 +208,44 @@ def per_group_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row gets priority ``ln(u)/w`` for a hash-derived uniform
+    u ∈ (0, 1]; the k largest priorities are exactly a weighted sample
+    without replacement. The standard corpus-mixing primitive when docs
+    carry quality/length weights rather than per-source budgets
+    (token_budget_sample is the per-source variant).
+
+    Deterministic like every sampler here: u derives from md5(key, salt),
+    so the sample is reproducible across retries, partitionings, and
+    engines (the DuckDB oracle reproduces it row-for-row, q86). Rows with
+    NULL or non-positive weight are excluded (ln(u)/w needs w > 0).
+
+    Plan shape at 100 TB: priority is a pure per-row expression; the
+    global top-k is orderBy+limit, which Spark executes as per-partition
+    top-k + a k-row merge (TakeOrderedAndProject) — no full sort, no
+    shuffle of the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (hv + F.lit(1)) / F.lit(4294967296.0)
+    pri = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"), F.col(key_col).asc())
+        .limit(k)
+        .drop("_pri")
+    )

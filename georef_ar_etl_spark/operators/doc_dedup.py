@@ -653,3 +653,133 @@ def simhash_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as an ``array<long>`` column —
+    the reusable artifact form of the signature step inside
+    ``minhash_lsh_pairs`` (same 31-bit polynomial gram hashes + seeded
+    affine family, so the two agree bit-for-bit and share the DuckDB
+    oracle's arithmetic). Returns (id_col, sig).
+
+    At 100 TB this is the frame you PERSIST: n_hashes longs per doc
+    (vs the text), from which band keys, estimates, and incremental
+    index maintenance all derive without re-hashing the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.text import (
+        P31,
+        poly_kgram_hashes_p31,
+        poly_powers_p31,
+    )
+
+    powers = poly_powers_p31(shingle_k)
+    A, B = minhash_affine_params(n_hashes)
+    k = shingle_k
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id", id_type),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, sigs = [], []
+            for i, s in zip(pdf["id"].to_numpy(), pdf["t"].to_numpy()):
+                if s is None:
+                    s = ""
+                if len(s) < k:
+                    s = s.ljust(k)
+                b = np.frombuffer(
+                    s.encode("utf-8", "ignore"), dtype=np.uint8
+                ).astype(np.uint64)
+                H = poly_kgram_hashes_p31(b, k, powers)
+                sig = ((H[None, :] * A[:, None] + B[:, None]) % P31).min(axis=1)
+                ids.append(i)
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    normed = spread_for_compute(df).select(
+        F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("t")
+    )
+    return normed.mapInPandas(part, out_schema).withColumnRenamed("id", id_col)
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    min_estimate: float = 0.0,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs scored by the MinHash ESTIMATE — the fraction
+    of agreeing signature components, E[est] = true Jaccard — instead of
+    the exact verify in ``minhash_lsh_pairs``. The estimate path is what
+    runs when re-touching the text is too expensive: band keys AND the
+    agreement count both derive from the persisted signature, so the
+    candidate join moves n_hashes longs per doc, never the document.
+
+    Plan: one signature pass (Arrow kernel), band keys sliced from the
+    sig array JVM-side, ONE self-join on the band key, zip_with equality
+    + aggregate for the estimate (pure Catalyst), multi-band collisions
+    deduped. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    if n_hashes % n_bands:
+        raise ValueError(f"n_bands {n_bands} must divide n_hashes {n_hashes}")
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col,
+        n_hashes=n_hashes, shingle_k=shingle_k,
+    ).withColumnRenamed(id_col, "id")
+    bands = sigs.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.array_join(
+                        F.slice("sig", b * rows + 1, rows).cast("array<string>"), ","
+                    ),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band"
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(1.0)
+        / F.lit(n_hashes)
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_estimate)
+        .dropDuplicates(["id_a", "id_b"])
+    )

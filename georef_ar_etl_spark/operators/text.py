@@ -713,3 +713,78 @@ def bm25_rank(
         .groupBy(id_col)
         .agg(F.round(F.sum("part"), round_to).cast("double").alias("bm25"))
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 200,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of term PAIRS by document
+    co-occurrence: ``pmi = ln(c_xy * N / (c_x * c_y))`` over per-doc
+    distinct terms — the classic collocation/topic-signal statistic
+    (Church & Hanks 1990).
+
+    The quadratic trap and its bound: naive co-occurrence is a self-join
+    of the posting list — O(sum of df²) pairs, unbounded on stopwords.
+    Here the pair space is RESTRICTED to the ``top_vocab`` most frequent
+    terms (ties broken lexicographically; the broadcastable dictionary),
+    and pairs expand per document from its sorted in-vocab term array via
+    an array-combinations expression — pure Catalyst, NO self-join, no
+    shuffle beyond the final (term_a, term_b) count: per-doc work is
+    ≤ C(V, 2) and the shuffle carries map-side-combined pair partials.
+
+    Output: (term_a, term_b, c_xy, c_x, c_y, pmi) for pairs with
+    ``c_xy >= min_pair_count``, term_a < term_b.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("term"),
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dfreq.orderBy(F.desc("c"), F.col("term")).limit(top_vocab)
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+
+    invocab = toks.join(F.broadcast(vocab.select("term")), "term")
+    arrs = invocab.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("term")).alias("ts")
+    )
+    a = F.col("ts")
+    pairs_arr = F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + 2, F.size(a)),
+                lambda y: F.struct(x.alias("term_a"), y.alias("term_b")),
+            ),
+        )
+    )
+    cxy = (
+        arrs.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_pair_count)
+    )
+    cx = vocab.select(F.col("term").alias("term_a"), F.col("c").alias("c_x"))
+    cy = vocab.select(F.col("term").alias("term_b"), F.col("c").alias("c_y"))
+    return (
+        cxy.join(F.broadcast(cx), "term_a")
+        .join(F.broadcast(cy), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a", "term_b", "c_xy", "c_x", "c_y",
+            F.log(
+                (F.col("c_xy") * F.col("n_docs")).cast("double")
+                / (F.col("c_x") * F.col("c_y"))
+            ).alias("pmi"),
+        )
+    )

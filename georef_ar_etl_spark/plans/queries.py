@@ -3611,3 +3611,212 @@ def q84(spark, sf_dir):
     return text.bm25_rank(
         _t(spark, sf_dir, "documents"), ["data", "spark", "vector"]
     )
+
+
+# ------------- q85: URL canonicalization (web-corpus dedup keys) ----------
+# Raw crawl URLs synthesized deterministically from doc_id (both engines
+# build the identical string — the q35 injected-input pattern), then
+# canonicalized: scheme/host case, www., default ports, duplicate+trailing
+# slashes, tracking params (utm_*/fbclid/gclid/ref), param order, fragment.
+# Pure Catalyst regex/array expressions (functions/url.py) — the
+# normalization stays inside whole-stage codegen next to the scan.
+_Q85_SQL = r"""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+             || '://'
+             || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.News.Example.COM'
+                      ELSE 'cdn' || (doc_id % 7)::VARCHAR || '.Site'
+                           || (doc_id % 4)::VARCHAR || '.org' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                      WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+             || '/a//b/' || (doc_id % 6)::VARCHAR
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || '?utm_source=feed&id=' || (doc_id % 9)::VARCHAR
+             || '&z=1&gclid=x#f' || (doc_id % 3)::VARCHAR AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(url, '^[^:]+://([^/?#]*)', 1) AS auth,
+        regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      FROM raw),
+    hp AS (
+      SELECT *,
+        regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+                       '^www\.', '') AS host,
+        regexp_extract(auth, ':(\d+)$', 1) AS port_s
+      FROM parts),
+    np AS (
+      SELECT *,
+        CASE WHEN port_s = '' THEN NULL
+             WHEN scheme = 'http'  AND port_s::INT = 80  THEN NULL
+             WHEN scheme = 'https' AND port_s::INT = 443 THEN NULL
+             ELSE port_s::INT END AS port,
+        CASE WHEN regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+                                 '(.)/$', '\1') = ''
+             THEN '/'
+             ELSE regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+                                 '(.)/$', '\1') END AS path,
+        list_sort(list_filter(string_split(rawq, '&'),
+            x -> x <> '' AND NOT regexp_matches(
+                     x, '^(utm_[^=]*|fbclid|gclid|ref)='))) AS params
+      FROM hp)
+    SELECT doc_id, scheme, host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain,
+           port::VARCHAR AS port, path,
+           CASE WHEN len(params) > 0
+                THEN array_to_string(params, '&') END AS query_norm,
+           scheme || '://' || host
+             || coalesce(':' || port::VARCHAR, '') || path
+             || coalesce('?' || CASE WHEN len(params) > 0
+                                     THEN array_to_string(params, '&') END,
+                         '') AS url_norm
+    FROM np
+"""
+
+
+@query("q85_url_normalize", _Q85_SQL)
+def q85(spark, sf_dir):
+    from georef_ar_etl_spark.functions.url import with_normalized_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("WWW.News.Example.COM")).otherwise(
+            F.concat(
+                F.lit("cdn"), (d % 7).cast("string"),
+                F.lit(".Site"), (d % 4).cast("string"), F.lit(".org"),
+            )
+        ),
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/a//b/"), (d % 6).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), (d % 9).cast("string"),
+        F.lit("&z=1&gclid=x#f"), (d % 3).cast("string"),
+    )
+    raw = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return with_normalized_url(raw).select(
+        "doc_id", "scheme", "host", "reg_domain",
+        F.col("port").cast("string").alias("port"),
+        "path", "query_norm", "url_norm",
+    )
+
+
+# ------------- q86: weighted sampling without replacement (A-ES) ----------
+# Efraimidis–Spirakis exponential-priority sampling with md5-derived
+# uniforms — deterministic, engine-reproducible, and executed as
+# per-partition top-k + k-row merge (never a full sort). Completes the
+# sampling family: fraction (q32), budget (q47), per-group-k (q55),
+# weighted-k (here, weight = n_chars).
+_Q86_SQL = r"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5(doc_id::VARCHAR || 'wsample'), 1, 8))::UBIGINT
+              + 1)::DOUBLE / 4294967296.0::DOUBLE AS u
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars
+    FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 50
+"""
+
+
+@query("q86_weighted_sample", _Q86_SQL)
+def q86(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return corpus.weighted_sample(d, k=50, weight_col="n_chars")
+
+
+# ------------- q87: PMI term co-occurrence (collocations) -----------------
+# ln(c_xy*N / (c_x*c_y)) over per-doc DISTINCT terms, pair space bounded
+# to the top-V vocabulary and expanded per document by an array-
+# combinations expression — no posting-list self-join, no shuffle beyond
+# the map-side-combined pair counts (operators/text.py::pmi_pairs).
+_Q87_SQL = r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    dfreq AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+    vocab AS (SELECT term, c FROM dfreq ORDER BY c DESC, term LIMIT 30),
+    iv AS (SELECT t.doc_id, t.term FROM toks t JOIN vocab USING (term)),
+    n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS c_xy
+      FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT p.term_a, p.term_b, p.c_xy, va.c AS c_x, vb.c AS c_y,
+           ln((p.c_xy * n.n_docs)::DOUBLE / (va.c * vb.c)) AS pmi
+    FROM pairs p
+      JOIN vocab va ON va.term = p.term_a
+      JOIN vocab vb ON vb.term = p.term_b
+      CROSS JOIN n
+"""
+
+
+@query("q87_pmi_cooccurrence", _Q87_SQL)
+def q87(spark, sf_dir):
+    return text.pmi_pairs(
+        _t(spark, sf_dir, "documents"), top_vocab=30, min_pair_count=5
+    )
+
+
+def _q88_sql(n_hashes=8, n_bands=4, k=8, min_est=0.25) -> str:
+    """Mirror of doc_dedup.minhash_jaccard_estimate: same signature
+    arithmetic as the q17 oracle, but scored by the fraction of agreeing
+    signature components instead of the exact set Jaccard."""
+    from georef_ar_etl_spark.operators.doc_dedup import minhash_affine_params
+
+    P = (1 << 31) - 1
+    rows = n_hashes // n_bands
+    A, B = minhash_affine_params(n_hashes)
+    mins = ", ".join(
+        f"list_min(list_transform(H, x -> (x * {int(A[i])} + {int(B[i])}) % {P}))"
+        for i in range(n_hashes)
+    )
+    bands = ", ".join(
+        "'%d:' || %s"
+        % (b, " || ',' || ".join(f"sig[{b * rows + r + 1}]::varchar" for r in range(rows)))
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    pad AS (SELECT doc_id,
+                   CASE WHEN length(t) < {k} THEN rpad(t, {k}, ' ') ELSE t END AS sp
+            FROM norm),
+    hs AS (SELECT doc_id,
+                  list_transform(generate_series(1, length(sp) - {k - 1}),
+                                 i -> {_poly31_hash_terms("sp", k)}) AS H
+           FROM pad),
+    sig AS (SELECT doc_id, [{mins}] AS sig FROM hs),
+    bands AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    est AS (SELECT c.id_a, c.id_b,
+                   round(({agree}) * 1.0::DOUBLE / {n_hashes}, 6) AS est_jaccard
+            FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                        JOIN sig sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {min_est}
+    """
+
+
+# MinHash Jaccard ESTIMATE (agreement fraction of signature components,
+# E[est] = true Jaccard): the score that runs off the PERSISTED signature
+# frame without re-touching text — candidate join moves n_hashes longs per
+# doc. Same seeded hash family as q17, so one oracle arithmetic covers both.
+@query("q88_minhash_jaccard_estimate", _q88_sql())
+def q88(spark, sf_dir):
+    return doc_dedup.minhash_jaccard_estimate(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=8, n_bands=4, min_estimate=0.25, shingle_k=8,
+    )

@@ -170,3 +170,35 @@ def test_token_budget_sample_boundary_and_determinism(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_weighted_sample_bias_and_invariants(spark):
+    from georef_ar_etl_spark.operators.corpus import weighted_sample
+
+    # 5k docs: ids < 2500 carry weight 100, the rest weight 1 — a k=200
+    # weighted sample must be dominated by the heavy half
+    df = spark.range(5000).selectExpr(
+        "id AS doc_id", "CASE WHEN id < 2500 THEN 100 ELSE 1 END AS w"
+    )
+    s = weighted_sample(df, k=200, weight_col="w")
+    rows = s.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r["doc_id"] < 2500)
+    assert heavy > 180, heavy  # P(heavy) ≈ 100/101 per draw
+
+    # deterministic + partitioning-independent
+    again = weighted_sample(df.repartition(17), k=200, weight_col="w")
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+
+    # zero/null weights excluded, k > n returns all positive-weight rows
+    small = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, None), (4, 2)], "doc_id long, w int"
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(small, k=10, weight_col="w").collect())
+    assert got == [1, 4]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_sample(small, k=0, weight_col="w")

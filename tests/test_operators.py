@@ -622,3 +622,34 @@ def test_spread_for_compute_preserves_pruning(spark, tmp_path):
     import re
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln or "Scan parquet" in ln]
     assert scan and not re.search(r"fat", "".join(scan)), plan
+
+
+def test_normalize_url_edges_and_idempotence(spark):
+    from georef_ar_etl_spark.functions.url import with_normalized_url
+
+    urls = [
+        "HTTP://WWW.Example.COM:80//x///y/?utm_source=a&b=2&a=1#frag",
+        "https://Sub.Example.co:443/",            # default https port
+        "http://example.com",                      # no path, no query
+        "https://example.com/p?utm_a=1&gclid=2&ref=3",  # all-tracking query
+        "http://example.com:8080/p/",              # non-default port kept
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, url string")
+    rows = {r["i"]: r for r in with_normalized_url(df).collect()}
+    assert rows[0]["url_norm"] == "http://example.com/x/y?a=1&b=2"
+    assert rows[0]["port"] is None and rows[0]["host"] == "example.com"
+    assert rows[1]["url_norm"] == "https://sub.example.co/"
+    assert rows[1]["reg_domain"] == "example.co" and rows[1]["path"] == "/"
+    assert rows[2]["url_norm"] == "http://example.com/"
+    assert rows[3]["query_norm"] is None
+    assert rows[3]["url_norm"] == "https://example.com/p"
+    assert rows[4]["port"] == 8080
+    assert rows[4]["url_norm"] == "http://example.com:8080/p"
+
+    # idempotence: normalizing a canonical URL is a fixpoint
+    once = with_normalized_url(df).select(
+        F.col("i"), F.col("url_norm").alias("url")
+    )
+    twice = {r["i"]: r["url_norm"] for r in with_normalized_url(once).collect()}
+    for i, r in rows.items():
+        assert twice[i] == r["url_norm"], (i, twice[i], r["url_norm"])
