@@ -78,6 +78,12 @@ HEADLINE = [
     "q81_hll_registers",
     "q82_snapshot_diff",
     "q83_posting_search",
+    "q84_bm25_rank",
+    "q85_url_normalize",
+    "q86_weighted_sample",
+    "q87_pmi_cooccurrence",
+    "q88_minhash_jaccard_estimate",
+    "q89_pagerank",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

@@ -1,0 +1,104 @@
+"""Link-graph analytics for web-corpus curation.
+
+PageRank is the classic page-quality prior for crawl filtering (its
+original use) and the standard iterative-propagation workload after
+connected components (operators/doc_dedup.py) — value propagation with a
+damping teleport instead of min-label convergence.
+
+Determinism contract (the same one every oracled operator here honors):
+ranks are INTEGER fixed-point units and every update is integer
+arithmetic — ``r' = ((100-d)·scale)//100 + (d·(inflow + dangling//n))//100``
+with integer division throughout — so the result is bit-identical across
+engines, partitionings, and iteration plans. A float PageRank differs at
+the last ulp per summation order; the fixed-point one is exactly
+reproducible (the DuckDB oracle chains one CTE per iteration, q89).
+Integer division leaks ≤1 unit of mass per node per iteration — fine for
+a RANKING prior, which only needs a deterministic total order.
+
+Scale posture: per iteration, ONE shuffle keyed by src (contributions)
+and one by dst (inflow aggregation, map-side combinable), the dangling
+mass is a 1-row broadcast, and lineage is truncated by localCheckpoint
+every few rounds exactly like connected_components — 100 iterations at
+10^10 edges is 100 bounded shuffles, never a growing plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Fixed-point PageRank over an edge list (parallel edges count as
+    repeated links; self-loops allowed; dangling mass is redistributed
+    uniformly). Returns (node, rank_units) with ranks in units of
+    ``1/scale``; initial rank = ``scale`` per node.
+
+    ``damping_pct`` is the integer damping percentage (85 = the classic
+    0.85). Raises if ``100 * n_nodes * scale`` could overflow int64 —
+    shrink ``scale`` for huge graphs (the ranking only needs enough
+    fixed-point resolution to order nodes).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # static frames reused every iteration — evaluate once
+    nodes = nodes.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_units"))
+    if 100 * n_nodes * scale >= 2**62:
+        raise ValueError(
+            f"100 * n_nodes({n_nodes}) * scale({scale}) risks int64 overflow; "
+            "reduce scale"
+        )
+    danglers = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    base = (100 - damping_pct) * scale // 100
+    r = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    for it in range(n_iter):
+        dang = danglers.join(r, "node").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
+        )
+        inflow = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r div deg")).cast("long").alias("inflow"))
+        )
+        r = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(inflow, 0)"
+                        f" + dang div {n_nodes})) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            r = r.localCheckpoint(eager=True)
+    return r.select("node", F.col("r").alias("rank_units"))

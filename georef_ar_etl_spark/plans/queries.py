@@ -3820,3 +3820,52 @@ def q88(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         n_hashes=8, n_bands=4, min_estimate=0.25, shingle_k=8,
     )
+
+
+def _q89_sql(n_iter=4, damping=85, scale=10**9) -> str:
+    """Chained-CTE mirror of operators/graph.py::pagerank — one CTE trio
+    (dangling mass, inflow, update) per iteration, all-integer arithmetic,
+    so every rank unit matches bit-for-bit."""
+    base = (100 - damping) * scale // 100
+    parts = [f"""
+    e AS (SELECT user_id % 40 AS src, (user_id * 7 + event_id) % 50 AS dst
+          FROM events),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+    r0 AS (SELECT node, {scale}::BIGINT AS r FROM nodes)"""]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    d{i} AS (SELECT coalesce(sum(r), 0)::BIGINT AS dang
+             FROM {prev} WHERE node NOT IN (SELECT src FROM deg)),
+    i{i} AS (SELECT e.dst AS node, sum({prev}.r // dg.deg)::BIGINT AS inflow
+             FROM e JOIN {prev} ON {prev}.node = e.src
+                    JOIN deg dg ON dg.src = e.src
+             GROUP BY 1),
+    r{i} AS (SELECT nd.node,
+                    ({base} + (({damping} * (coalesce(i{i}.inflow, 0)
+                                + d{i}.dang // nn.n_nodes)) // 100))::BIGINT AS r
+             FROM nodes nd LEFT JOIN i{i} ON i{i}.node = nd.node
+             CROSS JOIN d{i} CROSS JOIN n nn)""")
+        prev = f"r{i}"
+    return (
+        "    WITH" + ",".join(parts)
+        + f"\n    SELECT node, r AS rank_units FROM {prev}"
+    )
+
+
+# PAGERANK (fixed-point): link-quality prior over a deterministic event-
+# derived graph (nodes 40-49 are pure sinks, exercising the dangling-mass
+# redistribution). Integer units make the iterative result bit-exact
+# across engines — see operators/graph.py for the determinism contract.
+@query("q89_pagerank", _q89_sql())
+def q89(spark, sf_dir):
+    from georef_ar_etl_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    )
+    return graph.pagerank(e, n_iter=4)

@@ -653,3 +653,36 @@ def test_normalize_url_edges_and_idempotence(spark):
     twice = {r["i"]: r["url_norm"] for r in with_normalized_url(once).collect()}
     for i, r in rows.items():
         assert twice[i] == r["url_norm"], (i, twice[i], r["url_norm"])
+
+
+def test_pagerank_semantics(spark):
+    from georef_ar_etl_spark.operators.graph import pagerank
+
+    # 3-cycle: perfect symmetry -> identical ranks, total mass ~ conserved
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    r = {x["node"]: x["rank_units"] for x in pagerank(cyc, n_iter=8, scale=10**6).collect()}
+    assert len(set(r.values())) == 1
+    assert abs(sum(r.values()) - 3 * 10**6) <= 3 * 8  # ≤1 unit/node/iter leak
+
+    # star + dangling hub: hub outranks leaves; leaves equal by symmetry
+    star = spark.createDataFrame(
+        [(i, 99) for i in range(1, 6)], "src long, dst long"
+    )
+    rs = {x["node"]: x["rank_units"] for x in pagerank(star, n_iter=6, scale=10**6).collect()}
+    assert rs[99] > max(v for k, v in rs.items() if k != 99)
+    assert len({v for k, v in rs.items() if k != 99}) == 1
+
+    # deterministic under repartitioning
+    again = {
+        x["node"]: x["rank_units"]
+        for x in pagerank(star.repartition(13), n_iter=6, scale=10**6).collect()
+    }
+    assert again == rs
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pagerank(cyc, damping_pct=100)
+    with _pt.raises(ValueError):
+        pagerank(cyc, n_iter=0)
+    with _pt.raises(ValueError):
+        pagerank(cyc, scale=2**61)  # overflow guard
