@@ -788,3 +788,47 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding preprocessing
+    step: each document becomes ceil(n/stride) chunks of up to
+    ``chunk_tokens`` whitespace tokens starting every ``stride`` tokens
+    (stride < chunk_tokens ⇒ overlap of chunk_tokens - stride). The tail
+    chunk may be short; documents with zero tokens emit no chunks. Case
+    and token text are preserved verbatim.
+
+    Pure Catalyst (split → sequence of starts → posexplode → slice):
+    chunking is embarrassingly parallel, stays in whole-stage codegen,
+    and adds NO shuffle — the chunk frame inherits the scan's
+    partitioning, which is exactly what the downstream embedding UDF
+    wants. Output: (id_col, chunk_id, n_tokens, chunk).
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) and stride ({stride}) must be >= 1"
+        )
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    staged = df.select(F.col(id_col), words.alias("_w"))
+    n = F.size(F.col("_w"))
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return staged.select(
+        F.col(id_col), F.col("_w"), F.posexplode(starts).alias("_pos", "_start")
+    ).select(
+        F.col(id_col),
+        F.col("_pos").cast("long").alias("chunk_id"),
+        F.size(F.slice("_w", F.col("_start"), chunk_tokens))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("_w", F.col("_start"), chunk_tokens), " ").alias("chunk"),
+    )

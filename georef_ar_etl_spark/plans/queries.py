@@ -3869,3 +3869,68 @@ def q89(spark, sf_dir):
         ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
     )
     return graph.pagerank(e, n_iter=4)
+
+
+# ------------- q90: overlapping token-window chunking (RAG prep) ----------
+# 64-token chunks every 48 tokens — shuffle-free Catalyst expansion
+# (operators/text.py::chunk_text); the chunk frame inherits the scan's
+# partitioning for the downstream embedding UDF.
+_Q90_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+      FROM documents),
+    s AS (SELECT doc_id, words,
+                 unnest(generate_series(1, len(words), 48)) AS start
+          FROM w WHERE len(words) >= 1)
+    SELECT doc_id,
+           ((start - 1) // 48)::BIGINT AS chunk_id,
+           len(list_slice(words, start, start + 63))::BIGINT AS n_tokens,
+           array_to_string(list_slice(words, start, start + 63), ' ') AS chunk
+    FROM s
+"""
+
+
+@query("q90_chunk_text", _Q90_SQL)
+def q90(spark, sf_dir):
+    return text.chunk_text(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+# ------------- q91: reciprocal rank fusion (BM25 x length prior) ----------
+# Fusing two retrievers whose raw scores are incomparable: the q84 BM25
+# list and a document-length prior. Rank lists are bounded retrieval
+# outputs — the global ordered window is the contract, not an accident
+# (operators/ranking.py docstring).
+_Q91_SQL = rf"""
+    WITH bm AS ({_Q84_SQL}),
+    ra AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+           FROM bm),
+    rb AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+           FROM documents),
+    c AS (
+      SELECT doc_id,
+             round(1.0::DOUBLE / (60 + r), 12)::DECIMAL(18,12) AS contrib
+      FROM ra
+      UNION ALL
+      SELECT doc_id,
+             round(1.0::DOUBLE / (60 + r), 12)::DECIMAL(18,12) AS contrib
+      FROM rb)
+    SELECT doc_id, cast(round(sum(contrib), 9) AS DOUBLE) AS rrf
+    FROM c GROUP BY 1
+"""
+
+
+@query("q91_rrf_fusion", _Q91_SQL)
+def q91(spark, sf_dir):
+    from georef_ar_etl_spark.operators.ranking import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = text.bm25_rank(docs, ["data", "spark", "vector"]).withColumnRenamed(
+        "bm25", "score"
+    )
+    prior = docs.select("doc_id", F.col("n_chars").alias("score"))
+    return rrf_fuse([bm, prior], k=60)

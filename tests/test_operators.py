@@ -686,3 +686,58 @@ def test_pagerank_semantics(spark):
         pagerank(cyc, n_iter=0)
     with _pt.raises(ValueError):
         pagerank(cyc, scale=2**61)  # overflow guard
+
+
+def test_chunk_text_overlap_and_edges(spark):
+    from georef_ar_etl_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7"),   # 7 tokens
+            (2, "a b"),                      # shorter than one chunk
+            (3, ""),                         # no tokens -> no chunks
+            (4, "   "),                      # blank -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_text(df, chunk_tokens=4, stride=3).collect()
+    }
+    # doc 1: starts 1,4,7 -> chunks of 4,4,1 tokens; overlap of 1 token
+    assert out[(1, 0)]["chunk"] == "w1 w2 w3 w4"
+    assert out[(1, 1)]["chunk"] == "w4 w5 w6 w7"
+    assert out[(1, 2)]["chunk"] == "w7" and out[(1, 2)]["n_tokens"] == 1
+    assert out[(2, 0)]["chunk"] == "a b" and out[(2, 0)]["n_tokens"] == 2
+    assert not any(d in (3, 4) for d, _ in out)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_text(df, chunk_tokens=0)
+    with _pt.raises(ValueError):
+        chunk_text(df, stride=0)
+
+
+def test_rrf_fuse_semantics(spark):
+    from georef_ar_etl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 100.0), (4, 50.0)], "doc_id long, score double"
+    )
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 2: rank 2 in a, rank 1 in b; docs 1/3 only in a; doc 4 only in b
+    assert got[2] == round(round(1 / 62, 12) + round(1 / 61, 12), 9)
+    assert got[1] == round(1 / 61, 9)
+    assert got[3] == round(1 / 63, 9)
+    assert got[4] == round(1 / 62, 9)
+    # the shared doc wins the fusion
+    assert max(got, key=got.get) == 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rrf_fuse([])
+    with _pt.raises(ValueError):
+        rrf_fuse([a], k=0)
