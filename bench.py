@@ -84,6 +84,13 @@ HEADLINE = [
     "q87_pmi_cooccurrence",
     "q88_minhash_jaccard_estimate",
     "q89_pagerank",
+    "q90_chunk_text",
+    "q91_rrf_fusion",
+    "q92_dedup_lines_in_doc",
+    "q93_group_representative",
+    "q94_interval_overlap_join",
+    "q95_hist_sketch",
+    "q96_hist_quantile",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

@@ -783,3 +783,52 @@ def minhash_jaccard_estimate(
         .filter(F.col("est_jaccard") >= min_estimate)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def group_representatives(
+    ranked: DataFrame,
+    group_col: str = "component",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Pick ONE representative per dedup group — the member with the MAX
+    ``rank_col`` (any orderable column; pass a struct for lexicographic
+    multi-key ranks), ties broken by the SMALLEST numeric id — and tag
+    every member. Output: the input columns minus ``rank_col``, plus
+    ``rep_<id_col>`` and ``is_rep``.
+
+    This is the 'keep the best, not the first' half of near-dedup (the
+    SemDeDup/CCNet policy: a duplicate cluster keeps its highest-quality
+    member, not its lowest id): ``dedup_groups`` labels the clusters,
+    ``quality_gate``/features build the rank, this selects. Plan shape at
+    100 TB: the winner is a map-side-combinable ``max(struct(rank, -id))``
+    hash aggregate — never a window partitioned by the group, which would
+    hot-key on a giant boilerplate cluster — followed by one equi-join of
+    members back to the (#groups)-row winner frame on the group label.
+
+    Reference analogue: none (reference keeps first-by-pk on conflict,
+    georef_ar_etl/loaders.py); this is the curation-grade keep policy.
+    """
+    if group_col not in ranked.columns or rank_col not in ranked.columns:
+        raise ValueError(
+            f"ranked frame must carry '{group_col}' and '{rank_col}' "
+            f"(got {ranked.columns})"
+        )
+    reps = (
+        ranked.groupBy(group_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(rank_col).alias("r"),
+                    (-F.col(id_col)).alias("ni"),
+                )
+            ).alias("_w")
+        )
+        .select(F.col(group_col), (-F.col("_w.ni")).alias("_rep"))
+    )
+    out_cols = [c for c in ranked.columns if c != rank_col]
+    return ranked.join(reps, group_col).select(
+        *out_cols,
+        F.col("_rep").alias(f"rep_{id_col}"),
+        (F.col(id_col) == F.col("_rep")).alias("is_rep"),
+    )

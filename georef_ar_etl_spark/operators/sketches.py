@@ -299,3 +299,89 @@ def merge_hll(*register_tables: DataFrame) -> DataFrame:
     for t in it:
         out = out.unionByName(t)
     return out.groupBy("bucket").agg(F.max("r").cast("int").alias("r"))
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-width histogram sketch over [lo, hi) — the MERGEABLE quantile/
+    distribution summary: (bin, n) with out-of-range values clamped into
+    the edge bins and NULLs dropped. Like the Count-Min and HLL sketches it
+    is a fixed-size, map-side-combinable hash aggregate (one partial row
+    per non-empty bin per map task, <= n_bins rows out regardless of input)
+    and shard sketches merge by bin-wise addition — the constant-memory
+    path to percentiles over 100 TB, vs an exact quantile's full sort.
+    Deterministic bin arithmetic, so a DuckDB oracle reproduces every
+    counter exactly (q95)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    w = (float(hi) - float(lo)) / int(n_bins)
+    b = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)).cast("long")
+    bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_hists(*hists: DataFrame) -> DataFrame:
+    """Merge histogram sketches built with the SAME (lo, hi, n_bins):
+    bin-wise addition — the property that lets every shard sketch
+    independently."""
+    it = iter(hists)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    return out.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def hist_quantile(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Estimate quantiles from a ``hist_sketch`` by linear interpolation
+    within the bin containing the target rank: for target t = q*N the
+    unique bin with ``cum >= t AND cum - n < t`` yields
+    ``est = lo + w * (bin + (t - (cum - n)) / n)``. Error is bounded by
+    one bin width — the sketch's contract. Output: (q, est).
+
+    The cumulative window is a GLOBAL ordered window over the histogram —
+    <= n_bins rows by construction (the whole point of the sketch), so the
+    single sorted partition is the contract, not a bottleneck."""
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / int(n_bins)
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # NOT 'N': Spark's resolver is case-insensitive, 'N' collides with 'n'
+    tot = hist.agg(F.sum("n").alias("total"))
+    cum = hist.select(
+        "bin",
+        "n",
+        F.sum("n")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    t = F.col("q") * F.col("total")
+    est = F.lit(float(lo)) + F.lit(w) * (
+        F.col("bin") + (t - (F.col("cum") - F.col("n"))) / F.col("n")
+    )
+    return (
+        qdf.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            (F.col("cum") >= t) & ((F.col("cum") - F.col("n")) < t),
+        )
+        .select("q", F.round(est, round_to).alias("est"))
+    )

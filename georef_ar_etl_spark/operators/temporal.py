@@ -359,3 +359,75 @@ def asof_join(
             for c in right_cols
         ],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_bounds: tuple[str, str] = ("s", "e"),
+    right_bounds: tuple[str, str] = ("s", "e"),
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Interval × interval OVERLAP join per key — closed intervals, match
+    when ``l.start <= r.end AND r.start <= l.end`` — without the theta-join
+    explosion Spark would otherwise plan (per-key cross product): both
+    sides explode their intervals over ``bucket_width``-sized buckets, the
+    join runs as an EQUI join on (key, bucket), and each overlapping pair
+    is emitted EXACTLY ONCE by the count-once guard ``bucket ==
+    floor(max(l.start, r.start) / W)`` — overlapping intervals both cover
+    the bucket of the later start (max(s) <= min(e)), so that bucket is
+    the unique canonical meeting point and NO distinct/dedup shuffle is
+    needed afterwards. This generalizes ``range_join_bucketed`` (point in
+    band) to interval-vs-interval; fan-out per row is len/W + 1 exploded
+    copies, so pick W near the typical interval length.
+
+    Contract: bound columns are numeric (cast timestamps to epoch units
+    first), all non-key column names must be disjoint across the two
+    frames, and rows with start > end are malformed and emit nothing.
+    Output: left columns + right columns (key once).
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    lo_l, hi_l = left_bounds
+    lo_r, hi_r = right_bounds
+    overlap = set(left.columns) & set(right.columns) - {key}
+    if overlap:
+        raise ValueError(
+            f"non-key columns must be disjoint, both sides carry {sorted(overlap)}"
+        )
+    w = F.lit(int(bucket_width))
+    l = (
+        left.filter(F.col(lo_l) <= F.col(hi_l))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(F.floor(F.col(lo_l) / w), F.floor(F.col(hi_l) / w))
+            ),
+        )
+        .alias("l")
+    )
+    r = (
+        right.filter(F.col(lo_r) <= F.col(hi_r))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(F.floor(F.col(lo_r) / w), F.floor(F.col(hi_r) / w))
+            ),
+        )
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l._b") == F.col("r._b"))
+        & (F.col(f"l.{lo_l}") <= F.col(f"r.{hi_r}"))
+        & (F.col(f"r.{lo_r}") <= F.col(f"l.{hi_l}"))
+        & (
+            F.col("l._b")
+            == F.floor(F.greatest(F.col(f"l.{lo_l}"), F.col(f"r.{lo_r}")) / w)
+        )
+    )
+    return l.join(r, cond).select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in right.columns if c != key],
+    )

@@ -832,3 +832,62 @@ def chunk_text(
         .alias("n_tokens"),
         F.array_join(F.slice("_w", F.col("_start"), chunk_tokens), " ").alias("chunk"),
     )
+
+
+def dedup_lines_in_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal — the per-page half of the
+    C4 cleanup (Raffel et al. 2020 §2.2: boilerplate lines repeat inside a
+    page, nav/footer spans): each document keeps only the FIRST occurrence
+    of every distinct line and is reassembled in original order; documents
+    with zero tokens emit nothing. Output: (id_col, text, n_lines,
+    n_dropped).
+
+    Zero-shuffle by construction: corpus-wide line dedup (``line_dedup``)
+    must shuffle on the line value, but within-doc dedup is row-local —
+    the whole pass is array higher-order functions (split → fixed-width
+    line array, same boundary rule as ``to_lines`` → keep-first filter)
+    inside whole-stage codegen, so it inherits the scan's partitioning and
+    adds NO exchange at any scale. The keep-first test is
+    ``array_position(lines, x) == i+1`` (first index wins) — O(lines²)
+    per document, trivially fine at per-page line counts and the price of
+    staying exchange-free.
+
+    Reference analogue: none (the reference dedups whole rows by pk,
+    georef_ar_etl/loaders.py); this is the in-page boilerplate pass.
+    """
+    wpl = int(words_per_line)
+    if wpl < 1:
+        raise ValueError(f"words_per_line must be >= 1, got {words_per_line}")
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    w = F.col("_w")
+    n = F.size(w)
+    # n <= 0 guard: sequence(0, -1) would DESCEND, not be empty
+    lines_arr = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (F.ceil(n / F.lit(wpl)) - 1).cast("int")),
+            lambda i: F.array_join(F.slice(w, i * wpl + 1, wpl), " "),
+        )
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: F.array_position(F.col("_lines"), x) == i + F.lit(1),
+    )
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .select(F.col(id_col), lines_arr.alias("_lines"))
+        .filter(F.size("_lines") > 0)
+        .select(F.col(id_col), kept.alias("_kept"), F.size("_lines").alias("_tot"))
+        .select(
+            F.col(id_col),
+            F.array_join("_kept", "\n").alias("text"),
+            F.size("_kept").cast("long").alias("n_lines"),
+            (F.col("_tot") - F.size("_kept")).cast("long").alias("n_dropped"),
+        )
+    )

@@ -3934,3 +3934,213 @@ def q91(spark, sf_dir):
     )
     prior = docs.select("doc_id", F.col("n_chars").alias("score"))
     return rrf_fuse([bm, prior], k=60)
+
+
+# ------------- q92: within-document duplicate-line removal (C4) ------------
+# The per-page half of the C4 cleanup: each document keeps only the first
+# occurrence of every distinct line, reassembled in order — ZERO-shuffle
+# (array higher-order functions in codegen) vs q70's corpus-wide two-shuffle
+# pass (operators/text.py::dedup_lines_in_doc). Boilerplate is injected
+# deterministically on BOTH sides so the dedup provably fires (the q35
+# PII-injection pattern); 2-word lines make in-page repeats real.
+_Q92_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' nav home nav home nav home nav home'
+                  || ' nav home nav home nav home nav home' AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS words
+      FROM d),
+    lines AS (
+      SELECT doc_id, CAST(t.i AS INTEGER) AS line_no,
+             array_to_string(words[(t.i*2+1):(t.i*2+2)], ' ') AS line
+      FROM w, UNNEST(range(CAST(ceil(len(words)/2.0) AS BIGINT))) AS t(i)
+      WHERE len(words) > 0),
+    k AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY doc_id, line
+                                ORDER BY line_no) AS rn
+      FROM lines)
+    SELECT doc_id,
+           md5(string_agg(line, chr(10) ORDER BY line_no)
+               FILTER (rn = 1)) AS text_fp,
+           (count(*) FILTER (rn = 1))::BIGINT AS n_lines,
+           (count(*) FILTER (rn > 1))::BIGINT AS n_dropped
+    FROM k GROUP BY doc_id
+"""
+
+
+@query("q92_dedup_lines_in_doc", _Q92_SQL)
+def q92(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " nav home nav home nav home nav home"
+                " nav home nav home nav home nav home"
+            ),
+        ).alias("text"),
+    )
+    out = text.dedup_lines_in_doc(docs, words_per_line=2)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_fp"), "n_lines", "n_dropped"
+    )
+
+
+# ------------- q93: dedup-group representative by quality ------------------
+# The 'keep the best, not the first' near-dedup policy (SemDeDup/CCNet):
+# q44's connected components label the groups, q46's quality gate + n_chars
+# rank the members, and the winner per group is a map-side-combinable
+# max(struct) — never a window over the group (a giant boilerplate cluster
+# would hot-key there). Oracle composes the SAME closure + gate CTEs.
+def _q93_sql() -> str:
+    return f"""
+    WITH comp AS (SELECT * FROM ({_q44_sql()})),
+    qg AS (SELECT doc_id, keep FROM ({_q46_sql()})),
+    m AS (
+      SELECT c.doc_id, c.component,
+             CASE WHEN qg.keep THEN 1 ELSE 0 END AS k, d.n_chars
+      FROM comp c
+      JOIN qg USING (doc_id)
+      JOIN documents d USING (doc_id)),
+    r AS (
+      SELECT component, doc_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY k DESC, n_chars DESC, doc_id) AS rn
+      FROM m)
+    SELECT m.doc_id, m.component, r.doc_id AS rep_doc_id,
+           m.doc_id = r.doc_id AS is_rep
+    FROM m JOIN r ON m.component = r.component AND r.rn = 1
+    """
+
+
+@query("q93_group_representative", _q93_sql())
+def q93(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = doc_dedup.minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, min_jaccard=0.35, shingle_k=8
+    )
+    groups = doc_dedup.dedup_groups(docs, pairs)
+    q = text.quality_gate(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("_k")
+    )
+    ranked = (
+        groups.join(q, "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            F.struct(
+                F.col("_k").alias("k"), F.col("n_chars").alias("c")
+            ).alias("rank"),
+        )
+    )
+    return doc_dedup.group_representatives(ranked)
+
+
+# ------------- q94: interval-overlap join (bucketed, count-once) -----------
+# Interval × interval overlap per user WITHOUT the per-key cross product:
+# both sides explode over W-sized buckets, equi-join on (key, bucket), and
+# the count-once guard (bucket of max(start)) emits each pair exactly once
+# with NO distinct shuffle (operators/temporal.py::interval_overlap_join).
+# Intervals derive deterministically from events: [floor(value),
+# floor(value) + 1 + event_id % 37]. The oracle is the plain theta join.
+_Q94_SQL = """
+    WITH b AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value) AS BIGINT) AS s,
+             CAST(floor(value) AS BIGINT) + 1 + event_id % 37 AS e
+      FROM events),
+    l AS (SELECT user_id, event_id AS l_id, s AS l_s, e AS l_e
+          FROM b WHERE event_type IN ('click', 'view')),
+    r AS (SELECT user_id, event_id AS r_id, s AS r_s, e AS r_e
+          FROM b WHERE event_type IN ('purchase', 'signup'))
+    SELECT l.user_id, l_id, r_id,
+           (least(l_e, r_e) - greatest(l_s, r_s))::BIGINT AS overlap_len
+    FROM l JOIN r
+      ON l.user_id = r.user_id AND l_s <= r_e AND r_s <= l_e
+"""
+
+
+@query("q94_interval_overlap_join", _Q94_SQL)
+def q94(spark, sf_dir):
+    from georef_ar_etl_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor("value").cast("long").alias("s"),
+        (F.floor("value").cast("long") + 1 + F.col("event_id") % 37).alias("e"),
+    )
+    l = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        F.col("s").alias("l_s"),
+        F.col("e").alias("l_e"),
+    )
+    r = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "user_id",
+        F.col("event_id").alias("r_id"),
+        F.col("s").alias("r_s"),
+        F.col("e").alias("r_e"),
+    )
+    j = temporal.interval_overlap_join(
+        l, r, "user_id", ("l_s", "l_e"), ("r_s", "r_e"), bucket_width=32
+    )
+    return j.select(
+        "user_id",
+        "l_id",
+        "r_id",
+        (F.least("l_e", "r_e") - F.greatest("l_s", "r_s")).alias("overlap_len"),
+    )
+
+
+# ------------- q95/q96: histogram sketch + quantile estimate ---------------
+# The mergeable distribution sketch completing the CM (frequency) + HLL
+# (cardinality) family: fixed-width bin counts are a map-side-combinable
+# hash aggregate (<= n_bins rows out regardless of input) and quantiles
+# interpolate within the target bin — the constant-memory percentile path
+# at 100 TB vs an exact quantile's full sort (operators/sketches.py).
+_Q95_SQL = """
+    SELECT least(greatest(CAST(floor((value - 0.0) / 8.0) AS BIGINT), 0),
+                 63) AS bin,
+           count(*)::BIGINT AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+"""
+
+
+@query("q95_hist_sketch", _Q95_SQL)
+def q95(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    return sketches.hist_sketch(
+        _t(spark, sf_dir, "events"), "value", lo=0.0, hi=512.0, n_bins=64
+    )
+
+
+_Q96_SQL = f"""
+    WITH h AS ({_Q95_SQL}),
+    c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM h),
+    t AS (SELECT sum(n) AS total FROM h),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+    SELECT q, round(0.0 + 8.0 * (bin + (q * total - (cum - n)) / n), 6) AS est
+    FROM qs, c, t
+    WHERE cum >= q * total AND cum - n < q * total
+"""
+
+
+@query("q96_hist_quantile", _Q96_SQL)
+def q96(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    h = sketches.hist_sketch(
+        _t(spark, sf_dir, "events"), "value", lo=0.0, hi=512.0, n_bins=64
+    )
+    return sketches.hist_quantile(
+        h, [0.25, 0.5, 0.75, 0.9, 0.99], lo=0.0, hi=512.0, n_bins=64
+    )

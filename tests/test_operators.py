@@ -741,3 +741,111 @@ def test_rrf_fuse_semantics(spark):
         rrf_fuse([])
     with _pt.raises(ValueError):
         rrf_fuse([a], k=0)
+
+
+def test_dedup_lines_in_doc_semantics(spark):
+    from georef_ar_etl_spark.operators.text import dedup_lines_in_doc
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c d a b"),  # lines(2): 'a b','a b','c d','a b'
+            (2, "x y"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_in_doc(df, words_per_line=2).collect()}
+    assert out[1]["text"] == "a b\nc d"
+    assert out[1]["n_lines"] == 2 and out[1]["n_dropped"] == 2
+    assert out[2]["text"] == "x y" and out[2]["n_dropped"] == 0
+    assert 3 not in out  # zero tokens -> no row
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dedup_lines_in_doc(df, words_per_line=0)
+
+
+def test_group_representatives_semantics(spark):
+    from georef_ar_etl_spark.operators.doc_dedup import group_representatives
+
+    ranked = spark.createDataFrame(
+        [
+            # group 10: doc 7 has best rank; tie in group 20 -> min id wins
+            (7, 10, 5), (8, 10, 3), (9, 20, 4), (4, 20, 4), (2, 30, 1),
+        ],
+        "doc_id long, component long, rank int",
+    )
+    rows = group_representatives(ranked).collect()
+    rep = {r["component"]: r["rep_doc_id"] for r in rows}
+    assert rep == {10: 7, 20: 4, 30: 2}
+    flags = {(r["doc_id"]): r["is_rep"] for r in rows}
+    assert flags == {7: True, 8: False, 9: False, 4: True, 2: True}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        group_representatives(ranked.drop("rank"))
+
+
+def test_interval_overlap_join_semantics(spark):
+    from georef_ar_etl_spark.operators.temporal import interval_overlap_join
+
+    # intervals straddling bucket boundaries (W=10) to exercise the
+    # count-once guard: every overlapping pair must appear EXACTLY once
+    left = spark.createDataFrame(
+        [(1, 100, 5, 25), (1, 101, 30, 31), (2, 102, 0, 9)],
+        "k long, l_id long, l_s long, l_e long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 200, 24, 40),   # overlaps 100 (at 24-25, bucket 2) and 101
+            (1, 201, 0, 4),     # touches nothing (100 starts at 5)
+            (2, 202, 9, 9),     # point overlap with 102 at 9
+            (2, 203, 50, 40),   # malformed (s > e) -> dropped
+        ],
+        "k long, r_id long, r_s long, r_e long",
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "k", ("l_s", "l_e"), ("r_s", "r_e"), bucket_width=10
+        ).collect()
+    )
+    assert got == [(100, 200), (101, 200), (102, 202)]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        interval_overlap_join(left, right, "k", bucket_width=0)
+    with _pt.raises(ValueError):  # colliding non-key columns
+        interval_overlap_join(
+            left, left, "k", ("l_s", "l_e"), ("l_s", "l_e"), bucket_width=10
+        )
+
+
+def test_hist_sketch_and_quantile(spark):
+    from georef_ar_etl_spark.operators.sketches import (
+        hist_quantile,
+        hist_sketch,
+        merge_hists,
+    )
+
+    df = spark.createDataFrame(
+        [(None if v is None else float(v),)
+         for v in [-5, 0, 1, 7, 8, 9, 100, 39.9, None]],
+        "v double",
+    )
+    h = {r["bin"]: r["n"] for r in hist_sketch(df, "v", 0.0, 40.0, 4).collect()}
+    # w=10: [-5,0,1,7,8,9] -> bin 0 (clamped -5), 39.9 -> 3, 100 clamped -> 3
+    assert h == {0: 6, 3: 2}
+
+    # merge of two shards == sketch of the union
+    d1, d2 = df.limit(4), df.subtract(df.limit(4))
+    m = merge_hists(
+        hist_sketch(d1, "v", 0.0, 40.0, 4), hist_sketch(d2, "v", 0.0, 40.0, 4)
+    )
+    assert {r["bin"]: r["n"] for r in m.collect()} == h
+
+    full = hist_sketch(df, "v", 0.0, 40.0, 4)
+    est = {r["q"]: r["est"] for r in hist_quantile(full, [0.5, 1.0], 0.0, 40.0, 4).collect()}
+    # N=8, q=.5 -> target 4 inside bin 0: 0 + 10*(0 + 4/6); q=1 -> right edge
+    assert est[0.5] == round(10 * 4 / 6, 6)
+    assert est[1.0] == 40.0
