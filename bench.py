@@ -91,6 +91,12 @@ HEADLINE = [
     "q94_interval_overlap_join",
     "q95_hist_sketch",
     "q96_hist_quantile",
+    "q97_scd2_history",
+    "q98_hll_group_registers",
+    "q99_presence_bitmap",
+    "q100_markov_transitions",
+    "q101_heavy_hitters",
+    "q102_zorder_key",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state and
 # q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —

@@ -1,0 +1,95 @@
+"""Slowly-Changing-Dimension Type 2 history from a change stream.
+
+The warehouse-native consumer of a CDC feed: instead of applying upserts
+destructively (the engine's snapshot table, ``engine.py``), SCD2 KEEPS
+every version — each key's payload history becomes validity intervals
+``[valid_from, valid_to)`` with ``is_current`` on the open one — so
+downstream joins can ask "what was this dimension worth at sequence S?"
+(pair it with ``temporal.asof_join`` for the point-in-time lookup).
+
+Plan shape at 10^10 events: ONE shuffle, period. Both windows (the
+change-point ``lag`` and the interval-closing ``lead``) partition by the
+key and order by the sequence, and the change-point FILTER between them
+preserves both the hash partitioning and the sort, so Catalyst plans a
+single Exchange + Sort feeding two Window operators back-to-back —
+``tests/test_plan_shapes.py::test_scd2_single_exchange`` pins that.
+Per-key state is bounded by that key's version count (no group
+materializes more than its own rows), and skew follows the CDC feed's
+key skew — pre-salt ONLY if one key dominates, which for dimension
+history (the SCD use case) it does not.
+
+Semantics (matching the classic Kimball Type 2 + CDC conventions):
+
+* input rows are (key, seq, op, payload...) with op ∈ {'u','d'} — 'u' is
+  an upsert carrying the full payload, 'd' a delete (payload ignored);
+* consecutive no-change upserts COLLAPSE: an upsert whose payload equals
+  the key's previous effective state opens no version (CDC feeds love
+  re-emitting unchanged rows; without collapsing, history size is O(feed)
+  instead of O(true changes)) — comparison is null-safe per column;
+* a delete closes the open version and emits nothing; repeated deletes
+  collapse; a re-insert after a delete opens a fresh version;
+* output: one row per version — key, payload columns, ``valid_from``
+  (the opening seq), ``valid_to`` (the seq of the NEXT change-point:
+  half-open intervals, so versions tile the sequence axis with no gaps
+  or overlaps), ``is_current`` (open interval, i.e. live at head).
+
+Reference analogue: none — georef-ar-etl drops and reloads each entity
+table per run (georef_ar_etl/loaders.py), discarding history; this is
+the history-preserving twin the north rule's changelog enables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build the Type 2 history table from ``changes``. ``seq_col`` must
+    be unique per key (the CDC total order — the engine's (batch_id, seq)
+    collapses to one long); duplicate (key, seq) pairs are a malformed
+    feed and yield nondeterministic lag/lead, so fix the feed, not this.
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in changes.columns if c not in (key_col, seq_col, op_col)
+        ]
+    w = Window.partitionBy(key_col).orderBy(seq_col)
+
+    up = F.col(op_col) == "u"
+    # effective payload: NULL-masked for deletes, so a delete compares
+    # equal to a delete regardless of junk in its payload columns
+    eff = [F.when(up, F.col(c)).alias(f"_e_{c}") for c in payload_cols]
+    m = changes.select(key_col, seq_col, op_col, *eff)
+
+    same_as_prev = F.col(op_col).eqNullSafe(F.lag(op_col).over(w))
+    for c in payload_cols:
+        same_as_prev = same_as_prev & F.col(f"_e_{c}").eqNullSafe(
+            F.lag(f"_e_{c}").over(w)
+        )
+    is_first = F.row_number().over(w) == 1
+    cp = m.withColumn(
+        "_keep", is_first | ~same_as_prev
+    ).filter("_keep")
+
+    # same partitioning AND sort as w — no second exchange (plan-tested)
+    out = cp.select(
+        F.col(key_col),
+        *[F.col(f"_e_{c}").alias(c) for c in payload_cols],
+        F.col(seq_col).alias("valid_from"),
+        F.lead(seq_col).over(w).alias("valid_to"),
+        F.col(op_col).alias("_op"),
+    )
+    return out.filter(F.col("_op") == "u").select(
+        key_col,
+        *payload_cols,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

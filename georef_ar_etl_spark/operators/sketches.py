@@ -385,3 +385,110 @@ def hist_quantile(
         )
         .select("q", F.round(est, round_to).alias("est"))
     )
+
+
+def hll_group_registers(
+    df: DataFrame, group_col: str, col: str, p: int = 9, seed: int = 11
+) -> DataFrame:
+    """PER-GROUP HyperLogLog register tables: ``hll_registers`` keyed by
+    ``group_col`` — the approx-distinct-per-group pass (distinct users per
+    source, distinct n-grams per shard) as ONE fixed-size-per-group
+    map-side-combinable aggregate. Exact countDistinct per group shuffles
+    every (group, item) pair; this shuffles at most m=2^p partial rows per
+    group per map task and the state per group never exceeds m ints.
+    Registers persist/merge like the global sketch (register-wise max
+    within the same group). Output: (group_col, bucket, r)."""
+    m = 1 << p
+    maxbits = 31 - p
+    hv = _word_hash(F.col(col))
+    w = F.shiftright(hv, p)
+    rho = F.when(w == 0, F.lit(maxbits + 1)).otherwise(
+        F.lit(maxbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(group_col, (hv % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def hll_group_estimate(registers: DataFrame, group_col: str, p: int = 9) -> DataFrame:
+    """Per-group cardinality estimates from ``hll_group_registers`` output:
+    the same harmonic-mean + linear-counting rule as ``hll_estimate``,
+    grouped — one tiny aggregate over <= m rows per group.
+    Output: (group_col, est double)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("n_present"))
+    raw = F.lit(alpha * m * m) / s
+    zeros = F.lit(m) - F.col("n_present")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(group_col, est.alias("est"))
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
+    """EXACT phi-heavy hitters (all items with count > n/k) in two passes
+    and NO full-cardinality shuffle — the Misra-Gries candidate pass +
+    exact recount pattern:
+
+    pass 1: every partition runs a weighted Misra-Gries summary with k-1
+    counters over its local rows (``mapInPandas``, pandas value_counts per
+    Arrow batch, so the Python loop is over DISTINCT items per batch).
+    MG guarantees any item with local count > n_p/k survives locally; by
+    pigeonhole an item with GLOBAL count > n/k exceeds n_p/k in at least
+    one partition, so the unioned candidate set (<= (k-1) x partitions
+    tiny rows) is a SUPERSET of the true heavy hitters — the only fact
+    the second pass needs.
+
+    pass 2: exact counts for candidates only (broadcast left-semi join —
+    the big side never shuffles on the raw item), filtered to > n/k.
+
+    Result is EXACT and partitioning-independent: MG tie-breaking only
+    perturbs the candidate superset, and the recount+filter kills every
+    false candidate. vs the plain groupBy-count: state is O(k) per task
+    instead of O(distinct items), the win when the long tail is the data
+    (token frequencies at corpus scale). Output: (item, cnt).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    cap = k - 1
+    import pandas as pd  # noqa: F401 (type hint for readers)
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, w in pdf[col].dropna().value_counts().items():
+                w = int(w)
+                if item in counters:
+                    counters[item] += w
+                elif len(counters) < cap:
+                    counters[item] = w
+                else:
+                    # weighted decrement (Berinde et al. 2010): absorb as
+                    # much of w as the current minimum allows, O(cap)
+                    d = min(w, min(counters.values()))
+                    counters = {
+                        i: c - d for i, c in counters.items() if c > d
+                    }
+                    if w > d and len(counters) < cap:
+                        counters[item] = w - d
+        import pandas as _pd
+
+        yield _pd.DataFrame({col: list(counters.keys())})
+
+    cand = df.select(col).mapInPandas(mg, schema=df.select(col).schema).distinct()
+    total = df.filter(F.col(col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total), F.col("cnt") * k > F.col("_n"))
+        .select(F.col(col).alias("item"), "cnt")
+    )

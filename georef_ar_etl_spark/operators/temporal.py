@@ -431,3 +431,40 @@ def interval_overlap_join(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}") for c in right.columns if c != key],
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov transition statistics over per-key ordered event
+    streams: for each key's events ordered by ``order_cols`` (include a
+    unique tiebreaker — ties make lead() nondeterministic), count each
+    consecutive (src, dst) state pair and attach the row-transition
+    probability p = n / sum(n over src). The sequence-mining summary
+    behind session-flow analysis and next-event models.
+
+    Plan at 10^10 events: one shuffle on the key for the lead() window,
+    then a hash aggregate on (src, dst) whose output is bounded by
+    |states|^2 — the probability normalization runs on THAT tiny frame
+    (window over src), never on the event stream. Integer/integer division
+    happens once per (src, dst) row, so p is cross-engine exact.
+    Output: (src, dst, n, p)."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("src"),
+            F.lead(state_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("src"))).alias("p"),
+    )

@@ -4144,3 +4144,196 @@ def q96(spark, sf_dir):
     return sketches.hist_quantile(
         h, [0.25, 0.5, 0.75, 0.9, 0.99], lo=0.0, hi=512.0, n_bins=64
     )
+
+
+# ------------- q97: SCD Type 2 history from a change stream ----------------
+# The history-preserving consumer of a CDC feed (operators/scd.py): change
+# events (signup = delete, anything else = upsert of event_type) become
+# validity intervals [valid_from, valid_to) per user with consecutive
+# no-change upserts COLLAPSED — one shuffle, two stacked windows (plan
+# pinned in test_plan_shapes.py). The oracle replays the identical
+# change-point + lead logic in SQL windows.
+_Q97_SQL = """
+    WITH c AS (
+      SELECT user_id, event_id AS seq,
+             CASE WHEN event_type = 'signup' THEN 'd' ELSE 'u' END AS op,
+             CASE WHEN event_type = 'signup' THEN NULL
+                  ELSE event_type END AS e_et
+      FROM events),
+    m AS (
+      SELECT *, row_number() OVER w AS rn,
+             lag(op) OVER w AS p_op, lag(e_et) OVER w AS p_et
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+    cp AS (
+      SELECT * FROM m
+      WHERE rn = 1 OR op IS DISTINCT FROM p_op
+         OR e_et IS DISTINCT FROM p_et),
+    v AS (
+      SELECT user_id, op, e_et, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+      FROM cp)
+    SELECT user_id, e_et AS event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v WHERE op = 'u'
+"""
+
+
+@query("q97_scd2_history", _Q97_SQL)
+def q97(spark, sf_dir):
+    from georef_ar_etl_spark.operators import scd
+
+    ch = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        "event_type",
+    )
+    return scd.scd2_history(
+        ch, key_col="user_id", seq_col="seq", op_col="op",
+        payload_cols=["event_type"],
+    )
+
+
+# ------------- q98: per-group HLL registers (approx distinct / group) ------
+# Distinct users per event_type as GROUPED HyperLogLog register tables
+# (sketches.py::hll_group_registers): fixed m=512-int state per group,
+# map-side combinable, shard-mergeable — vs exact countDistinct's shuffle
+# of every (group, user) pair. Register-EXACT oracle (the q81 md5/bin
+# pattern, keyed); estimate accuracy is property-tested in pytest.
+_Q98_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT
+              % 2147483647)::BIGINT AS hv
+      FROM events)
+    SELECT event_type, hv % 512 AS bucket,
+           max(CASE WHEN (hv >> 9) = 0 THEN 23
+                    ELSE 23 - length(bin(hv >> 9)) END)::INTEGER AS r
+    FROM h GROUP BY event_type, hv % 512
+"""
+
+
+@query("q98_hll_group_registers", _Q98_SQL)
+def q98(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    return sketches.hll_group_registers(ev, "event_type", "u", p=9)
+
+
+# ------------- q99: presence bitmap (engagement days per user) -------------
+# Day-of-month activity per user packed into ONE long via bit_or(1 << d)
+# (functions/bitmaps.py): 8 bytes of per-group state, map-side combinable,
+# popcount cardinality — vs collect_set's per-group array. The
+# engagement/retention primitive at 10^9 users.
+_Q99_SQL = """
+    SELECT user_id,
+           bit_or((1::BIGINT) << (day(ts) - 1)) AS bitmap,
+           bit_count(bit_or((1::BIGINT) << (day(ts) - 1)))::INTEGER AS n_set
+    FROM events GROUP BY user_id
+"""
+
+
+@query("q99_presence_bitmap", _Q99_SQL)
+def q99(spark, sf_dir):
+    from georef_ar_etl_spark.functions.bitmaps import presence_bitmap
+
+    ev = _t(spark, sf_dir, "events")
+    return presence_bitmap(
+        ev, ["user_id"], F.dayofmonth("ts") - 1, width=31
+    )
+
+
+# ------------- q100: Markov transition matrix over event streams -----------
+# Per-user next-event transitions (temporal.py::transition_counts): one
+# lead() window shuffle on user_id, then a (src, dst) hash aggregate
+# bounded by |event_types|^2; probabilities normalize on that tiny frame,
+# never on the stream. (ts, event_id) ordering makes ties deterministic.
+_Q100_SQL = """
+    WITH p AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    g AS (SELECT src, dst, count(*)::BIGINT AS n
+          FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, n,
+           n::DOUBLE / (sum(n) OVER (PARTITION BY src))::DOUBLE AS p
+    FROM g
+"""
+
+
+@query("q100_markov_transitions", _Q100_SQL)
+def q100(spark, sf_dir):
+    from georef_ar_etl_spark.operators import temporal
+
+    return temporal.transition_counts(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        state_col="event_type",
+        order_cols=["ts", "event_id"],
+    )
+
+
+# ------------- q101: exact heavy hitters (Misra-Gries + recount) -----------
+# All tokens with count > n/50, EXACT, without a full-cardinality shuffle
+# (sketches.py::heavy_hitters): per-partition weighted Misra-Gries via
+# mapInPandas yields a guaranteed candidate SUPERSET (pigeonhole over the
+# per-partition n_p/k bounds), then a broadcast-semi-join exact recount
+# filters to the true answer — O(k) state per task vs O(vocabulary).
+_Q101_SQL = r"""
+    WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents),
+    t AS (SELECT w FROM toks WHERE w <> ''),
+    n AS (SELECT count(*) AS total FROM t)
+    SELECT w AS item, count(*)::BIGINT AS cnt
+    FROM t, n GROUP BY w, total HAVING count(*) * 50 > total
+"""
+
+
+@query("q101_heavy_hitters", _Q101_SQL)
+def q101(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return sketches.heavy_hitters(toks, "w", k=50)
+
+
+# ------------- q102: Z-order (Morton) clustering key ------------------------
+# The multi-dimensional layout key behind Delta/Iceberg OPTIMIZE ZORDER
+# (functions/layout.py::zorder_key): interleaving user and value bits makes
+# per-file min/max zones tight in BOTH dimensions after range-clustering,
+# so either predicate prunes files. Pure constant-folded shift/and/or
+# arithmetic in whole-stage codegen — the oracle recomputes the interleave
+# with a DuckDB list comprehension.
+_Q102_SQL = """
+    SELECT event_id,
+           (list_sum([((x >> i) & 1) << (2 * i) for i in range(12)])
+            + list_sum([((y >> i) & 1) << (2 * i + 1) for i in range(12)])
+           )::BIGINT AS zkey
+    FROM (SELECT event_id, user_id % 4096 AS x,
+                 CAST(floor(value) AS BIGINT) % 4096 AS y
+          FROM events)
+"""
+
+
+@query("q102_zorder_key", _Q102_SQL)
+def q102(spark, sf_dir):
+    from georef_ar_etl_spark.functions.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 4096).alias("x"),
+        (F.floor("value").cast("long") % 4096).alias("y"),
+    )
+    return ev.select(
+        "event_id", zorder_key([F.col("x"), F.col("y")], bits=12).alias("zkey")
+    )

@@ -196,3 +196,25 @@ def test_tpch_q69_dims_are_broadcast(spark):
     # is the classic 1000-executor plan bug
     assert p.count("BroadcastHashJoin") >= 2
     assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_scd2_single_exchange(spark):
+    """SCD2's two stacked windows (change-point lag + interval lead) share
+    partitioning and order, so the whole history build costs ONE exchange."""
+    from georef_ar_etl_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, 1, "u", "a")], "key int, seq int, op string, v string"
+    )
+    p = plan(scd2_history(df, "key", "seq", "op", ["v"]))
+    assert p.count("Exchange") == 1, p
+
+
+def test_heavy_hitters_big_side_never_shuffles_raw_items(spark):
+    """Pass 2 must be broadcast (semi join + total): no SortMergeJoin, no
+    exchange keyed by the raw item before the candidate filter."""
+    from georef_ar_etl_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(1000).select((F.col("id") % 50).cast("string").alias("w"))
+    p = plan(heavy_hitters(df, "w", k=10))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
