@@ -98,8 +98,8 @@ HEADLINE = [
     "q101_heavy_hitters",
     "q102_zorder_key",
 ]
-# q56_continuous_aggregate, q60_cdc_patch_replay_state and
-# q63_mor_point_lookup drive a full engine replay like q24/q30/q34 —
+# q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
+# and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —
 # the CDC replay benchmark below measures that path end-to-end
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at

@@ -52,7 +52,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -678,3 +678,252 @@ class ContinuousAggregate:
         return self.rollup.read_state().select(
             *self.group_names, "n", "sum_v", "min_v", "max_v"
         )
+
+
+class Scd2Index:
+    """Changelog-maintained SCD Type 2 history — the incremental twin of
+    ``operators/scd.py::scd2_history`` (equality against a full rebuild
+    over the same change stream is the pytest oracle): validity intervals
+    per key refresh from ``engine.changes()`` by touching ONLY the changed
+    docs' buckets, never by re-folding the whole stream.
+
+    The split that makes history maintenance APPEND-ONLY:
+
+    * ``cur``  — (doc_id, valid_from, alive, <payload>), bucketed by
+      doc_id: each doc's OPEN version (or its delete tombstone —
+      ``alive=false`` rows make repeated deletes collapse and survive
+      re-insert). This is both the collapse-compare lookup AND the payload
+      source for closing, so closing a version never reads ``hist``;
+    * ``hist`` — (doc_id, valid_from, valid_to, <payload>), bucketed by
+      doc_id: CLOSED versions only. Rows are written once and never
+      updated — "closing" a version MOVES it from cur to hist with
+      ``valid_to`` stamped, so hist needs no read-modify-write and its
+      per-epoch write is exactly the versions that closed.
+
+    Refresh cost is O(changed docs + their cur/hist buckets): the change
+    set folds per doc with the same one-exchange two-window plan as the
+    batch operator (change-point lag seeded by the cur row, closing lead
+    over the kept points), the cur lookup is bucket-pruned + broadcast-
+    trimmed (the DerivedValueIndex two-step), and both commits touch only
+    the changed docs' buckets. hist commits FIRST, cur LAST (cur is the
+    old-state authority the refresh reads): a refresh that crashes between
+    them re-runs against the unchanged cur and rewrites the identical
+    closed rows — idempotent, same torn-refresh contract as the other
+    indexes.
+
+    The version axis is the CHANGELOG EPOCH (``valid_from``/``valid_to``
+    are change epochs, half-open, tiling per doc). Input rows must be one
+    net change per (doc, epoch) — exactly what ``read_changes`` emits; the
+    changelog's event-based same-value re-emissions are collapsed here by
+    the change-point compare, which is the SCD2 semantics. Payload columns
+    are fixed at construction; on additive schema evolution bootstrap a
+    fresh root (the IVF retrain convention).
+
+    Reference analogue: none — the reference drops and reloads entity
+    tables per run (georef_ar_etl/loaders.py), discarding history.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        payload_fields: list[tuple[str, T.DataType]],
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.payload = [n for n, _ in payload_fields]
+        pf = [T.StructField(n, t, True) for n, t in payload_fields]
+        self.cur_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField("valid_from", T.LongType(), False),
+                T.StructField("alive", T.BooleanType(), False),
+            ]
+            + pf
+        )
+        self.hist_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField("valid_from", T.LongType(), False),
+                T.StructField("valid_to", T.LongType(), False),
+            ]
+            + pf
+        )
+        r = root.rstrip("/")
+        self.hist = SnapshotTable(spark, f"{r}/hist", n_buckets)
+        self.cur = SnapshotTable(spark, f"{r}/cur", n_buckets)
+
+    # ------------------------------------------------------------- bookkeeping
+    @property
+    def last_source_epoch(self) -> int | None:
+        m = self.cur.latest_manifest()
+        return None if m is None else int(m["metrics"]["source_epoch"])
+
+    @property
+    def pending_refresh_epoch(self) -> int | None:
+        """Non-None when a refresh tore between the hist and cur commits:
+        re-run the SAME range (idempotent — cur, the old-state source, has
+        not advanced, so the recomputed closed rows are identical)."""
+        cm = self.cur.latest_manifest()
+        hm = self.hist.latest_manifest()
+        if cm is None or hm is None:
+            return None
+        c = int(cm["metrics"]["source_epoch"])
+        h = int(hm["metrics"]["source_epoch"])
+        return h if h > c else None
+
+    def _dbucket(self, table) -> Callable[[], Column]:
+        return lambda: bucket_expr(F.col("doc_id"), table.n_buckets)
+
+    # --------------------------------------------------------------- bootstrap
+    def bootstrap(self, state_df: DataFrame, source_epoch: int = 0) -> None:
+        """Open one version per initial row at ``valid_from=source_epoch``.
+        cur commits last (it is the progress authority)."""
+        if self.cur.latest_manifest() is not None:
+            return
+        rows = state_df.select(
+            "doc_id",
+            F.lit(int(source_epoch)).cast("long").alias("valid_from"),
+            F.lit(True).alias("alive"),
+            *self.payload,
+        )
+        _commit_epoch(self.hist, self.hist_schema, None, [], source_epoch, "bootstrap")
+        _commit_epoch(
+            self.cur,
+            self.cur_schema,
+            rows.withColumn("bucket", bucket_expr(F.col("doc_id"), self.cur.n_buckets)),
+            list(range(self.cur.n_buckets)),
+            source_epoch,
+            "bootstrap",
+        )
+
+    # ----------------------------------------------------------------- refresh
+    def refresh(self, changes_df: DataFrame, source_epoch: int) -> dict:
+        """Fold a changelog range (rows of ``engine.changes(from, to]``,
+        one net change per (doc, epoch)) into the history and advance to
+        ``source_epoch`` (= the range's to_epoch)."""
+        pending = self.pending_refresh_epoch
+        if pending is not None and source_epoch != pending:
+            raise ValueError(
+                f"torn refresh detected: hist reached source epoch {pending} "
+                f"but cur did not — re-run refresh(changes("
+                f"{self.last_source_epoch}, {pending}), {pending}) first "
+                f"(idempotent), then continue"
+            )
+        staged = changes_df.select(
+            "doc_id",
+            F.col("change_epoch").cast("long").alias("_seq"),
+            F.when(F.col("op") == "upsert", F.lit("u")).otherwise(F.lit("d")).alias("_op"),
+            # effective payload: NULL-masked for deletes so d==d collapses
+            # regardless of junk in the delete row's payload columns
+            *[
+                F.when(F.col("op") == "upsert", F.col(c)).alias(f"_e_{c}")
+                for c in self.payload
+            ],
+            bucket_expr(F.col("doc_id"), self.cur.n_buckets).alias("bucket"),
+        ).localCheckpoint(eager=True)
+        touched = sorted(
+            r["bucket"] for r in staged.select("bucket").distinct().collect()
+        )
+        if not touched:
+            _commit_epoch(self.hist, self.hist_schema, None, [], source_epoch, "refresh")
+            _commit_epoch(self.cur, self.cur_schema, None, [], source_epoch, "refresh")
+            return {"closed": 0, "cur_upserts": 0}
+
+        # old-state lookup: bucket-pruned cur scan, broadcast-semi trimmed
+        # to the changed docs, then small-x-small broadcast left join (the
+        # DerivedValueIndex._lookup_old two-step — pruned buckets never
+        # shuffle)
+        old = self.cur.read_state(buckets=touched).select(
+            "doc_id",
+            F.col("valid_from").alias("_o_from"),
+            F.col("alive").alias("_o_alive"),
+            *[F.col(c).alias(f"_o_{c}") for c in self.payload],
+            F.lit(True).alias("_has_old"),
+        )
+        trimmed = old.join(F.broadcast(staged.select("doc_id")), "doc_id", "left_semi")
+        j = staged.join(F.broadcast(trimmed), "doc_id", "left")
+
+        old_op = (
+            F.when(F.col("_has_old").isNull(), F.lit(None).cast("string"))
+            .when(F.col("_o_alive"), F.lit("u"))
+            .otherwise(F.lit("d"))
+        )
+        old_eff = {
+            c: F.when(F.col("_has_old") & F.col("_o_alive"), F.col(f"_o_{c}"))
+            for c in self.payload
+        }
+
+        w = Window.partitionBy("doc_id").orderBy("_seq")
+        rn = F.row_number().over(w)
+        prev_op = F.when(rn == 1, old_op).otherwise(F.lag("_op").over(w))
+        same = F.col("_op").eqNullSafe(prev_op)
+        for c in self.payload:
+            prev_c = F.when(rn == 1, old_eff[c]).otherwise(F.lag(f"_e_{c}").over(w))
+            same = same & F.col(f"_e_{c}").eqNullSafe(prev_c)
+        # change-point filter preserves w's partitioning AND sort — the
+        # second window below adds no exchange (scd2_history plan shape)
+        cp = j.withColumn("_keep", ~same).filter("_keep")
+
+        rk = F.row_number().over(w)
+        p_op = F.when(rk == 1, old_op).otherwise(F.lag("_op").over(w))
+        p_from = F.when(rk == 1, F.col("_o_from")).otherwise(F.lag("_seq").over(w))
+        closed = (
+            cp.select(
+                "doc_id",
+                p_op.alias("_p_op"),
+                p_from.alias("valid_from"),
+                F.col("_seq").alias("valid_to"),
+                *[
+                    F.when(rk == 1, old_eff[c])
+                    .otherwise(F.lag(f"_e_{c}").over(w))
+                    .alias(c)
+                    for c in self.payload
+                ],
+            )
+            .filter(F.col("_p_op") == "u")
+            .drop("_p_op")
+        )
+        last = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("_seq").desc())
+        )
+        finals = cp.withColumn("_rl", last).filter("_rl = 1").select(
+            "doc_id",
+            F.col("_seq").alias("valid_from"),
+            (F.col("_op") == "u").alias("alive"),
+            *[F.col(f"_e_{c}").alias(c) for c in self.payload],
+        )
+        # both frames derive from the same two-window fold; materialize it
+        # once (each _cow_apply runs a touched-collect plus the merge)
+        closed = closed.localCheckpoint(eager=True)
+        finals = finals.localCheckpoint(eager=True)
+
+        empty_keys = closed.select("doc_id", "valid_from").limit(0)
+        n_closed = _cow_apply(
+            self.hist, self.hist_schema, closed, empty_keys,
+            ["doc_id", "valid_from"], self._dbucket(self.hist), source_epoch,
+            always_commit=True,
+        )
+        n_cur = _cow_apply(
+            self.cur, self.cur_schema, finals, finals.select("doc_id").limit(0),
+            ["doc_id"], self._dbucket(self.cur), source_epoch,
+            always_commit=True,
+        )
+        return {"closed": n_closed, "cur_upserts": n_cur}
+
+    # ------------------------------------------------------------------ query
+    def history(self) -> DataFrame:
+        """The full Type 2 table: closed versions from hist plus each live
+        doc's open version from cur — (doc_id, <payload>, valid_from,
+        valid_to, is_current). Delete tombstones (alive=false) are
+        bookkeeping, not versions, and are excluded."""
+        closed = self.hist.read_state().select(
+            "doc_id", *self.payload, "valid_from", "valid_to",
+            F.lit(False).alias("is_current"),
+        )
+        open_ = self.cur.read_state().filter("alive").select(
+            "doc_id", *self.payload, "valid_from",
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        return closed.unionByName(open_)

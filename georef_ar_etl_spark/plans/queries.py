@@ -4337,3 +4337,105 @@ def q102(spark, sf_dir):
     return ev.select(
         "event_id", zorder_key([F.col("x"), F.col("y")], bits=12).alias("zkey")
     )
+
+
+# ------------- q103: incremental SCD2 maintenance (changelog consumer) -----
+# The history-preserving changelog consumer (index_maintenance.py::
+# Scd2Index): the q24 engine replays its 4-batch derived log, and the SCD2
+# index refreshes epoch-by-epoch from engine.changes() — closing versions
+# by MOVING rows from the cur table to the append-only hist table, touching
+# only the changed docs' buckets. The oracle folds the identical change
+# stream (per-batch net valid events, normalized, bootstrap as epoch 0)
+# through SQL-window SCD2: equality proves incremental == batch fold across
+# inserts, updates, deletes, re-inserts and same-value re-emissions (which
+# the changelog's event-based mode emits and the change-point compare must
+# collapse). Version axis relabeled epoch->batch on the Spark side so the
+# comparison is independent of internal epoch numbering.
+_Q103_SQL = f"""
+    WITH {_Q24_BASE_CTES},
+    nets AS (
+      SELECT (batch_id + 1)::BIGINT AS seq, doc_id, op, tokens, source
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, batch_id
+                                         ORDER BY seq DESC) AS rn
+            FROM valid) WHERE rn = 1),
+    nup AS (
+      SELECT seq, doc_id, 'u' AS sop, nn[1:lastnz::int] AS tokens,
+             lastnz::int AS n_tok, source
+      FROM (
+        SELECT seq, doc_id, nn,
+               coalesce(list_max(list_transform(
+                   generate_series(1, greatest(len(nn), 1)),
+                   i -> CASE WHEN nn[i::int] <> 0 THEN i ELSE 0 END)), 0) AS lastnz,
+               source
+        FROM (SELECT seq, doc_id, list_filter(tokens, x -> x >= 0) AS nn, source
+              FROM nets WHERE op <> 'delete'))),
+    ndel AS (
+      SELECT seq, doc_id, 'd' AS sop, CAST(NULL AS INT[]) AS tokens,
+             CAST(NULL AS INT) AS n_tok, CAST(NULL AS VARCHAR) AS source
+      FROM nets WHERE op = 'delete'),
+    stream AS (
+      SELECT doc_id, 0::BIGINT AS seq, 'u' AS sop, tokens, n_tok, source FROM init
+      UNION ALL SELECT doc_id, seq, sop, tokens, n_tok, source FROM nup
+      UNION ALL SELECT doc_id, seq, sop, tokens, n_tok, source FROM ndel),
+    m AS (
+      SELECT *, row_number() OVER w AS rn, lag(sop) OVER w AS p_op,
+             lag(tokens) OVER w AS p_t, lag(n_tok) OVER w AS p_n,
+             lag(source) OVER w AS p_s
+      FROM stream WINDOW w AS (PARTITION BY doc_id ORDER BY seq)),
+    cp AS (
+      SELECT * FROM m
+      WHERE rn = 1 OR sop IS DISTINCT FROM p_op
+         OR tokens IS DISTINCT FROM p_t OR n_tok IS DISTINCT FROM p_n
+         OR source IS DISTINCT FROM p_s),
+    v AS (
+      SELECT doc_id, sop, tokens, n_tok, source, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+      FROM cp)
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok,
+           source, valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM v WHERE sop = 'u'
+"""
+
+
+@query("q103_scd2_incremental", _Q103_SQL)
+def q103(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.operators.index_maintenance import Scd2Index
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("cdc_scd2_q103", sf_dir)
+    eng = CdcEngine(spark, f"{root}/src", n_buckets=16)
+    eng.bootstrap(initial)
+    idx = Scd2Index(
+        spark,
+        f"{root}/scd2",
+        [
+            ("tokens", T.ArrayType(T.IntegerType(), True)),
+            ("n_tok", T.IntegerType()),
+            ("source", T.StringType()),
+        ],
+        n_buckets=8,
+    )
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+    emap = {0: 0}
+    for b in range(4):
+        m = eng.apply_batch(events.filter(F.col("batch_id") == b), b)
+        idx.refresh(eng.changes(idx.last_source_epoch, m["epoch"]), m["epoch"])
+        emap[m["epoch"]] = b + 1
+    relabel = F.create_map(
+        *[F.lit(x).cast("long") for kv in emap.items() for x in kv]
+    )
+    h = idx.history()
+    return h.select(
+        "doc_id",
+        F.md5(F.array_join(F.col("tokens").cast("array<string>"), ",")).alias(
+            "tokens_fp"
+        ),
+        "n_tok",
+        "source",
+        relabel[F.col("valid_from")].alias("valid_from"),
+        relabel[F.col("valid_to")].alias("valid_to"),
+        "is_current",
+    )

@@ -583,3 +583,190 @@ def test_consumers_refresh_across_schema_evolution(spark, tmp_path):
     agg.refresh(eng.changes(0, last_epoch), last_epoch)
     assert _group_rows(idx.groups()) == _group_rows(_batch_recompute(eng.state()))
     assert _agg_rows(agg.aggregate()) == _agg_rows(_agg_recompute(eng.state()))
+
+
+# ------------------------------------------------------------- SCD2 index
+def _scd2_payload():
+    from pyspark.sql import types as T
+
+    return [
+        ("tokens", T.ArrayType(T.IntegerType(), True)),
+        ("n_tok", T.IntegerType()),
+        ("source", T.StringType()),
+    ]
+
+
+def _hist_rows(df):
+    return sorted(
+        (
+            r["doc_id"],
+            tuple(r["tokens"]) if r["tokens"] is not None else None,
+            r["n_tok"],
+            r["source"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in df.collect()
+    )
+
+
+def _scd2_batch_rebuild(eng):
+    """Full-rebuild oracle: scd2_history over bootstrap-state-as-epoch-0
+    plus the ENTIRE changelog — what the incremental index must equal."""
+    from georef_ar_etl_spark.operators.scd import scd2_history
+
+    payload = [n for n, _ in _scd2_payload()]
+    boot = eng.state(epoch=0).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("u").alias("op"),
+        *payload,
+    )
+    head = eng.table.latest_manifest()["epoch"]
+    ch = eng.changes(0, head).select(
+        "doc_id",
+        F.col("change_epoch").cast("long").alias("seq"),
+        F.when(F.col("op") == "upsert", F.lit("u")).otherwise(F.lit("d")).alias("op"),
+        *payload,
+    )
+    return scd2_history(
+        boot.unionByName(ch), "doc_id", "seq", "op", payload
+    ).select("doc_id", *payload, "valid_from", "valid_to", "is_current")
+
+
+def test_scd2_index_equals_batch_rebuild(spark, tmp_path):
+    from georef_ar_etl_spark.operators.index_maintenance import Scd2Index
+
+    initial = datagen.gen_initial_state(120, seed=201, max_len=10)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=200, n_batches=5, seed=202,
+        max_len=10,
+    )
+    evdf = datagen.events_to_df(spark, events)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4, mor_max_deltas=2)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    idx = Scd2Index(spark, str(tmp_path / "scd2"), _scd2_payload(), n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+    assert idx.last_source_epoch == 0
+
+    # per-epoch refreshes for the first three batches (delta AND rewrite
+    # epochs — mor_max_deltas=2 forces inline compactions into the mix)
+    for b in range(3):
+        m = eng.apply_batch(evdf.filter(F.col("batch_id") == b), b)
+        idx.refresh(eng.changes(idx.last_source_epoch, m["epoch"]), m["epoch"])
+        assert idx.last_source_epoch == m["epoch"]
+        assert _hist_rows(idx.history()) == _hist_rows(_scd2_batch_rebuild(eng)), b
+
+    # one MULTI-epoch range refresh covering the last two batches: per-doc
+    # per-epoch versions must still come out one by one, not collapsed
+    for b in (3, 4):
+        m = eng.apply_batch(evdf.filter(F.col("batch_id") == b), b)
+    idx.refresh(eng.changes(idx.last_source_epoch, m["epoch"]), m["epoch"])
+    assert _hist_rows(idx.history()) == _hist_rows(_scd2_batch_rebuild(eng))
+
+    # versions never overlap per doc (valid_to <= next valid_from; a gap
+    # is legal — it is a deleted span), at most one current
+    import collections
+
+    by_doc = collections.defaultdict(list)
+    for row in _hist_rows(idx.history()):
+        by_doc[row[0]].append(row)
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r[4])
+        for a, b2 in zip(rows, rows[1:]):
+            assert a[5] is not None and a[5] <= b2[4], (doc, a, b2)
+        assert sum(1 for r in rows if r[6]) <= 1
+        assert all(r[5] is not None for r in rows[:-1])
+
+
+def test_scd2_index_delete_reinsert_and_collapse(spark, tmp_path):
+    """Hand-built changelog: same-value re-emission collapses (no new
+    version), delete closes + tombstones, re-insert opens fresh, repeated
+    deletes collapse."""
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.index_maintenance import Scd2Index
+
+    payload = _scd2_payload()
+    idx = Scd2Index(spark, str(tmp_path / "scd2"), payload, n_buckets=2)
+    state = spark.createDataFrame(
+        [("a", [1, 2], 2, "s"), ("b", [3], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    idx.bootstrap(state, source_epoch=0)
+
+    ch_schema = (
+        "change_epoch long, batch_id long, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string"
+    )
+
+    def ch(rows):
+        return spark.createDataFrame(rows, ch_schema)
+
+    # epoch 1: a re-emitted SAME value (collapse), b updated
+    idx.refresh(ch([(1, 1, "upsert", "a", [1, 2], 2, "s"),
+                    (1, 1, "upsert", "b", [9], 1, "s")]), 1)
+    # epoch 2: a deleted; epoch 3: a deleted AGAIN (collapse) + re-insert c
+    idx.refresh(ch([(2, 2, "delete", "a", None, None, None)]), 2)
+    idx.refresh(ch([(3, 3, "delete", "a", None, None, None),
+                    (3, 3, "upsert", "c", [7], 1, "w")]), 3)
+    # epoch 4: a re-inserted
+    idx.refresh(ch([(4, 4, "upsert", "a", [5], 1, "s")]), 4)
+
+    got = _hist_rows(idx.history())
+    assert got == sorted([
+        ("a", (1, 2), 2, "s", 0, 2, False),   # epoch-1 re-emit collapsed
+        ("a", (5,), 1, "s", 4, None, True),   # re-insert after delete
+        ("b", (3,), 1, "s", 0, 1, False),
+        ("b", (9,), 1, "s", 1, None, True),
+        ("c", (7,), 1, "w", 3, None, True),
+    ])
+
+
+def test_scd2_index_torn_refresh_idempotent(spark, tmp_path, monkeypatch):
+    """Crash between the hist and cur commits: the guard demands the same
+    range, and the re-run converges to the batch rebuild."""
+    from georef_ar_etl_spark.operators import index_maintenance as im
+
+    initial = datagen.gen_initial_state(40, seed=211, max_len=8)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=60, n_batches=2, seed=212,
+        max_len=8,
+    )
+    evdf = datagen.events_to_df(spark, events)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=2)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    idx = im.Scd2Index(spark, str(tmp_path / "scd2"), _scd2_payload(), n_buckets=2)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+
+    m0 = eng.apply_batch(evdf.filter(F.col("batch_id") == 0), 0)
+    idx.refresh(eng.changes(0, m0["epoch"]), m0["epoch"])
+
+    m1 = eng.apply_batch(evdf.filter(F.col("batch_id") == 1), 1)
+
+    real = im._cow_apply
+    calls = {"n": 0}
+
+    def crash_on_second(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before cur commit")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(im, "_cow_apply", crash_on_second)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        idx.refresh(eng.changes(idx.last_source_epoch, m1["epoch"]), m1["epoch"])
+    monkeypatch.setattr(im, "_cow_apply", real)
+
+    assert idx.pending_refresh_epoch == m1["epoch"]
+    # a wider/other range is refused
+    with _pytest.raises(ValueError, match="torn refresh"):
+        idx.refresh(eng.changes(idx.last_source_epoch, m1["epoch"] ), m1["epoch"] + 7)
+    # re-running the SAME range heals
+    idx.refresh(eng.changes(idx.last_source_epoch, m1["epoch"]), m1["epoch"])
+    assert idx.pending_refresh_epoch is None
+    assert _hist_rows(idx.history()) == _hist_rows(_scd2_batch_rebuild(eng))
