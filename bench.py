@@ -97,6 +97,11 @@ HEADLINE = [
     "q100_markov_transitions",
     "q101_heavy_hitters",
     "q102_zorder_key",
+    "q104_set_similarity_join",
+    "q105_triangles",
+    "q106_skyline",
+    "q107_mask_tokens",
+    "q108_bpe_merges",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —

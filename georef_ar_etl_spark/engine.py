@@ -296,6 +296,112 @@ class CdcEngine:
         See SnapshotTable.read_changes for semantics and cost model."""
         return self.table.read_changes(from_epoch, to_epoch, value_diff=value_diff)
 
+    # --------------------------------------------------- dead-letter re-drive
+    def quarantined(
+        self, from_epoch: int = 0, to_epoch: int | None = None
+    ) -> DataFrame:
+        """Dead-letter reader: the quarantine side-outputs of committed
+        epochs in ``(from_epoch, to_epoch]`` — original event columns plus
+        ``reason`` and ``q_epoch`` (the epoch whose batch quarantined the
+        event). Side-outputs written under evolved schemas union by name
+        (missing columns null). Zero rows → an empty frame on the base
+        event schema.
+
+        Retention: quarantine side-outputs live with their epoch —
+        ``vacuum`` reclaims them together with expired snapshots, so
+        re-drive dead letters BEFORE their epochs fall out of the
+        retained window."""
+        from georef_ar_etl_spark.schemas import EVENT_SCHEMA
+
+        head = self.table.latest_manifest()
+        hi = to_epoch if to_epoch is not None else (head["epoch"] if head else 0)
+        parts = []
+        for m in self.table.manifests():
+            if from_epoch < m["epoch"] <= hi and m.get("quarantine_path"):
+                parts.append(
+                    self.spark.read.parquet(
+                        f"{self.table.root}/{m['quarantine_path']}"
+                    ).withColumn("q_epoch", F.lit(m["epoch"]).cast("long"))
+                )
+        if not parts:
+            import pyspark.sql.types as T
+
+            empty = T.StructType(
+                list(EVENT_SCHEMA.fields)
+                + [
+                    T.StructField("reason", T.StringType()),
+                    T.StructField("q_epoch", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def redrive_quarantined(
+        self,
+        batch_id: int,
+        from_epoch: int = 0,
+        to_epoch: int | None = None,
+        reasons: list[str] | None = None,
+    ) -> dict:
+        """Fix-and-replay for the dead-letter queue: re-apply quarantined
+        events as a NEW batch after the cause is repaired (the canonical
+        case: late dimension rows — update ``self.dim`` first; re-validation
+        happens inside the normal ``apply_batch`` path, so events that are
+        STILL invalid simply re-quarantine at the new epoch, and the new
+        batch gets the full digest/conflict/idempotency treatment).
+
+        Supersession guard — the part that keeps re-drive from corrupting
+        state: a quarantined event is DROPPED when its doc_id has any
+        committed change in an epoch ``>= q_epoch`` (changelog witness).
+        State rows carry no per-row (batch_id, seq) lineage, so "my batch
+        also wrote this doc" cannot be ordered against the dead letter —
+        the guard is deliberately conservative: re-driving stale payloads
+        over newer writes is silent corruption, while re-submitting a
+        genuinely-wanted update is always possible upstream. Requires
+        changelog retention (vacuum ``keep_last``) to still cover the
+        re-drive window — an expired range fails loudly in read_changes
+        rather than silently skipping the guard.
+
+        ``reasons`` restricts the re-drive to specific quarantine reasons
+        (e.g. only ``unknown_dim`` after a dim fix). Returns the
+        ``apply_batch`` manifest with re-drive counts added under
+        ``metrics.redrive``."""
+        head = self.table.latest_manifest()
+        if head is None:
+            raise ValueError("redrive requires a bootstrapped table")
+        # idempotent re-delivery: a redrive batch's CONTENT is
+        # state-dependent (the supersession guard sees the first redrive's
+        # own commits on a second run), so the digest check alone would
+        # mis-read re-delivery as conflict — short-circuit on the batch id
+        # BEFORE recomputing, same exactly-once outcome as apply_batch
+        committed = self.table.committed_batches()
+        if batch_id in committed:
+            return committed[batch_id]
+        q = self.quarantined(from_epoch, to_epoch)
+        if reasons is not None:
+            q = q.filter(F.col("reason").isin(list(reasons)))
+        q = q.drop("reason")
+        n_selected = q.count()
+        ch = self.changes(from_epoch, head["epoch"]).select(
+            F.col("doc_id").alias("_ch_doc"), "change_epoch"
+        )
+        live = q.join(
+            ch,
+            (q["doc_id"] == ch["_ch_doc"]) & (ch["change_epoch"] >= q["q_epoch"]),
+            "left_anti",
+        ).drop("q_epoch")
+        n_live = live.count()
+        manifest = self.apply_batch(live, batch_id)
+        manifest.setdefault("metrics", {})["redrive"] = {
+            "selected": int(n_selected),
+            "superseded": int(n_selected - n_live),
+            "redriven": int(n_live),
+        }
+        return manifest
+
     def assert_size(self, target_size: int, op: str = "eq") -> int:
         """Row-count gate on the CURRENT committed state (reference:
         ValidateTableSizeStep, georef_ar_etl/utils.py:94-118). Reads the

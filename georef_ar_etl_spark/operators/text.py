@@ -891,3 +891,153 @@ def dedup_lines_in_doc(
             (F.col("_tot") - F.size("_kept")).cast("long").alias("n_dropped"),
         )
     )
+
+
+def mask_tokens(
+    text_col: Column,
+    doc_id_col: Column,
+    vocab_size: int = 32768,
+    mask_pct: int = 15,
+) -> Column:
+    """Deterministic MLM-style token masking (the BERT/T5 pretraining
+    corruption step, Devlin et al. 2019): position i of a doc is replaced
+    by the sentinel id ``vocab_size`` iff ``md5(doc_id ':' i) mod 100 <
+    mask_pct``. Seeding by (doc, position) hash — not an RNG — makes the
+    corrupted corpus a pure function of the data: reproducible across
+    engines, runs, partitionings and retries (an executor retry re-masks
+    identically, which a stateful RNG cannot guarantee). Pure Catalyst
+    higher-order functions over hash_tokenize ids; md5-derived on purpose
+    so a DuckDB oracle replays every mask decision (q107)."""
+    ids = hash_tokenize(text_col, vocab_size)
+    did = doc_id_col.cast("string")
+    return F.transform(
+        ids,
+        lambda x, i: F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(did, F.lit(":"), i.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < mask_pct,
+            F.lit(vocab_size),
+        ).otherwise(x),
+    )
+
+
+def _merge_pair_expr(syms: Column, left: str, right: str) -> Column:
+    """One greedy left-to-right non-overlapping BPE merge pass over a
+    symbol array: adjacent (left, right) -> left||right. A linear fold —
+    the merged symbol participates in LATER pairs (merge (a,a) turns
+    'a a a a' into 'aa aa', and 'a a a' into 'aa a') exactly like the
+    reference BPE replacement scan."""
+    lit_l, lit_r = F.lit(left), F.lit(right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (x == lit_r),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Byte-pair-encoding merge-table training (Sennrich et al. ACL'16) —
+    the tokenizer-training step of a pretraining pipeline, run as a
+    distributed iterative job. Words are symbol sequences (characters
+    plus a terminal '</w>' symbol); each round counts adjacent symbol
+    pairs weighted by word frequency, promotes the most frequent pair
+    (ties broken (count desc, left asc, right asc) — fully deterministic,
+    so the merge table is a pure function of the corpus), and rewrites
+    the vocabulary with the greedy non-overlapping merge.
+
+    Scale posture: after ONE corpus pass (word count, map-side
+    combinable), every iteration runs on the VOCABULARY frame — corpus
+    text is never touched again, which is why classic BPE trainers
+    operate on the word-frequency table. Per round: one pair-count
+    shuffle (combinable, ≤ |vocab|·avg_len rows in, |pairs| out) and one
+    single-row TakeOrdered to the driver (the argmax — metadata-sized,
+    the same driver-loop shape as the seeded-kmeans centroid step);
+    lineage is truncated by localCheckpoint every ``checkpoint_every``
+    rounds so the per-word fold expressions don't nest across rounds.
+
+    Returns (rank, left, right, pair_count), rank = 0..k-1 in merge
+    order. Stops early when no pair reaches ``min_pair_count``.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>"))).alias("syms"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    # guard: sequence(1, 0) DESCENDS in Spark — a fully
+                    # merged single-symbol word must yield no pairs
+                    F.when(
+                        F.size("syms") > 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("l"),
+                                F.element_at("syms", i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = pairs.orderBy(F.desc("pc"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top or top[0]["pc"] < min_pair_count:
+            break
+        left, right, pc = top[0]["l"], top[0]["r"], int(top[0]["pc"])
+        merges.append((rank, left, right, pc))
+        vocab = vocab.select(
+            _merge_pair_expr(F.col("syms"), left, right).alias("syms"), "cnt"
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank: int, left: string, right: string, pair_count: bigint"
+    )
+
+
+def bpe_encode(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a trained merge table to text → symbol arrays: chain the
+    greedy merge passes in rank order (merge priority = training order,
+    the BPE contract). Columnar chained folds, fine for the k ≲ 100
+    merges a test vocabulary carries; a production encoder with 10^4+
+    merges would switch to a pandas-UDF priority-queue encode — the
+    TRAINING side above is the distributed-scale path."""
+    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
+    syms = F.flatten(
+        F.transform(
+            words, lambda w: F.concat(F.split(w, ""), F.array(F.lit("</w>")))
+        )
+    )
+    for left, right in merges:
+        syms = _merge_pair_expr(syms, left, right)
+    return syms

@@ -4439,3 +4439,161 @@ def q103(spark, sf_dir):
         relabel[F.col("valid_to")].alias("valid_to"),
         "is_current",
     )
+
+
+# ------------- q104: exact set-similarity join (prefix filtering) ----------
+# AllPairs/PPJoin-family EXACT Jaccard self-join: no blocking key, no
+# estimate — prefix filtering under the ascending-df global token order
+# guarantees zero false negatives while the candidate join only ever
+# touches each doc's rarest tokens (doc_dedup.py::set_similarity_join).
+# The oracle is the brute-force all-pairs ground truth with the identical
+# integer threshold (100·I ≥ pct·(La+Lb−I)), so the comparison proves the
+# filter loses nothing.
+_Q104_SQL = r"""
+    WITH n AS (SELECT doc_id AS id,
+                      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+               FROM documents),
+    s AS (SELECT id, list_distinct(list_transform(
+            list_distinct(list_transform(
+              generate_series(1, greatest(length(t) - 7, 1)),
+              i -> substr(t, i::int, 8))),
+            g -> (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT)) AS toks
+          FROM n),
+    p AS (SELECT a.id AS id_a, b.id AS id_b,
+                 len(list_intersect(a.toks, b.toks))::BIGINT AS i,
+                 len(a.toks)::BIGINT AS la, len(b.toks)::BIGINT AS lb
+          FROM s a JOIN s b ON a.id < b.id)
+    SELECT id_a, id_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard
+    FROM p WHERE 100 * i >= 80 * (la + lb - i)
+"""
+
+
+@query("q104_set_similarity_join", _Q104_SQL)
+def q104(spark, sf_dir):
+    return doc_dedup.set_similarity_join(
+        _t(spark, sf_dir, "documents"), min_jaccard_pct=80, shingle_k=8
+    )
+
+
+# ------------- q105: triangle enumeration (compact-forward) ---------------
+# Exact triangles of the q89 event-derived link graph, each {a,b,c} once
+# with a<b<c. The Spark plan orients edges by (degree, node) so wedges are
+# generated at the lowest-degree apex (O(m^1.5) bound, hub-skew safe —
+# operators/graph.py::triangles); the oracle is the canonical three-way
+# self-join on the id order, which enumerates the identical set.
+_Q105_SQL = """
+    WITH raw AS (SELECT user_id % 40 AS x, (user_id * 7 + event_id) % 50 AS y
+                 FROM events),
+    e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+          FROM raw WHERE x <> y)
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1 JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@query("q105_triangles", _Q105_SQL)
+def q105(spark, sf_dir):
+    from georef_ar_etl_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    )
+    return graph.triangles(e)
+
+
+# ------------- q106: skyline / Pareto frontier -----------------------------
+# Multi-criteria "best rows": maximize l_quantity while minimizing
+# l_extendedprice. Spark runs the generic d-dim two-phase skyline
+# (partition-local prune → bounded global prune, operators/skyline.py);
+# the oracle exploits the 2-D special case exactly — per-quantity min
+# price, surviving iff no strictly-higher quantity achieved ≤ price
+# (running-min window) — so the generic operator is checked against an
+# independent closed-form formulation, not itself.
+_Q106_SQL = """
+    WITH pts AS (SELECT DISTINCT l_quantity AS quantity,
+                                 l_extendedprice AS price
+                 FROM lineitem),
+    m AS (SELECT quantity, min(price) AS price FROM pts GROUP BY quantity),
+    w AS (SELECT quantity, price,
+                 min(price) OVER (ORDER BY quantity DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS better
+          FROM m)
+    SELECT quantity, price FROM w WHERE better IS NULL OR price < better
+"""
+
+
+@query("q106_skyline", _Q106_SQL)
+def q106(spark, sf_dir):
+    from georef_ar_etl_spark.operators.skyline import skyline
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return skyline(li, {"quantity": "max", "price": "min"})
+
+
+# ------------- q107: deterministic MLM token masking -----------------------
+# The pretraining corruption step as a pure function of the data:
+# position i masked iff md5(doc_id:i) mod 100 < 15 — reproducible across
+# engines/retries/partitionings with no RNG state (text.py::mask_tokens).
+# The oracle replays the identical md5 arithmetic per position.
+_Q107_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+             list_transform(words,
+               x -> ((('0x' || substr(md5(x), 1, 8))::UBIGINT % 32768)::INT)
+             ) AS ids
+      FROM w),
+    m AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(ids)),
+               i -> CASE WHEN ('0x' || substr(md5(doc_id::varchar || ':'
+                                 || (i - 1)::varchar), 1, 8))::UBIGINT
+                              % 100 < 15
+                         THEN 32768 ELSE ids[i::int] END) AS masked
+      FROM t)
+    SELECT doc_id, md5(array_to_string(masked, ',')) AS masked_fp,
+           len(list_filter(masked, x -> x = 32768))::BIGINT AS n_masked,
+           len(masked)::BIGINT AS n_tok
+    FROM m
+"""
+
+
+@query("q107_mask_tokens", _Q107_SQL)
+def q107(spark, sf_dir):
+    masked = text.mask_tokens(
+        F.col("text"), F.col("doc_id"), vocab_size=32768, mask_pct=15
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _arr_fp(masked).alias("masked_fp"),
+        F.size(F.filter(masked, lambda x: x == 32768)).cast("long").alias("n_masked"),
+        F.size(masked).cast("long").alias("n_tok"),
+    )
+
+
+# ------------- q108: BPE merge-table training (iterative, rows-only) ------
+# Tokenizer training as a distributed iterative job: one corpus pass for
+# word counts, then every round runs on the VOCABULARY frame (pair count
+# shuffle + single-row argmax to the driver) — text.py::bpe_merges. The
+# merge table is a pure function of the corpus (deterministic tie-break
+# count desc, left asc, right asc). Iterative argmax is not
+# SQL-expressible, so this entry is rows-only for the driver;
+# tests/test_bpe_skyline.py pins it against a pure-Python Sennrich
+# reference (merge table AND encode), including the greedy-non-overlap
+# chain semantics.
+@query("q108_bpe_merges")
+def q108(spark, sf_dir):
+    return text.bpe_merges(
+        _t(spark, sf_dir, "documents"), n_merges=10, min_pair_count=2
+    )
