@@ -293,6 +293,7 @@ def set_similarity_join(
     id_col: str = "doc_id",
     min_jaccard_pct: int = 50,
     shingle_k: int = 8,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join with prefix filtering (the
     AllPairs / PPJoin family — Bayardo et al. WWW'07, Chaudhuri et al.
@@ -400,17 +401,18 @@ def set_similarity_join(
     fa, fb = ordered.alias("fa"), ordered.alias("fb")
     inter = F.size(F.array_intersect("fa.toks", "fb.toks"))
     la, lb = F.col("fa.len"), F.col("fb.len")
-    out = (
-        cand.join(fa, F.col("id_a") == F.col("fa.id"))
-        .join(fb, F.col("id_b") == F.col("fb.id"))
-        .filter(inter * 100 >= (la + lb - inter) * pct)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter.cast("double") / (la + lb - inter), 6).alias("jaccard"),
-        )
-        .localCheckpoint(eager=True)
+    out = cand.join(fa, F.col("id_a") == F.col("fa.id")).join(
+        fb, F.col("id_b") == F.col("fb.id")
+    ).filter(inter * 100 >= (la + lb - inter) * pct).select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / (la + lb - inter), 6).alias("jaccard"),
     )
+    if not checkpoint:
+        # caller keeps the live plan (tests assert its join strategy) and
+        # owns the persisted inputs' lifetime
+        return out
+    out = out.localCheckpoint(eager=True)
     sets_.unpersist()
     ordered.unpersist()
     return out

@@ -93,3 +93,43 @@ def scd2_history(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def golden_record(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Per-COLUMN survivorship (the MDM/golden-record consolidation rule
+    "most recent non-null wins, per attribute"): one output row per key
+    where each value column independently carries its latest non-null
+    observation by the ``order_cols`` tuple — unlike whole-row LWW
+    (operators/dedup_events.py), where one stale-but-newer row nulls out
+    attributes an older row knew.
+
+    ``order_cols`` must form a TOTAL order (include a unique tiebreaker —
+    e.g. ``["ts", "event_id"]`` — or ties pick an arbitrary winner). Per
+    attribute the aggregate is ``max(struct(*order, value))`` gated on the
+    value being non-null — struct comparison is lexicographic and a fully
+    null WHEN branch is ignored by max, giving exact latest-non-null
+    semantics as ONE map-side-combinable aggregate: one shuffle carrying
+    one partial row per (key, map task), no window, no self-join — the
+    shape that survives a 10^10-row event log with hot keys (partials
+    combine before the exchange).
+
+    Reference parity: the reference consolidates entity attributes from
+    per-field census updates where later files override only the fields
+    they carry (georef_ar_etl/transformers.py:96-139 field-wise update
+    loop); this is that rule as one distributed aggregate.
+    """
+    order = [F.col(o) for o in order_cols]
+    aggs = [
+        F.max(
+            F.when(
+                F.col(c).isNotNull(), F.struct(*order, F.col(c).alias("__v"))
+            )
+        )["__v"].alias(c)
+        for c in value_cols
+    ]
+    return df.groupBy(*key_cols).agg(*aggs)

@@ -4597,3 +4597,58 @@ def q108(spark, sf_dir):
     return text.bpe_merges(
         _t(spark, sf_dir, "documents"), n_merges=10, min_pair_count=2
     )
+
+
+# ------------- q109: golden-record survivorship ----------------------------
+# Per-COLUMN latest-non-null consolidation (MDM golden record): sparse
+# attributes derived from the event stream (value only on non-view events,
+# props only on purchases) merge independently per attribute — one
+# map-side-combinable max(struct) aggregate, no window
+# (scd.py::golden_record). The oracle mirrors the identical
+# null-gated struct-max on the same (ts, event_id) total order.
+_Q109_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type <> 'view' THEN value END AS sparse_value,
+             CASE WHEN event_type = 'purchase' THEN props END AS purchase_props
+      FROM events)
+    SELECT user_id,
+           (max(struct_pack(ts := ts, eid := event_id, v := event_type))).v
+             AS last_type,
+           (max(CASE WHEN sparse_value IS NOT NULL THEN
+                struct_pack(ts := ts, eid := event_id, v := sparse_value) END)).v
+             AS last_value,
+           (max(CASE WHEN purchase_props IS NOT NULL THEN
+                struct_pack(ts := ts, eid := event_id, v := purchase_props) END)).v
+             AS last_purchase_props
+    FROM e GROUP BY user_id
+"""
+
+
+@query("q109_golden_record", _Q109_SQL)
+def q109(spark, sf_dir):
+    from georef_ar_etl_spark.operators.scd import golden_record
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") != "view", F.col("value")).alias(
+            "sparse_value"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("props")).alias(
+            "purchase_props"
+        ),
+    )
+    return golden_record(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_type", "sparse_value", "purchase_props"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("sparse_value").alias("last_value"),
+        F.col("purchase_props").alias("last_purchase_props"),
+    )

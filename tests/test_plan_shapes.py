@@ -218,3 +218,37 @@ def test_heavy_hitters_big_side_never_shuffles_raw_items(spark):
     df = spark.range(1000).select((F.col("id") % 50).cast("string").alias("w"))
     p = plan(heavy_hitters(df, "w", k=10))
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_set_similarity_join_never_nested_loop(spark):
+    """q104's exact join must stay equi-joinable end to end — a
+    BroadcastNestedLoopJoin or CartesianProduct anywhere means the
+    prefix-filter candidate join degenerated into all-pairs."""
+    from georef_ar_etl_spark.operators.doc_dedup import set_similarity_join
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = set_similarity_join(
+        df, min_jaccard_pct=80, shingle_k=8, checkpoint=False
+    )
+    p = plan(out)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the id<id / length / positional predicates ride the token equi-join
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_golden_record_single_exchange(spark):
+    """Per-column survivorship is ONE map-side-combinable aggregate: a
+    single Exchange, no window, no join."""
+    from georef_ar_etl_spark.operators.scd import golden_record
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = golden_record(
+        ev, ["user_id"], ["ts", "event_id"], ["event_type", "value"]
+    )
+    p = plan(out)
+    assert p.count("Exchange") == 1
+    assert "Window" not in p and "Join" not in p
+    assert "partial_max" in p or "partial" in p.lower()
