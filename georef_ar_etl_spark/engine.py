@@ -39,6 +39,7 @@ from georef_ar_etl_spark.schemas import (
     EVENT_META_COLS,
     STATE_SCHEMA,
     SchemaContractError,
+    canonical_wide,
     evolved_state_schema,
     validate_contract,
 )
@@ -492,10 +493,19 @@ class CdcEngine:
             # 1.26/0.86/0.97) -- hence opt-in, for wide-payload pipelines.
             tagged = tagged.persist()
         try:
+            # width-stable digest: hash every column at its canonical wide
+            # type (schemas.canonical_wide) so the same VALUES digest
+            # identically whether a batch arrives int32 or int64 — narrow
+            # re-delivery after a widening must short-circuit, not conflict
+            ev_types = {f.name: f.dataType for f in events.schema.fields}
+            digest_cols = ", ".join(
+                f"cast(`{c}` as {canonical_wide(ev_types[c]).simpleString()})"
+                if canonical_wide(ev_types[c]) is not ev_types[c]
+                else f"`{c}`"
+                for c in orig_cols
+            )
             digest_aggs = [
-                F.expr(
-                    "bit_xor(xxhash64(%s))" % ", ".join(f"`{c}`" for c in orig_cols)
-                ).alias("_x"),
+                F.expr(f"bit_xor(xxhash64({digest_cols}))").alias("_x"),
                 F.count(F.lit(1)).alias("_n"),
                 # valid partial-column updates present? routes the dedup to
                 # the patch-aware fold (costless here — one more column in an
@@ -728,6 +738,14 @@ class CdcEngine:
                     f.name for f in new_schema.fields
                     if f.name not in {x.name for x in state_schema.fields}
                 ],
+                "schema_widened_columns": sorted(
+                    f.name for f in new_schema.fields
+                    for old in (
+                        {x.name: x for x in state_schema.fields}.get(f.name),
+                    )
+                    if old is not None
+                    and old.dataType.simpleString() != f.dataType.simpleString()
+                ),
                 "wall_sec": wall,
                 "events_per_sec": events_in / wall if wall > 0 else None,
                 "phase_sec": phases,

@@ -62,10 +62,33 @@ class ContractResult:
     ok: bool
     added_columns: list[str] = field(default_factory=list)
     errors: list[str] = field(default_factory=list)
+    # existing columns whose batch type is a legal WIDENING of the state
+    # type (state schema must evolve int→bigint etc. to absorb the batch)
+    widened_columns: list[str] = field(default_factory=list)
 
 
 def _base_type_ok(actual: T.DataType, expected: T.DataType) -> bool:
     return actual.simpleString() == expected.simpleString()
+
+
+# legal type widenings (Iceberg schema-evolution rules: lossless numeric
+# promotions only). Spark 4's parquet readers promote these at SCAN time
+# (SPARK-40876), so widening a snapshot-table column is metadata-only —
+# existing narrow files keep reading under the widened schema, no rewrite.
+_WIDENS = {
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def is_widening(frm: T.DataType, to: T.DataType) -> bool:
+    """True when ``frm`` → ``to`` is a lossless numeric widening, including
+    element-wise over arrays (array<int> → array<bigint>)."""
+    if isinstance(frm, T.ArrayType) and isinstance(to, T.ArrayType):
+        return is_widening(frm.elementType, to.elementType)
+    return (frm.simpleString(), to.simpleString()) in _WIDENS
 
 
 def validate_contract(
@@ -88,14 +111,25 @@ def validate_contract(
         if meta not in batch_fields:
             errors.append(f"missing CDC column: {meta}")
 
+    widened: list[str] = []
     state_fields = {f.name: f for f in state_schema.fields}
     for name, f in state_fields.items():
         if name not in batch_fields:
             errors.append(f"missing payload column: {name}")
-        elif not _base_type_ok(batch_fields[name].dataType, f.dataType):
+            continue
+        bt = batch_fields[name].dataType
+        if _base_type_ok(bt, f.dataType):
+            continue
+        if is_widening(f.dataType, bt):
+            # batch is WIDER → schema evolution (state widens, metadata-only)
+            widened.append(name)
+        elif is_widening(bt, f.dataType):
+            # batch is NARROWER → safe upcast-on-ingest (align_columns casts)
+            pass
+        else:
             errors.append(
                 f"type mismatch for {name}: "
-                f"{batch_fields[name].dataType.simpleString()} != {f.dataType.simpleString()}"
+                f"{bt.simpleString()} != {f.dataType.simpleString()}"
             )
 
     for name in batch_fields:
@@ -106,19 +140,48 @@ def validate_contract(
         else:
             errors.append(f"unexpected column: {name}")
 
-    return ContractResult(ok=not errors, added_columns=sorted(added), errors=errors)
+    return ContractResult(
+        ok=not errors,
+        added_columns=sorted(added),
+        errors=errors,
+        widened_columns=sorted(widened),
+    )
 
 
 def evolved_state_schema(state_schema: T.StructType, batch_schema: T.StructType) -> T.StructType:
-    """State schema after additively absorbing a batch's new payload columns.
-
-    New columns arrive nullable (old rows read as null) — the Spark analogue
-    of an additive ``ALTER TABLE ADD COLUMN`` migration.
-    """
+    """State schema after absorbing a batch: new payload columns add
+    (nullable — old rows read as null, the additive ``ALTER TABLE ADD
+    COLUMN`` analogue) and existing columns WIDEN when the batch carries a
+    legal numeric promotion (``is_widening`` — the Iceberg
+    ``ALTER COLUMN TYPE`` analogue). Widening is metadata-only: Spark 4's
+    parquet readers promote narrow files at scan time, and read_state
+    always scans under the manifest-authoritative schema, so existing
+    data files are never rewritten."""
+    batch_fields = {f.name: f for f in batch_schema.fields}
     existing = {f.name for f in state_schema.fields}
-    fields = list(state_schema.fields)
+    fields = []
+    for f in state_schema.fields:
+        b = batch_fields.get(f.name)
+        if b is not None and is_widening(f.dataType, b.dataType):
+            fields.append(T.StructField(f.name, b.dataType, nullable=f.nullable))
+        else:
+            fields.append(f)
     for f in batch_schema.fields:
         if f.name in existing or f.name in EVENT_META_COLS:
             continue
         fields.append(T.StructField(f.name, f.dataType, nullable=True))
     return T.StructType(fields)
+
+
+def canonical_wide(dt: T.DataType) -> T.DataType:
+    """The widest type in a column's widening family (int/smallint →
+    bigint, float → double, arrays element-wise) — used to make the batch
+    content digest WIDTH-STABLE: xxhash64 hashes int32 and int64
+    differently, so a narrow-shape batch re-delivered after a type
+    widening would otherwise digest as "different content". Hashing
+    through the canonical wide cast makes the digest a function of the
+    VALUES, as exactly-once re-delivery semantics require."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(canonical_wide(dt.elementType), dt.containsNull)
+    wide = {"smallint": T.LongType(), "int": T.LongType(), "float": T.DoubleType()}
+    return wide.get(dt.simpleString(), dt)
