@@ -4,7 +4,10 @@
 (georef_ar_etl_spark/plans/queries.py), one entry per operator family from
 SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` the matching DuckDB
 SQL. Every entry has a full rows+schema+hash oracle — including the
-full-engine replay (q24) and the incremental changelog (q30).
+full-engine replay (q24) and the incremental changelog (q30) — except
+q108_bpe_merges (iterative argmax, not SQL-expressible: rows-only for the
+driver, pinned to a pure-Python reference in tests/test_bpe_skyline.py;
+its per-round aggregate IS hash-oracled as q110_bpe_pair_counts).
 """
 
 from __future__ import annotations

@@ -4652,3 +4652,68 @@ def q109(spark, sf_dir):
         F.col("sparse_value").alias("last_value"),
         F.col("purchase_props").alias("last_purchase_props"),
     )
+
+
+# ------------- q110: BPE pair statistics (training iteration 0) -----------
+# The oracled slice of the q108 training loop: adjacent-symbol pair counts
+# weighted by word frequency, top 25 by (count desc, left, right) — the
+# exact aggregate each BPE round runs (and the deterministic argmax rule
+# the driver-side loop collects one row of). DuckDB mirrors the
+# chars+'</w>' symbolization with the same tie-break, so the iterative
+# operator's building block is hash-verified even though the full loop
+# (q108) is only rows-checked.
+_Q110_SQL = r"""
+    WITH w AS (
+      SELECT word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word),
+    syms AS (
+      SELECT list_append(string_split(word, ''), '</w>') AS s, cnt FROM w),
+    pairs AS (
+      SELECT s[i::int] AS left_sym, s[(i + 1)::int] AS right_sym, cnt
+      FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+      WHERE len(s) > 1)
+    SELECT left_sym, right_sym, sum(cnt)::BIGINT AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 25
+"""
+
+
+@query("q110_bpe_pair_counts", _Q110_SQL)
+def q110(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = words.select(
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>"))).alias("s"),
+        "cnt",
+    )
+    pairs = syms.select(
+        F.explode(
+            F.when(
+                F.size("s") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at("s", i).alias("l"),
+                        F.element_at("s", i + 1).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("p"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(25)
+    )
