@@ -286,6 +286,16 @@ class CdcEngine:
         automatically (the bucket count is manifest-authoritative)."""
         return self.table.rescale(new_n_buckets)
 
+    def rollback(self, to_epoch: int) -> dict:
+        """Restore the table to a retained epoch (Iceberg
+        rollback_to_snapshot analogue; metadata-only). Batches committed
+        after ``to_epoch`` become re-appliable — re-deliver the corrected
+        versions under the same batch ids and replay proceeds from the
+        restored state. Incremental changelog consumers cannot cross the
+        rollback (``changes`` raises) — re-bootstrap them from
+        ``state(epoch=...)``. See SnapshotTable.rollback."""
+        return self.table.rollback(to_epoch)
+
     def changes(
         self, from_epoch: int, to_epoch: int | None = None, value_diff: bool = False
     ) -> DataFrame:

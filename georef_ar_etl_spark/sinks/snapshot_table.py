@@ -181,12 +181,107 @@ class SnapshotTable:
         """batch_id → manifest (or expired-batch stub), for idempotent
         re-apply detection. Includes batches whose snapshots were vacuumed:
         exactly-once must survive snapshot expiry, so ``vacuum`` preserves
-        the (batch_id, digest) pairs of expired manifests in a ledger."""
+        the (batch_id, digest) pairs of expired manifests in a ledger.
+
+        Batches undone by ``rollback`` are EXCLUDED (they must re-apply,
+        that is what rolling back means) — unless the same batch_id was
+        re-committed AFTER the rollback epoch, which reinstates it. The
+        invalidation facts live in retained rollback manifests and move
+        into a durable ledger when those manifests expire (mirroring the
+        expired-batches design), so the exclusion survives vacuum."""
         out: dict[int, dict] = dict(self._expired_batches())
-        out.update(
-            {m["batch_id"]: m for m in self.manifests() if m["batch_id"] is not None}
-        )
+        inv: dict[int, int] = dict(self._invalidated_batches())
+        for m in self.manifests():
+            if m["batch_id"] is not None:
+                out[m["batch_id"]] = m
+            for bid in (m.get("metrics") or {}).get("rolled_back_batch_ids", []):
+                inv[int(bid)] = max(inv.get(int(bid), -1), m["epoch"])
+        for bid, rb_epoch in inv.items():
+            cur = out.get(bid)
+            if cur is not None and (cur.get("epoch") or 0) < rb_epoch:
+                del out[bid]
         return out
+
+    # ---------------------------------------------------------------- rollback
+    def _invalidated_path(self) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, "invalidated-batches.json")
+
+    def _invalidated_batches(self) -> dict[int, int]:
+        """batch_id → rollback epoch, for rollbacks whose manifests were
+        vacuumed (small file, read per call — committed_batches runs once
+        per apply and the file holds only vacuum-expired rollbacks)."""
+        try:
+            with open(self._invalidated_path()) as f:
+                return {int(k): int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _merge_invalidated(self, mapping: dict[int, int]) -> None:
+        cur = self._invalidated_batches()
+        for bid, e in mapping.items():
+            cur[int(bid)] = max(cur.get(int(bid), -1), int(e))
+        p = self._invalidated_path()
+        tmp = f"{p}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in cur.items()}, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+    def rollback(self, to_epoch: int) -> dict:
+        """Restore the table to a RETAINED epoch (Iceberg
+        rollback_to_snapshot analogue): commits a new manifest whose bucket
+        maps, delta chains, schema and bucket count are the target's —
+        metadata-only, no data moves, and the target's files are already
+        protected from vacuum by being referenced from a retained manifest.
+
+        Exactly-once semantics across the rollback: every batch committed
+        AFTER ``to_epoch`` is invalidated — re-delivering it re-APPLIES
+        (the point of rolling back bad batches is replaying corrected
+        ones, same ids allowed, same or different content) — while batches
+        at or before ``to_epoch`` keep their idempotent short-circuit.
+        Changelog consumers cannot incrementally cross a rollback:
+        ``read_changes`` over a range containing one raises, forcing a
+        re-bootstrap from a snapshot (the Iceberg incremental-scan rule).
+        """
+        # KeyError for expired AND for future epochs (nothing to roll
+        # forward to — only committed manifests resolve)
+        target = self.manifest_for_epoch(to_epoch)
+        head = self.latest_manifest()
+        if head["epoch"] == to_epoch:
+            return head
+        rolled = sorted(
+            int(m["batch_id"])
+            for m in self.manifests()
+            if m["epoch"] > to_epoch and m.get("batch_id") is not None
+        )
+        t0 = time.time()
+        m = self.write_manifest(
+            epoch=head["epoch"] + 1,
+            schema=T.StructType.fromJson(target["schema"]),
+            written={
+                int(b): d for b, d in target["buckets"].items() if d is not None
+            },
+            touched_buckets=[int(b) for b in target["buckets"]],
+            batch_id=None,
+            batch_digest=f"rollback:{to_epoch}<-{head['epoch']}",
+            metrics={
+                "kind": "rollback",
+                "rollback_to": to_epoch,
+                "rollback_of": head["epoch"],
+                "rolled_back_batch_ids": rolled,
+                "wall_sec": round(time.time() - t0, 3),
+            },
+            written_counts={int(b): c for b, c in target["bucket_counts"].items()},
+            written_deltas={
+                int(b): dl
+                for b, dl in (target.get("bucket_deltas") or {}).items()
+            },
+            rescale_to=int(target["n_buckets"]),
+        )
+        # n_buckets is a manifest-authoritative property — the new head
+        # carries the target's count, nothing to sync here
+        return m
 
     def _expired_path(self) -> str:
         return os.path.join(self.root, MANIFEST_DIR, "expired-batches.json")
@@ -271,6 +366,16 @@ class SnapshotTable:
         os.replace(tmp, self._expired_path())
         self._expired_cache = ledger
         self._expired_token = os.stat(self._expired_path()).st_mtime_ns
+
+        # 1b. expiring a ROLLBACK manifest must not lose its batch
+        # invalidations (committed_batches reads them from retained
+        # manifests) — move them into the durable invalidated ledger first
+        inv_merge: dict[int, int] = {}
+        for m in expired:
+            for bid in (m.get("metrics") or {}).get("rolled_back_batch_ids", []):
+                inv_merge[int(bid)] = max(inv_merge.get(int(bid), -1), m["epoch"])
+        if inv_merge:
+            self._merge_invalidated(inv_merge)
 
         # 2. drop the expired MANIFESTS before touching any data: the
         # table's crash invariant is "a data dir without a manifest is
@@ -825,7 +930,21 @@ class SnapshotTable:
         prev = m_for(from_epoch)
         for e in range(from_epoch + 1, to_epoch + 1):
             m = m_for(e)
-            if m["batch_id"] is None:  # bootstrap / compaction
+            if m["batch_id"] is None:  # bootstrap / compaction / rollback
+                if (m.get("metrics") or {}).get("kind") == "rollback":
+                    # a rollback rewinds visible state without a batch —
+                    # an incremental consumer that already applied the
+                    # undone epochs CANNOT be patched forward (Iceberg's
+                    # incremental-scan rule: ranges may not cross a
+                    # rollback). Fail loudly; the consumer re-bootstraps
+                    # from read_state(epoch=...)
+                    raise ValueError(
+                        f"changelog range ({from_epoch}, {to_epoch}] crosses "
+                        f"a rollback at epoch {e} (to epoch "
+                        f"{m['metrics'].get('rollback_to')}) — incremental "
+                        "consumption cannot cross a rollback; re-bootstrap "
+                        "the consumer from a snapshot"
+                    )
                 prev = m
                 continue
             new_deltas = m.get("bucket_deltas") or {}
