@@ -171,32 +171,36 @@ def bloom_bits(
     )
 
 
-def bloom_bitstring(bits: DataFrame, n_bits: int = 8192) -> str:
-    """Materialize the bit set as a '0'/'1' string of length ``n_bits`` —
-    the broadcastable literal form. The collect is metadata-sized by
-    construction (≤ n_bits rows, like the IVF centroid pull,
-    operators/similarity.py), never corpus-sized."""
-    out = bytearray(b"0") * n_bits
+def bloom_words(bits: DataFrame, n_bits: int = 8192) -> list[int]:
+    """Materialize the bit set as ``n_bits/64`` packed SIGNED int64 words
+    (bit i → word i//64, bit i%64) — the broadcastable literal form.
+    Packed words instead of a '0'/'1' string: an 8 Kbit filter is 128
+    longs vs an 8 KiB string literal inlined k times into the generated
+    code, whose Janino compile dominated the probe query (A/B'd ~3x on
+    q62). The collect is metadata-sized by construction (≤ n_bits rows,
+    like the IVF centroid pull)."""
+    words = [0] * ((n_bits + 63) // 64)
     for r in bits.collect():
-        out[int(r["bit"])] = ord("1")
-    return out.decode("ascii")
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # two's complement into signed int64 (Spark array<long> literals)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
 def bloom_might_contain(
-    col: Column, bitstring: str, k: int = 4, seed: int = 17
+    col: Column, words: list[int], n_bits: int, k: int = 4, seed: int = 17
 ) -> Column:
     """Membership predicate (true = maybe present, false = DEFINITELY
-    absent): all k bits set. Pure Catalyst — the bitstring rides the plan
-    as a literal (broadcast with the codegen'd stage), each probe costs k
-    md5+affine evaluations and k substr probes; no UDF, no join, no
-    shuffle. Null inputs yield null (filtered like any null predicate)."""
-    n_bits = len(bitstring)
+    absent): all k bits set. Pure Catalyst — the packed-word array rides
+    the plan as one literal; each probe costs k md5+affine evaluations
+    plus k shift-and-mask tests; no UDF, no join, no shuffle. Null inputs
+    yield null (filtered like any null predicate)."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
     pred = F.lit(True)
     for j in range(k):
-        b = cm_bucket(col, j, k, n_bits, seed)
-        pred = pred & (
-            F.lit(bitstring).substr(b.cast("int") + 1, F.lit(1)) == "1"
-        )
+        b = cm_bucket(col, j, k, n_bits, seed).cast("int")
+        word = F.element_at(arr, (b / 64).cast("int") + 1)
+        pred = pred & (F.getbit(word, b % 64) == 1)
     return pred
 
 

@@ -2640,11 +2640,11 @@ def q62(spark, sf_dir):
         .select(F.col("c_custkey").cast("string").alias("key"))
     )
     bits = sketches.bloom_bits(cust, "key", n_bits=8192, k=4, seed=17)
-    bs = sketches.bloom_bitstring(bits, n_bits=8192)
+    bs = sketches.bloom_words(bits, n_bits=8192)
     orders = _t(spark, sf_dir, "orders")
     passed = orders.filter(
         sketches.bloom_might_contain(
-            F.col("o_custkey").cast("string"), bs, k=4, seed=17
+            F.col("o_custkey").cast("string"), bs, n_bits=8192, k=4, seed=17
         )
     ).select("o_custkey", "o_orderstatus")
     return (

@@ -546,9 +546,9 @@ def test_bloom_no_false_negatives_and_shard_merge(spark):
     others = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "key string")
     kw = dict(n_bits=8192, k=4, seed=17)
     bits = sketches.bloom_bits(members, "key", **kw)
-    bs = sketches.bloom_bitstring(bits, n_bits=8192)
+    bs = sketches.bloom_words(bits, n_bits=8192)
 
-    pred = sketches.bloom_might_contain(F.col("key"), bs, k=4, seed=17)
+    pred = sketches.bloom_might_contain(F.col("key"), bs, n_bits=8192, k=4, seed=17)
     assert members.filter(~pred).count() == 0  # NO false negatives, ever
     fp = others.filter(pred).count()
     # 200 keys * 4 bits in 8192 cells -> fp rate ~ (1-e^{-0.098})^4 ~ 8e-5;
