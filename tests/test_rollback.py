@@ -155,3 +155,46 @@ def test_rollback_across_rescale_restores_bucket_count(spark, tmp_path):
         datagen.events_to_df(spark, [e for e in events if e["batch_id"] == 1]), 1
     )
     assert m2["batch_id"] == 1
+
+
+def test_index_consumer_across_rollback_rebootstraps(spark, tmp_path):
+    """A changelog consumer (Scd2Index) must FAIL LOUDLY when its refresh
+    range crosses a rollback, and recover by re-bootstrapping from the
+    restored snapshot — never silently keep versions from undone epochs."""
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.index_maintenance import Scd2Index
+
+    eng, initial, events = _mk(spark, tmp_path, n_batches=3)
+    cols = [
+        ("tokens", T.ArrayType(T.IntegerType(), True)),
+        ("n_tok", T.IntegerType()),
+        ("source", T.StringType()),
+    ]
+    idx = Scd2Index(spark, str(tmp_path / "scd2"), cols, n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+    epochs = {}
+    for b in range(3):
+        m = eng.apply_batch(
+            datagen.events_to_df(spark, [e for e in events if e["batch_id"] == b]), b
+        )
+        epochs[b] = m["epoch"]
+        idx.refresh(eng.changes(idx.last_source_epoch, m["epoch"]), m["epoch"])
+
+    eng.rollback(epochs[0])
+    head = eng.table.latest_manifest()["epoch"]
+    # the consumer's next poll crosses the rollback → loud failure
+    with pytest.raises(ValueError, match="crosses a rollback"):
+        eng.changes(idx.last_source_epoch, head).count()
+
+    # recovery: re-bootstrap the index from the restored snapshot
+    idx2 = Scd2Index(spark, str(tmp_path / "scd2b"), cols, n_buckets=4)
+    idx2.bootstrap(eng.state(), source_epoch=head)
+    n_open = idx2.history().filter("is_current").count()
+    assert n_open == eng.state().count()
+    # and it consumes normally from there
+    m = eng.apply_batch(
+        datagen.events_to_df(spark, [e for e in events if e["batch_id"] == 1]), 1
+    )
+    idx2.refresh(eng.changes(head, m["epoch"]), m["epoch"])
+    assert idx2.history().filter("is_current").count() == eng.state().count()
