@@ -104,6 +104,83 @@ def pagerank(
     return r.select("node", F.col("r").alias("rank_units"))
 
 
+class KCoreConvergenceError(RuntimeError):
+    """Peeling did not reach a fixpoint within max_rounds."""
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+    broadcast_drop_limit: int = 1_000_000,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    Batagelj-Zaversnik bulk variant): repeatedly delete every node whose
+    degree in the REMAINING undirected simple graph (parallel edges
+    collapsed, self-loops dropped) is below ``k`` until none is, and
+    return the surviving nodes with their within-core degree. The k-core
+    is the unique maximal subgraph of minimum degree >= k — the fixpoint
+    does not depend on removal order, so bulk simultaneous peeling (each
+    round removes ALL current low-degree nodes) converges to the same
+    result as one-at-a-time peeling, and a fixed-unroll SQL oracle can
+    mirror it exactly (q111). The standard graph-curation pass for link
+    spam / fringe pruning before PageRank-style scoring.
+
+    Scale posture: each round is ONE map-side-combinable degree aggregate
+    plus the edge filter. The filter side is chosen by the measured drop
+    count the round already paid for: a small dropped set broadcasts as a
+    left-anti join (the common case after round 1 — the big edge frame
+    never shuffles), while a mass extinction round (> broadcast_drop_limit
+    dropped) flips to shuffle semi-joins on the keep side. Lineage is
+    truncated every round (localCheckpoint) exactly like
+    connected_components/pagerank, so round R never replans rounds < R.
+    Rounds are bounded by the peeling depth (the graph's degeneracy
+    ordering depth), typically O(10) on web-ish graphs; exceeding
+    ``max_rounds`` raises ``KCoreConvergenceError`` — loud, never a
+    silently-partial core. Output: (node, core_deg).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        ).localCheckpoint(eager=True)
+        dropped = deg.filter(F.col("core_deg") < k).select("node")
+        n_dropped = dropped.count()
+        if n_dropped == 0:
+            return deg.select("node", F.col("core_deg").cast("long"))
+        if n_dropped <= broadcast_drop_limit:
+            small = F.broadcast(dropped)
+            e = e.join(
+                small.withColumnRenamed("node", "u"), "u", "left_anti"
+            ).join(small.withColumnRenamed("node", "v"), "v", "left_anti")
+        else:
+            keep = deg.filter(F.col("core_deg") >= k).select("node")
+            e = e.join(
+                keep.withColumnRenamed("node", "u"), "u", "left_semi"
+            ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        e = e.localCheckpoint(eager=True)
+    raise KCoreConvergenceError(
+        f"k_core(k={k}) still peeling after {max_rounds} rounds; the "
+        "peeling depth exceeds max_rounds — raise it (cost is linear in "
+        "rounds) or verify the input graph"
+    )
+
+
 def triangles(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

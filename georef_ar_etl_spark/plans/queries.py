@@ -4717,3 +4717,61 @@ def q110(spark, sf_dir):
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(25)
     )
+
+
+# ------------- q111: k-core decomposition (graph peeling) -----------------
+# The classic link-graph pruning pass (Seidman 1983): keep the unique
+# maximal subgraph of minimum degree >= k. Bulk simultaneous peeling is
+# CONFLUENT — the fixpoint is independent of removal order — so a DuckDB
+# oracle that unrolls a fixed number of peel rounds as chained CTEs equals
+# the Spark operator's converge-with-detection result exactly, provided the
+# unroll covers the peeling depth (extra rounds are no-ops at fixpoint; the
+# Spark side raises loudly past max_rounds, so a silent mismatch cannot
+# ship). The event-derived graph mixes a dense 60-node kernel (every 4th
+# edge) into a sparse 1499-node fringe: at sf0.01 k=9 peels for 17 rounds
+# before the fixpoint — a real iterative workload, not a one-shot filter.
+def _q111_sql(k: int = 9, rounds: int = 24) -> str:
+    parts = [
+        """
+    raw AS (SELECT event_id % 1499 AS s,
+                   (event_id * 31 + user_id)
+                     % (CASE WHEN event_id % 4 = 0 THEN 60 ELSE 1499 END) AS d
+            FROM events),
+    e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+           FROM raw WHERE s <> d)"""
+    ]
+    # each CTE is referenced twice downstream — MATERIALIZED keeps DuckDB
+    # from inlining the chain (2^rounds plan blowup otherwise)
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (SELECT node, count(*) AS c
+             FROM (SELECT u AS node FROM {prev}
+                   UNION ALL SELECT v FROM {prev})
+             GROUP BY 1),
+    e{i} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e
+             JOIN d{i} a ON a.node = e.u AND a.c >= {k}
+             JOIN d{i} b ON b.node = e.v AND b.c >= {k})""")
+        prev = f"e{i}"
+    return (
+        "    WITH" + ",".join(parts)
+        + f"""
+    SELECT node, count(*)::BIGINT AS core_deg
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY 1"""
+    )
+
+
+@query("q111_k_core", _q111_sql())
+def q111(spark, sf_dir):
+    from georef_ar_etl_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("event_id") % 1499).alias("src"),
+        (
+            (F.col("event_id") * 31 + F.col("user_id"))
+            % F.when(F.col("event_id") % 4 == 0, F.lit(60)).otherwise(F.lit(1499))
+        ).alias("dst"),
+    )
+    return graph.k_core(e, k=9, max_rounds=24)

@@ -688,6 +688,49 @@ def test_pagerank_semantics(spark):
         pagerank(cyc, scale=2**61)  # overflow guard
 
 
+def test_k_core_semantics(spark):
+    from georef_ar_etl_spark.operators.graph import (
+        KCoreConvergenceError,
+        k_core,
+    )
+
+    # K4 clique + pendant chain 3-4-5: peeling k=2 needs TWO rounds (5
+    # falls first, exposing 4), leaving exactly the clique with deg 3.
+    # Self-loop and parallel/reversed duplicates must collapse first.
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 4), (4, 5), (0, 0), (1, 0), (2, 1)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    core = {r["node"]: r["core_deg"] for r in k_core(g, k=2).collect()}
+    assert core == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k above the clique degree -> empty core
+    assert k_core(g, k=4).count() == 0
+    # deterministic under repartitioning
+    again = {
+        r["node"]: r["core_deg"]
+        for r in k_core(g.repartition(13), k=2).collect()
+    }
+    assert again == core
+    # the shuffle-semi-join branch (tiny broadcast limit) agrees
+    assert {
+        r["node"]: r["core_deg"]
+        for r in k_core(g, k=2, broadcast_drop_limit=0).collect()
+    } == core
+
+    # a long chain peels one node per END per round: depth ~ n/2; a tight
+    # max_rounds must fail LOUDLY, never return a partial core
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(KCoreConvergenceError):
+        k_core(chain, k=2, max_rounds=3)
+    assert k_core(chain, k=2, max_rounds=7).count() == 0
+
+    with pytest.raises(ValueError):
+        k_core(g, k=0)
+    with pytest.raises(ValueError):
+        k_core(g, k=2, max_rounds=0)
+
+
 def test_chunk_text_overlap_and_edges(spark):
     from georef_ar_etl_spark.operators.text import chunk_text
 
