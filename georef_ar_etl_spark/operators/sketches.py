@@ -280,8 +280,15 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
 
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
+    # 2^-r via integer shift + division: every term is a power of two, so
+    # the double sum is EXACT under any summation order/partitioning — the
+    # estimate is bit-identical across engines (a libm pow() carries no
+    # such guarantee), which is what lets q112 hash-oracle estimates, not
+    # just registers
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_present"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(1L, r)")
+        ).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     s = F.col("s_present") + (F.lit(m) - F.col("n_present"))  # empty -> 2^0
@@ -303,6 +310,40 @@ def merge_hll(*register_tables: DataFrame) -> DataFrame:
     for t in it:
         out = out.unionByName(t)
     return out.groupBy("bucket").agg(F.max("r").cast("int").alias("r"))
+
+
+def hll_set_algebra(regs_a: DataFrame, regs_b: DataFrame, p: int = 9) -> DataFrame:
+    """HLL set algebra over two register tables built with the SAME
+    (p, seed): |A| and |B| directly, |A∪B| from the register-wise-max
+    merge (the one HLL operation that is lossless), and |A∩B| by
+    inclusion-exclusion ``|A|+|B|-|A∪B|`` — the standard audience-overlap
+    / shared-vocabulary estimator (Flajolet et al. 2007 §5). The
+    intersection inherits the UNION's absolute error, so it is only
+    meaningful when the true overlap is not tiny relative to the set
+    sizes (and can come out slightly negative on disjoint sets) — that is
+    the documented contract of the sketch, not a defect. Everything here
+    is three <= m-row aggregates over persisted registers: sets sketched
+    once, any pairwise overlap answered later without rescanning data.
+    Output: 1 row (est_a, est_b, est_union, est_intersect), every value
+    deterministic (exact power-of-two sums — see hll_estimate).
+    """
+    a = hll_estimate(regs_a, p).select(F.col("est").alias("est_a"))
+    b = hll_estimate(regs_b, p).select(F.col("est").alias("est_b"))
+    u = hll_estimate(merge_hll(regs_a, regs_b), p).select(
+        F.col("est").alias("est_union")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+        )
+    )
 
 
 def hist_sketch(
@@ -424,7 +465,9 @@ def hll_group_estimate(registers: DataFrame, group_col: str, p: int = 9) -> Data
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = registers.groupBy(group_col).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_present"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(1L, r)")
+        ).alias("s_present"),  # exact powers of two — see hll_estimate
         F.count(F.lit(1)).alias("n_present"),
     )
     s = F.col("s_present") + (F.lit(m) - F.col("n_present"))

@@ -4775,3 +4775,89 @@ def q111(spark, sf_dir):
         ).alias("dst"),
     )
     return graph.k_core(e, k=9, max_rounds=24)
+
+
+# ------------- q112: HLL set algebra (shingle-vocabulary overlap) ---------
+# Sketch-level set operations off PERSISTED registers: the even-source and
+# odd-source halves of the corpus each sketch their 8-char shingle
+# vocabulary once (p=6 -> 64 ints of state per side), then |A|, |B|,
+# |A∪B| (register-max merge) and |A∩B| (inclusion-exclusion) come from
+# three tiny aggregates — the corpus-overlap question at 100 TB without
+# ever joining shingle sets. ESTIMATES are hash-oracled, not just
+# registers (q81/q98 do those): the 2^-r terms are exact powers of two,
+# so the harmonic sums are bit-identical across engines under any
+# summation order / partitioning.
+def _q112_sql(p: int = 6) -> str:
+    m = 1 << p
+    maxp1 = 31 - p + 1
+    amm = repr((0.7213 / (1 + 1.079 / m)) * m * m)
+
+    def est(regs: str, alias: str) -> str:
+        return f"""{alias} AS (
+      SELECT CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                  ELSE raw END AS {alias}
+      FROM (SELECT {amm} / (sum(1.0 / (1::BIGINT << r)) + ({m} - count(*))) AS raw,
+                   {m} - count(*) AS zeros
+            FROM {regs}))"""
+
+    reg = (
+        f"SELECT hv % {m} AS bucket,\n"
+        f"             max(CASE WHEN (hv >> {p}) = 0 THEN {maxp1}\n"
+        f"                      ELSE {maxp1} - length(bin(hv >> {p})) END) AS r\n"
+        "      FROM h WHERE side = {side} GROUP BY 1"
+    )
+    return rf"""
+    WITH t AS (
+      SELECT substr(source, 4)::INT % 2 AS side, lower(text) AS s
+      FROM documents),
+    g AS (SELECT side,
+                 unnest(list_transform(generate_series(1, length(s) - 7),
+                                       i -> substr(s, i, 8))) AS tok
+          FROM t WHERE length(s) >= 8),
+    h AS (SELECT side,
+                 (('0x' || substr(md5(tok), 1, 8))::UBIGINT
+                  % 2147483647)::BIGINT AS hv
+          FROM g),
+    ra AS ({reg.format(side=0)}),
+    rb AS ({reg.format(side=1)}),
+    ru AS (SELECT bucket, max(r) AS r
+           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+    {est("ra", "est_a")},
+    {est("rb", "est_b")},
+    {est("ru", "est_union")}
+    SELECT round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+           round(est_union, 4) AS est_union,
+           round(est_a + est_b - est_union, 4) AS est_intersect
+    FROM est_a, est_b, est_union
+"""
+
+
+@query("q112_hll_set_algebra", _q112_sql())
+def q112(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    shingles = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            (F.substring("source", 4, 10).cast("int") % 2).alias("side"),
+            F.lower("text").alias("s"),
+        )
+        .filter(F.length("s") >= 8)
+        .select(
+            "side",
+            F.explode(
+                # sequence(1, 0) DESCENDS in Spark — the length filter
+                # above guarantees at least one shingle
+                F.expr("transform(sequence(1, length(s) - 7),"
+                       " i -> substring(s, i, 8))")
+            ).alias("tok"),
+        )
+    )
+    ra = sketches.hll_registers(shingles.filter(F.col("side") == 0), "tok", p=6)
+    rb = sketches.hll_registers(shingles.filter(F.col("side") == 1), "tok", p=6)
+    out = sketches.hll_set_algebra(ra, rb, p=6)
+    return out.select(
+        *[F.round(c, 4).alias(c) for c in
+          ("est_a", "est_b", "est_union", "est_intersect")]
+    )

@@ -593,3 +593,28 @@ def test_hll_estimate_accuracy_and_merge(spark):
     tiny = spark.range(40).selectExpr("CAST(id AS STRING) AS k")
     est_t = hll_estimate(hll_registers(tiny, "k", p=9), p=9).collect()[0]["est"]
     assert abs(est_t - 40) < 3, est_t
+
+
+def test_hll_set_algebra(spark):
+    from georef_ar_etl_spark.operators.sketches import (
+        hll_registers,
+        hll_set_algebra,
+    )
+
+    # A = 0..1499, B = 1000..2499: |A∩B| = 500, |A∪B| = 2500
+    a = spark.range(0, 1500).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(1000, 2500).selectExpr("CAST(id AS STRING) AS k")
+    ra, rb = hll_registers(a, "k", p=9), hll_registers(b, "k", p=9)
+    row = hll_set_algebra(ra, rb, p=9).collect()[0]
+    assert abs(row["est_a"] - 1500) / 1500 < 0.1
+    assert abs(row["est_b"] - 1500) / 1500 < 0.1
+    assert abs(row["est_union"] - 2500) / 2500 < 0.1
+    # intersection inherits the union's ABSOLUTE error: bound vs |A∪B|
+    assert abs(row["est_intersect"] - 500) / 2500 < 0.12
+    assert row["est_union"] >= max(row["est_a"], row["est_b"]) - 1e-9
+
+    # identical sides: union estimate EQUALS each side exactly (register
+    # merge of a sketch with itself is itself), intersect == est_a
+    same = hll_set_algebra(ra, ra, p=9).collect()[0]
+    assert same["est_union"] == same["est_a"] == same["est_b"]
+    assert abs(same["est_intersect"] - same["est_a"]) < 1e-9
