@@ -111,3 +111,69 @@ def split_quarantine(tagged: DataFrame) -> ValidatedBatch:
 # NOTE: the empty-after-normalization rule lives in tag_invalid as a cheap
 # JVM predicate (exists(tokens, x>0) decides it without running the UDF) —
 # there is deliberately no separate post-normalization validation pass.
+
+
+def fk_audit(
+    relations: list[tuple[str, DataFrame, list[str], DataFrame, list[str]]],
+) -> DataFrame:
+    """Referential-integrity audit across tables: for each
+    ``(name, fact, fact_keys, dim, dim_keys)`` relation, count total fact
+    rows, rows whose key is (partly) NULL, and non-null keys with no
+    matching dimension row — the FK existence check the reference runs
+    per row while loading (georef_ar_etl/departments.py:120-123), lifted
+    to a set-level data-quality REPORT instead of a row loop. The report
+    is what a 100 TB lake actually wants nightly: per-relation orphan
+    counts, not a per-row abort.
+
+    Scale posture: per relation ONE pass over the fact for the row/null
+    counts and one anti-join (dim side deduplicated to its key columns —
+    broadcastable when small, AQE picks otherwise) feeding a count +
+    count-distinct aggregate; relations are independent unions, so Spark
+    schedules them concurrently. Output: (relation, n_rows, n_null_key,
+    n_orphan_rows, n_orphan_keys), one row per relation.
+    """
+    if not relations:
+        raise ValueError("fk_audit needs at least one relation")
+    outs = []
+    for name, fact, fact_keys, dim, dim_keys in relations:
+        if len(fact_keys) != len(dim_keys) or not fact_keys:
+            raise ValueError(
+                f"{name}: fact_keys/dim_keys must be same non-zero length"
+            )
+        kc = [f"__k{i}" for i in range(len(fact_keys))]
+        f = fact.select(
+            *[F.col(k).alias(a) for k, a in zip(fact_keys, kc)]
+        )
+        d = dim.select(
+            *[F.col(k).alias(a) for k, a in zip(dim_keys, kc)]
+        ).distinct()
+        null_pred = F.lit(False)
+        for a in kc:
+            null_pred = null_pred | F.col(a).isNull()
+        base = f.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(null_pred, 1)).alias("n_null_key"),
+        )
+        orph = (
+            f.filter(~null_pred)
+            .join(d, kc, "left_anti")
+            .agg(
+                F.count(F.lit(1)).alias("n_orphan_rows"),
+                F.count_distinct(*[F.col(a) for a in kc]).alias(
+                    "n_orphan_keys"
+                ),
+            )
+        )
+        outs.append(
+            base.crossJoin(orph).select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_null_key",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

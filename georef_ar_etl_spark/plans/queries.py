@@ -4861,3 +4861,100 @@ def q112(spark, sf_dir):
         *[F.round(c, 4).alias(c) for c in
           ("est_a", "est_b", "est_union", "est_intersect")]
     )
+
+
+# ------------- q113: referential-integrity audit (FK orphan report) -------
+# The reference's per-row FK existence check (departments.py:120-123)
+# lifted to the set level: one report row per relation with total / null-
+# key / orphan counts. The first relation INJECTS violations so the audit
+# paths are exercised, not vacuously zero: the customer dim is restricted
+# to non-BUILDING segments (real orphans) and every 1000th order's key is
+# nulled (real null-key rows); the lineitem relations are the clean case.
+_Q113_SQL = """
+    WITH ofact AS (
+      SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders),
+    cdim AS (SELECT DISTINCT c_custkey AS k FROM customer
+             WHERE c_mktsegment <> 'BUILDING'),
+    lfact AS (
+      SELECT l_orderkey AS k1,
+             CASE WHEN l_linenumber = 6 THEN NULL
+                  WHEN l_linenumber = 7 THEN l_partkey + 100000
+                  ELSE l_partkey END AS k2
+      FROM lineitem),
+    ldim AS (SELECT DISTINCT l_orderkey AS k1, l_partkey AS k2 FROM lineitem)
+    SELECT 'orders->customer_non_building' AS relation,
+           (SELECT count(*) FROM ofact) AS n_rows,
+           (SELECT count(*) FROM ofact WHERE k IS NULL) AS n_null_key,
+           (SELECT count(*) FROM ofact f WHERE k IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM cdim d WHERE d.k = f.k))
+             AS n_orphan_rows,
+           (SELECT count(DISTINCT k) FROM ofact f WHERE k IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM cdim d WHERE d.k = f.k))
+             AS n_orphan_keys
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+           (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_perturbed->order_part_pairs',
+           (SELECT count(*) FROM lfact),
+           (SELECT count(*) FROM lfact WHERE k1 IS NULL OR k2 IS NULL),
+           (SELECT count(*) FROM lfact f
+            WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM ldim d
+                              WHERE d.k1 = f.k1 AND d.k2 = f.k2)),
+           (SELECT count(DISTINCT (k1, k2)) FROM lfact f
+            WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM ldim d
+                              WHERE d.k1 = f.k1 AND d.k2 = f.k2))
+"""
+
+
+@query("q113_fk_audit", _Q113_SQL)
+def q113(spark, sf_dir):
+    from georef_ar_etl_spark.operators.validate import fk_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    ofact = orders.select(
+        F.when(F.col("o_orderkey") % 1000 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("fk_cust")
+    )
+    cdim = customer.filter(F.col("c_mktsegment") != "BUILDING")
+    # composite-key relation over a LINEAR-size dim (never a cross
+    # product): perturbed (order, part) pairs audited against the real
+    # pair set — line 7 rows become orphans, line 6 rows null keys
+    lfact = lineitem.select(
+        F.col("l_orderkey").alias("k1"),
+        F.when(F.col("l_linenumber") == 6, F.lit(None).cast("long"))
+        .when(F.col("l_linenumber") == 7, F.col("l_partkey") + 100000)
+        .otherwise(F.col("l_partkey"))
+        .alias("k2"),
+    )
+    ldim = lineitem.select(
+        F.col("l_orderkey").alias("k1"), F.col("l_partkey").alias("k2")
+    )
+    return fk_audit(
+        [
+            (
+                "orders->customer_non_building",
+                ofact, ["fk_cust"], cdim, ["c_custkey"],
+            ),
+            ("lineitem->orders", lineitem, ["l_orderkey"], orders, ["o_orderkey"]),
+            (
+                "lineitem_perturbed->order_part_pairs",
+                lfact, ["k1", "k2"], ldim, ["k1", "k2"],
+            ),
+        ]
+    )

@@ -688,6 +688,40 @@ def test_pagerank_semantics(spark):
         pagerank(cyc, scale=2**61)  # overflow guard
 
 
+def test_fk_audit_semantics(spark):
+    from georef_ar_etl_spark.operators.validate import fk_audit
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (9, "x"), (None, "c"), (3, None)],
+        "k1 int, k2 string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (2, "b")], "d1 int, d2 string"
+    )
+    rows = {
+        r["relation"]: r
+        for r in fk_audit(
+            [
+                ("composite", fact, ["k1", "k2"], dim, ["d1", "d2"]),
+                ("single", fact, ["k1"], dim, ["d1"]),
+            ]
+        ).collect()
+    }
+    c = rows["composite"]
+    # (9,x) orphan; partial nulls count as null-key rows, never orphans;
+    # (3,None) has a non-null k1 but a null k2 -> null-key
+    assert (c["n_rows"], c["n_null_key"]) == (6, 2)
+    assert (c["n_orphan_rows"], c["n_orphan_keys"]) == (1, 1)
+    s = rows["single"]
+    assert (s["n_rows"], s["n_null_key"]) == (6, 1)
+    assert (s["n_orphan_rows"], s["n_orphan_keys"]) == (1, 1)
+
+    with pytest.raises(ValueError):
+        fk_audit([])
+    with pytest.raises(ValueError):
+        fk_audit([("bad", fact, ["k1"], dim, ["d1", "d2"])])
+
+
 def test_k_core_semantics(spark):
     from georef_ar_etl_spark.operators.graph import (
         KCoreConvergenceError,
