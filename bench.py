@@ -107,6 +107,7 @@ HEADLINE = [
     "q111_k_core",
     "q112_hll_set_algebra",
     "q113_fk_audit",
+    "q114_bigram_lm_score",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —

@@ -302,6 +302,78 @@ def unigram_lm_score(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the next step up from
+    ``unigram_lm_score`` on the CCNet perplexity-filter ladder: mean
+    negative log-probability of each document's word BIGRAMS under
+    ``lam * p_ML(w2|w1) + (1-lam) * p_add1(w2)`` trained on the corpus
+    itself (Jelinek-Mercer interpolation with the add-one unigram as the
+    backoff floor, so unseen-history pairs never hit log 0). Bigram
+    surprise separates shuffled-word salad from fluent text, which a
+    unigram model scores identically.
+
+    Plan: two word-count-shaped aggregates build the model (bigram and
+    unigram tables, map-side combinable); scoring joins the pair stream
+    to them by key (AQE broadcasts when small — at corpus scale both are
+    unbounded, same non-hint policy as unigram_lm_score) plus the 1-row
+    broadcast totals. Pairs come from per-doc arrays (transform over
+    sequence — zero shuffle to FORM them). ``lam`` should be an exactly-
+    representable binary fraction (default 0.75) so the interpolation
+    arithmetic is bit-identical in the DuckDB oracle (q114). Documents
+    with fewer than two tokens score null."""
+    w = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    toks = w.select(id_col, F.explode("ws").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    totals = uni.agg(F.sum("c1").alias("N"), F.count(F.lit(1)).alias("V"))
+    pairs = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p_big = F.col("c2") / F.col("h1")
+    p_uni = (F.col("c_w2") + 1) / (F.col("N") + F.col("V"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(
+            uni.select(F.col("tok").alias("w1"), F.col("c1").alias("h1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.avg(
+                -F.log(F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)
+            ).alias("_s")
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col, F.round("_s", 4).alias("bigram_score")
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (md5 so the DuckDB oracle computes the identical value.)"""

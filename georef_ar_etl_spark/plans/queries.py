@@ -4958,3 +4958,43 @@ def q113(spark, sf_dir):
             ),
         ]
     )
+
+
+# ------------- q114: interpolated bigram LM score --------------------------
+# The bigram rung of the CCNet perplexity-filter ladder (q52 is the
+# unigram rung): Jelinek-Mercer interpolation of the ML bigram with the
+# add-one unigram floor. lam = 0.75 is an exact binary fraction, so the
+# probability arithmetic is bit-identical across engines; the per-doc avg
+# + round(4) follows the q52 precedent.
+_Q114_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c1) AS N, count(*) AS V FROM uni),
+    pairs AS (
+      SELECT doc_id, ws[i::int] AS w1, ws[(i + 1)::int] AS w2
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+    sc AS (
+      SELECT p.doc_id,
+             avg(-ln(0.75 * b.c2 / u1.c1
+                     + 0.25 * (u2.c1 + 1) / (tot.N + tot.V))) AS s
+      FROM pairs p
+      JOIN big b USING (w1, w2)
+      JOIN uni u1 ON u1.tok = p.w1
+      JOIN uni u2 ON u2.tok = p.w2
+      CROSS JOIN tot
+      GROUP BY p.doc_id)
+    SELECT d.doc_id, round(sc.s, 4) AS bigram_score
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+@query("q114_bigram_lm_score", _Q114_SQL)
+def q114(spark, sf_dir):
+    return text.bigram_lm_score(_t(spark, sf_dir, "documents"))

@@ -595,6 +595,43 @@ def test_hll_estimate_accuracy_and_merge(spark):
     assert abs(est_t - 40) < 3, est_t
 
 
+def test_bigram_lm_score_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from georef_ar_etl_spark.operators.text import bigram_lm_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat again"),
+        (3, "mat the on sat cat the"),  # same words, shuffled
+        (4, "single"),                   # <2 tokens -> null
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bigram_score"] for r in bigram_lm_score(df).collect()}
+
+    docs = {i: t.lower().split() for i, t in rows}
+    uni = Counter(w for ws in docs.values() for w in ws)
+    big = Counter(
+        (ws[i], ws[i + 1]) for ws in docs.values() for i in range(len(ws) - 1)
+    )
+    N, V = sum(uni.values()), len(uni)
+    for i, ws in docs.items():
+        if len(ws) < 2:
+            assert got[i] is None, i
+            continue
+        terms = [
+            -math.log(
+                0.75 * big[(a, b)] / uni[a] + 0.25 * (uni[b] + 1) / (N + V)
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        assert got[i] == round(sum(terms) / len(terms), 4), i
+    # fluent order is more probable than the shuffled salad of doc 3
+    assert got[1] < got[3]
+
+
 def test_hll_set_algebra(spark):
     from georef_ar_etl_spark.operators.sketches import (
         hll_registers,
