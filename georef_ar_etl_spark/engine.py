@@ -202,6 +202,18 @@ class CdcEngine:
         on-disk bytes) — what to look at before compact/vacuum/rescale."""
         return self.table.table_stats()
 
+    def snapshots(self) -> DataFrame:
+        """Iceberg ``snapshots`` metadata table analogue: one row per
+        retained commit (epoch, kind, rows, merge modes, quarantine total)
+        as a queryable DataFrame. See SnapshotTable.snapshots_df."""
+        return self.table.snapshots_df(self.spark)
+
+    def data_files(self, epoch: int | None = None) -> DataFrame:
+        """Iceberg ``files`` metadata table analogue: one row per live data
+        file (base + delta chains with positions and bytes) at ``epoch``
+        (default head). See SnapshotTable.files_df."""
+        return self.table.files_df(self.spark, epoch=epoch)
+
     @staticmethod
     def _rescale_recommendation(worst_bytes: int, limit: int, n_buckets: int) -> int:
         """Smallest power-of-two bucket multiplier that brings the worst

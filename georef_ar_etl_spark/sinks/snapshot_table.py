@@ -635,6 +635,89 @@ class SnapshotTable:
         return T.StructType.fromJson(m["schema"]) if m else None
 
     # ------------------------------------------------------------------ read
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg ``snapshots``/``history`` metadata-table analogue: one
+        row per retained manifest, queryable with the full DataFrame API
+        (join it against ``metrics.jsonl``, filter by kind, chart chain
+        depth over time). Driver-side by construction — manifests are
+        O(retained epochs) small JSON, the same data ``table_stats``
+        already parses; no Spark job runs to BUILD the frame."""
+        rows = []
+        for m in self.manifests():
+            metrics = m.get("metrics") or {}
+            modes = metrics.get("merge_modes") or {}
+            if metrics.get("kind"):
+                kind = metrics["kind"]
+            elif m.get("parent") is None:
+                kind = "bootstrap"
+            else:
+                kind = "batch"
+            rows.append(
+                (
+                    int(m["epoch"]),
+                    m.get("parent"),
+                    m.get("batch_id"),
+                    kind,
+                    int(m["total_rows"]),
+                    int(m["n_buckets"]),
+                    len(m.get("touched_buckets") or []),
+                    len(m.get("bucket_deltas") or {}),
+                    int(modes.get("delta") or 0),
+                    int(modes.get("rewrite") or 0),
+                    int(modes.get("noop") or 0),
+                    int(sum((metrics.get("quarantined") or {}).values())),
+                    m.get("batch_digest"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "epoch long, parent long, batch_id long, kind string, "
+            "total_rows long, n_buckets int, touched_buckets int, "
+            "dirty_buckets int, mode_delta int, mode_rewrite int, "
+            "mode_noop int, quarantined long, batch_digest string",
+        )
+
+    def files_df(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
+        """Iceberg ``files`` metadata-table analogue: one row per live data
+        file referenced by the manifest at ``epoch`` (default head) —
+        base files and every pending delta in chain order, with on-disk
+        bytes. The inputs to every compact/vacuum/rescale decision, as a
+        queryable frame instead of a dict (``table_stats`` stays the
+        zero-frame summary). Driver-side: O(files at one epoch) rows of
+        pure file metadata, no data read."""
+        m = self.latest_manifest() if epoch is None else self.manifest_for_epoch(epoch)
+        if m is None:
+            raise KeyError("no committed manifest — bootstrap the table first")
+        rows = []
+
+        def emit(bucket: str, rel: str, kind: str, pos: int, brows):
+            full = os.path.join(self.root, rel)
+            if not os.path.isdir(full):
+                return
+            for name in sorted(os.listdir(full)):
+                if name.endswith(".parquet"):
+                    rows.append(
+                        (
+                            int(bucket), kind, pos,
+                            os.path.join(rel, name),
+                            os.path.getsize(os.path.join(full, name)),
+                            brows,
+                        )
+                    )
+
+        counts = m.get("bucket_counts") or {}
+        for b, rel in m["buckets"].items():
+            if rel is not None:
+                emit(b, rel, "base", 0, int(counts.get(b, 0)))
+        for b, chain in (m.get("bucket_deltas") or {}).items():
+            for i, rel in enumerate(chain):
+                emit(b, rel, "delta", i + 1, None)
+        return spark.createDataFrame(
+            rows,
+            "bucket int, kind string, chain_pos int, rel_path string, "
+            "bytes long, bucket_rows long",
+        )
+
     def read_state(
         self,
         buckets: list[int] | None = None,
