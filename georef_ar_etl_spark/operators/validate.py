@@ -177,3 +177,101 @@ def fk_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def expect_report(
+    df: DataFrame,
+    expectations: list[tuple[str, str | None, dict]],
+) -> DataFrame:
+    """Declarative column-contract check (the Great-Expectations /
+    dbt-tests shape): evaluate every expectation over ``df`` and return
+    one report row each — ``(expectation, col_name, observed, lo, hi,
+    passed)`` — instead of aborting on the first violation (the reference
+    aborts per row; a 100 TB nightly wants the full report).
+
+    Kinds: ``not_null`` (observed = null fraction, hi = max_null_frac),
+    ``unique`` (observed = duplicate rows, hi = 0 allowed), ``range``
+    (observed = out-of-range rows among non-nulls, [lo, hi] = the value
+    bounds, pass iff 0), ``in_set`` (observed = rows outside
+    ``values``), ``row_count`` (observed = rows, [lo, hi] bounds).
+
+    Scale posture: ONE aggregate pass over the input computes every
+    metric (null/violation counters fold into the same map-side-combined
+    aggregation; uniqueness adds count-distinct columns to it); the 1-row
+    result is pinned with an eager localCheckpoint so assembling the
+    per-expectation report re-reads one row, never the corpus.
+    """
+    if not expectations:
+        raise ValueError("expect_report needs at least one expectation")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (kind, col, params) in enumerate(expectations):
+        if kind == "not_null":
+            aggs.append(F.count(F.when(F.col(col).isNull(), 1)).alias(f"_m{i}"))
+        elif kind == "unique":
+            aggs.append(F.count_distinct(F.col(col)).alias(f"_m{i}"))
+            aggs.append(F.count(F.col(col)).alias(f"_nn{i}"))
+        elif kind == "range":
+            lo, hi = params["min"], params["max"]
+            aggs.append(
+                F.count(
+                    F.when(
+                        F.col(col).isNotNull()
+                        & ((F.col(col) < lo) | (F.col(col) > hi)),
+                        1,
+                    )
+                ).alias(f"_m{i}")
+            )
+        elif kind == "in_set":
+            aggs.append(
+                F.count(
+                    F.when(
+                        F.col(col).isNotNull()
+                        & ~F.col(col).isin(list(params["values"])),
+                        1,
+                    )
+                ).alias(f"_m{i}")
+            )
+        elif kind == "row_count":
+            pass  # _n covers it
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+    one = df.agg(*aggs).localCheckpoint(eager=True)
+
+    outs = []
+    for i, (kind, col, params) in enumerate(expectations):
+        name = F.lit(kind).alias("expectation")
+        column = F.lit(col).alias("col_name")
+        if kind == "not_null":
+            max_frac = float(params.get("max_null_frac", 0.0))
+            observed = F.round(
+                F.col(f"_m{i}") / F.greatest(F.col("_n"), F.lit(1)), 6
+            )
+            lo, hi = F.lit(None).cast("double"), F.lit(max_frac)
+            passed = observed <= hi
+        elif kind == "unique":
+            observed = (F.col(f"_nn{i}") - F.col(f"_m{i}")).cast("double")
+            lo, hi = F.lit(None).cast("double"), F.lit(0.0)
+            passed = observed <= hi
+        elif kind == "range":
+            observed = F.col(f"_m{i}").cast("double")
+            lo, hi = F.lit(float(params["min"])), F.lit(float(params["max"]))
+            passed = observed == 0
+        elif kind == "in_set":
+            observed = F.col(f"_m{i}").cast("double")
+            lo, hi = F.lit(None).cast("double"), F.lit(0.0)
+            passed = observed <= hi
+        else:  # row_count
+            observed = F.col("_n").cast("double")
+            lo = F.lit(float(params.get("min", 0)))
+            hi = F.lit(float(params.get("max", 2**53)))
+            passed = (observed >= lo) & (observed <= hi)
+        outs.append(
+            one.select(
+                name, column, observed.alias("observed"),
+                lo.alias("lo"), hi.alias("hi"), passed.alias("passed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4998,3 +4998,63 @@ _Q114_SQL = r"""
 @query("q114_bigram_lm_score", _Q114_SQL)
 def q114(spark, sf_dir):
     return text.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+# ------------- q115: data-quality expectations report ----------------------
+# The dbt-tests / Great-Expectations contract as ONE aggregate pass: every
+# metric folds into a single map-side-combined aggregation over the input;
+# the report assembles from the pinned 1-row result. The contract is
+# deliberately mixed: passing rows AND failing rows (the too-tight balance
+# range, the incomplete segment set), so both verdict paths are oracled.
+_Q115_SQL = """
+    WITH m AS (
+      SELECT count(*) AS n,
+             count(CASE WHEN c_custkey IS NULL THEN 1 END) AS null_key,
+             count(DISTINCT c_custkey) AS d_key,
+             count(c_custkey) AS nn_key,
+             count(CASE WHEN c_acctbal IS NOT NULL
+                         AND (c_acctbal < 0.0 OR c_acctbal > 8000.0)
+                        THEN 1 END) AS bal_viol,
+             count(CASE WHEN c_mktsegment IS NOT NULL
+                         AND c_mktsegment NOT IN
+                             ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+                        THEN 1 END) AS seg_viol
+      FROM customer)
+    SELECT 'not_null' AS expectation, 'c_custkey' AS col_name,
+           round(null_key / greatest(n, 1), 6)::DOUBLE AS observed,
+           NULL::DOUBLE AS lo, 0.0 AS hi,
+           round(null_key / greatest(n, 1), 6) <= 0.0 AS passed
+    FROM m
+    UNION ALL
+    SELECT 'unique', 'c_custkey', (nn_key - d_key)::DOUBLE,
+           NULL::DOUBLE, 0.0, (nn_key - d_key) <= 0 FROM m
+    UNION ALL
+    SELECT 'range', 'c_acctbal', bal_viol::DOUBLE,
+           0.0, 8000.0, bal_viol = 0 FROM m
+    UNION ALL
+    SELECT 'in_set', 'c_mktsegment', seg_viol::DOUBLE,
+           NULL::DOUBLE, 0.0, seg_viol <= 0 FROM m
+    UNION ALL
+    SELECT 'row_count', NULL, n::DOUBLE,
+           1.0, 9007199254740992.0, n >= 1 FROM m
+"""
+
+
+@query("q115_expectations", _Q115_SQL)
+def q115(spark, sf_dir):
+    from georef_ar_etl_spark.operators.validate import expect_report
+
+    return expect_report(
+        _t(spark, sf_dir, "customer"),
+        [
+            ("not_null", "c_custkey", {"max_null_frac": 0.0}),
+            ("unique", "c_custkey", {}),
+            ("range", "c_acctbal", {"min": 0.0, "max": 8000.0}),
+            (
+                "in_set",
+                "c_mktsegment",
+                {"values": ["BUILDING", "AUTOMOBILE", "MACHINERY"]},
+            ),
+            ("row_count", None, {"min": 1}),
+        ],
+    )

@@ -688,6 +688,46 @@ def test_pagerank_semantics(spark):
         pagerank(cyc, scale=2**61)  # overflow guard
 
 
+def test_expect_report_semantics(spark):
+    from georef_ar_etl_spark.operators.validate import expect_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 50.0, "b"), (2, None, "zz"), (None, -1.0, "a")],
+        "k int, v double, s string",
+    )
+    rows = {
+        (r["expectation"], r["col_name"]): r
+        for r in expect_report(
+            df,
+            [
+                ("not_null", "k", {"max_null_frac": 0.5}),
+                ("not_null", "v", {}),
+                ("unique", "k", {}),
+                ("range", "v", {"min": 0.0, "max": 10.0}),
+                ("in_set", "s", {"values": ["a", "b"]}),
+                ("row_count", None, {"min": 1, "max": 3}),
+            ],
+        ).collect()
+    }
+    r = rows[("not_null", "k")]
+    assert (r["observed"], r["passed"]) == (0.25, True)
+    r = rows[("not_null", "v")]
+    assert (r["observed"], r["passed"]) == (0.25, False)
+    r = rows[("unique", "k")]  # two non-null k=2 rows -> 1 duplicate
+    assert (r["observed"], r["passed"]) == (1.0, False)
+    r = rows[("range", "v")]  # 50.0 and -1.0 violate; null ignored
+    assert (r["observed"], r["passed"]) == (2.0, False)
+    r = rows[("in_set", "s")]
+    assert (r["observed"], r["passed"]) == (1.0, False)
+    r = rows[("row_count", None)]
+    assert (r["observed"], r["passed"]) == (4.0, False)
+
+    with pytest.raises(ValueError):
+        expect_report(df, [])
+    with pytest.raises(ValueError):
+        expect_report(df, [("nope", "k", {})])
+
+
 def test_fk_audit_semantics(spark):
     from georef_ar_etl_spark.operators.validate import fk_audit
 
