@@ -109,6 +109,7 @@ HEADLINE = [
     "q113_fk_audit",
     "q114_bigram_lm_score",
     "q115_expectations",
+    "q116_mad_outliers",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —

@@ -539,3 +539,50 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
         .join(F.broadcast(total), F.col("cnt") * k > F.col("_n"))
         .select(F.col(col).alias("item"), "cnt")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging by median absolute deviation:
+    flag rows with ``|x - median| > k * MAD`` — the Hampel filter, the
+    standard robust alternative to z-scores (mean/stddev break down under
+    the very outliers being hunted; median/MAD have a 50% breakdown
+    point). The data-quality pass before training-data statistics are
+    trusted.
+
+    Plan: two grouped EXACT percentile aggregates (median, then MAD over
+    the residuals) joined back onto the rows — AQE broadcasts the
+    per-group stats frames (|groups| rows). Exact group percentiles
+    materialize a group's values in one task, the same contract as
+    group_numeric_profile(exact=True); the fixed-memory 100 TB twin is
+    hist_sketch/hist_quantile. Both stats are rounded to 6 decimals
+    BEFORE the comparison, so the flag is bit-stable across engines and
+    partitionings (k must be exactly representable; default 3.0). NULL
+    values keep a NULL flag. Output: id_cols + (group, value, med, mad,
+    is_outlier).
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("med")
+    )
+    with_med = df.join(med, group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.round(
+            F.percentile(F.abs(v - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad")
+    )
+    return with_med.join(mad, group_col).select(
+        *id_cols,
+        g.alias(group_col),
+        v.alias(value_col),
+        F.col("med"),
+        F.col("mad"),
+        (F.abs(v - F.col("med")) > F.lit(float(k)) * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )

@@ -5058,3 +5058,33 @@ def q115(spark, sf_dir):
             ("row_count", None, {"min": 1}),
         ],
     )
+
+
+# ------------- q116: robust MAD outlier flags (Hampel filter) --------------
+# Median/MAD instead of mean/stddev: a 50% breakdown point, so the fences
+# stand even when the outliers being hunted contaminate the stats. Both
+# stats round to 6 decimals BEFORE the |x-med| > 3·mad comparison, making
+# the boolean bit-stable across engines (Spark percentile and DuckDB
+# median interpolate with different-but-equal-to-6-places arithmetic).
+_Q116_SQL = """
+    WITH med AS (
+      SELECT event_type, round(median(value), 6) AS med
+      FROM events GROUP BY 1),
+    mad AS (
+      SELECT e.event_type, round(median(abs(e.value - m.med)), 6) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+           abs(e.value - m.med) > 3.0 * d.mad AS is_outlier
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+"""
+
+
+@query("q116_mad_outliers", _Q116_SQL)
+def q116(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    return sketches.mad_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value", ["event_id"], k=3.0
+    )

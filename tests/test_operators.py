@@ -688,6 +688,40 @@ def test_pagerank_semantics(spark):
         pagerank(cyc, scale=2**61)  # overflow guard
 
 
+def test_mad_outliers_semantics(spark):
+    from georef_ar_etl_spark.operators.sketches import mad_outliers
+
+    # group a: tight cluster around 10 with one wild point; group b:
+    # constant (mad 0 -> ANY deviation flags); NULL value -> NULL flag
+    rows = [
+        (1, "a", 9.0), (2, "a", 10.0), (3, "a", 11.0), (4, "a", 10.5),
+        (5, "a", 100.0),
+        (6, "b", 7.0), (7, "b", 7.0), (8, "b", 7.5),
+        (9, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, g string, v double")
+    out = {
+        r["event_id"]: r
+        for r in mad_outliers(df, "g", "v", ["event_id"], k=3.0).collect()
+    }
+    assert out[5]["is_outlier"] is True
+    assert all(out[i]["is_outlier"] is False for i in (1, 2, 3, 4))
+    # b: median 7.0, mad 0 -> 7.5 deviates above 0
+    assert out[8]["is_outlier"] is True
+    assert out[6]["is_outlier"] is False
+    assert out[9]["is_outlier"] is None
+    # stats are group-constant and rounded
+    assert out[1]["med"] == 10.5 and out[6]["med"] == 7.0
+    # deterministic under repartitioning
+    again = {
+        r["event_id"]: r["is_outlier"]
+        for r in mad_outliers(
+            df.repartition(7), "g", "v", ["event_id"], k=3.0
+        ).collect()
+    }
+    assert again == {i: out[i]["is_outlier"] for i in out}
+
+
 def test_expect_report_semantics(spark):
     from georef_ar_etl_spark.operators.validate import expect_report
 
