@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,5 +68,89 @@ def blocked_fuzzy_match(
             probe_id,
             F.col(f"b.{clean_id}").alias(clean_id),
             F.col("b.dist").alias("dist"),
+        )
+    )
+
+
+def with_global_rank(
+    df: DataFrame, order_cols: list[str], rank_col: str = "rn"
+) -> DataFrame:
+    """Dense 1-based global rank in ``order_cols`` order WITHOUT the
+    single-task global window (``row_number() OVER (ORDER BY ...)`` pulls
+    the whole input through one task — the classic Spark scale trap).
+    Two-phase instead: range-repartition on the key (so partitions are
+    key-ordered and disjoint), rank locally per partition, then add each
+    partition's broadcast cumulative offset — the DataFrame rendering of
+    zipWithIndex. ``order_cols`` must be a TOTAL order (include a
+    tie-break id), or ties straddling a partition boundary make the rank
+    nondeterministic."""
+    cols = [F.col(c) for c in order_cols]
+    s = df.repartitionByRange(*cols).withColumn("_pid", F.spark_partition_id())
+    lw = Window.partitionBy("_pid").orderBy(*cols)
+    s = s.withColumn("_lrn", F.row_number().over(lw))
+    counts = s.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    ow = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the offsets frame is n_partitions rows — the unpartitioned window
+    # and the broadcast are metadata-sized by construction
+    off = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(ow), F.lit(0)).alias("_off")
+    )
+    return (
+        s.join(F.broadcast(off), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    window: int = 3,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood entity matching (Hernández & Stolfo 1997): sort
+    every record by the (dirty) name, slide a fixed window of size
+    ``window`` down the global order, verify each in-window pair with
+    levenshtein <= ``max_dist``. The OTHER classic blocking strategy next
+    to equi-key blocking (blocked_fuzzy_match): a typo'd name lands
+    lexicographically NEXT TO its original even when any exact block key
+    would separate them, and the window bounds candidates at
+    (window-1) x n regardless of key-value skew (a hot block key has no
+    analogue here).
+
+    Plan: one scalable global rank (with_global_rank — never a
+    single-task window), one explode of the window-1 offsets, one
+    equi-join on rank, JVM levenshtein verify. Output: (id_a, id_b,
+    dist), each unordered pair once, ids normalized id_a < id_b.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    ranked = with_global_rank(
+        df.select(F.col(id_col).alias("_id"), F.col(name_col).alias("_nm")),
+        ["_nm", "_id"],
+    ).localCheckpoint(eager=True)  # ranked twice below — rank once
+    probes = ranked.select(
+        "_id", "_nm",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("_d"),
+        F.col("rn"),
+    ).withColumn("_rn2", F.col("rn") + F.col("_d"))
+    right = ranked.select(
+        F.col("_id").alias("_idb"), F.col("_nm").alias("_nmb"),
+        F.col("rn").alias("_rn2"),
+    )
+    return (
+        probes.join(right, "_rn2")
+        .withColumn("dist", F.levenshtein("_nm", "_nmb"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.least("_id", "_idb").alias("id_a"),
+            F.greatest("_id", "_idb").alias("id_b"),
+            F.col("dist").cast("int"),
         )
     )

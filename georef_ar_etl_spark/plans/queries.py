@@ -5088,3 +5088,49 @@ def q116(spark, sf_dir):
     return sketches.mad_outliers(
         _t(spark, sf_dir, "events"), "event_type", "value", ["event_id"], k=3.0
     )
+
+
+# ------------- q117: sorted-neighborhood entity matching -------------------
+# The OTHER classic ER blocking strategy next to q73's equi-key blocks
+# (Hernández & Stolfo): global sort by the dirty name + fixed sliding
+# window. Every 3rd customer gets a deterministic one-character-deletion
+# twin (id + 1,000,000) — the typo lands lexicographically next to its
+# original, where any exact block key would separate them. The Spark rank
+# is the scalable two-phase global index (with_global_rank), never a
+# single-task ORDER BY window; the oracle uses DuckDB's plain window.
+_Q117_SQL = """
+    WITH base AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+    pert AS (
+      SELECT c_custkey + 1000000 AS id,
+             concat(substr(c_name, 1, (c_custkey % 18)::INT),
+                    substr(c_name, (c_custkey % 18)::INT + 2, 18)) AS nm
+      FROM customer WHERE c_custkey % 3 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    r AS (SELECT id, nm, row_number() OVER (ORDER BY nm, id) AS rn FROM u),
+    p AS (SELECT a.id AS ida, b.id AS idb,
+                 levenshtein(a.nm, b.nm) AS dist
+          FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3)
+    SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+           dist::INTEGER AS dist
+    FROM p WHERE dist <= 2
+"""
+
+
+@query("q117_sorted_neighborhood", _Q117_SQL)
+def q117(spark, sf_dir):
+    from georef_ar_etl_spark.operators.entity_match import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
+    pert = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.concat(
+            F.expr("substr(c_name, 1, (c_custkey % 18)::INT)"),
+            F.expr("substr(c_name, (c_custkey % 18)::INT + 2, 18)"),
+        ).alias("nm"),
+    )
+    return sorted_neighborhood_pairs(
+        base.unionByName(pert), "id", "nm", window=4, max_dist=2
+    )

@@ -1222,3 +1222,50 @@ def test_hll_group_estimate_accuracy_and_merge(spark):
     whole = regs
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_global_rank_and_sorted_neighborhood(spark):
+    from georef_ar_etl_spark.operators.entity_match import (
+        sorted_neighborhood_pairs,
+        with_global_rank,
+    )
+
+    # scalable two-phase rank == the single-task window rank, under an
+    # adversarial initial partitioning
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7:02d}") for i in range(200)], "id long, k string"
+    ).repartition(13)
+    got = {
+        r["id"]: r["rn"]
+        for r in with_global_rank(df, ["k", "id"]).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.selectExpr(
+            "id", "row_number() OVER (ORDER BY k, id) AS rn"
+        ).collect()
+    }
+    assert got == want
+
+    # a typo twin sorts next to its original and pairs within the window;
+    # a digit-blocking strategy would put 'smith'/'smth' in other blocks
+    rows = [
+        (1, "jones alice"), (2, "smith bob"), (3, "smth bob"),
+        (4, "wilson carol"), (5, "zzz unrelated"),
+    ]
+    names = spark.createDataFrame(rows, "id long, nm string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            names, "id", "nm", window=2, max_dist=2
+        ).collect()
+    }
+    assert (2, 3) in pairs
+    assert all(a != b for a, b in pairs)
+    # window=2 only pairs ADJACENT ranks: jones/smith differ by > 2 edits,
+    # so nothing else survives the verify
+    assert pairs == {(2, 3)}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sorted_neighborhood_pairs(names, "id", "nm", window=1)
