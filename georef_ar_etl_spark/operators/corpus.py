@@ -249,3 +249,61 @@ def weighted_sample(
         .limit(k)
         .drop("_pri")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling (contrastive-training prep: k
+    pseudo-random non-self partners per row — triplet/InfoNCE negatives,
+    BM25-hard-negative fallback). Pure function of the data: partner j of
+    row r is ``1 + md5(id:j:seed) mod N`` in the corpus's total id order,
+    self-collisions remapped to the next rank (never dropped, so every
+    row gets EXACTLY k negatives and the output size is k·N by
+    construction). Identical across engines/retries/partitionings — the
+    same no-RNG-state rule as mask_tokens/hash_split.
+
+    Plan: one scalable global rank over the corpus (never a single-task
+    window), one k-way explode of hash ranks, one equi-join back on rank
+    — shuffle carries (N·k) id-pair rows, payloads only on the final
+    join. Output: (id, neg_rank_j, neg_id)."""
+    from georef_ar_etl_spark.operators.entity_match import with_global_rank
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ranked = with_global_rank(
+        df.select(F.col(id_col).alias("_id")), ["_id"]
+    ).localCheckpoint(eager=True)  # ranked twice below — rank once
+    n = ranked.count()
+    if n < 2:
+        raise ValueError("negative sampling needs at least 2 rows")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("_id"), F.col("_j"), F.lit(seed))),
+            1, 8,
+        ), 16, 10,
+    ).cast("long") % F.lit((1 << 31) - 1)
+    probes = (
+        ranked.select(
+            "_id", "rn",
+            F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("_j"),
+        )
+        .withColumn("_nr", hv % F.lit(n) + 1)
+        # self-collision: step to the next rank, wrapping — keeps exactly k
+        .withColumn(
+            "_nr",
+            F.when(F.col("_nr") == F.col("rn"), F.col("_nr") % F.lit(n) + 1)
+            .otherwise(F.col("_nr")),
+        )
+    )
+    right = ranked.select(
+        F.col("_id").alias("neg_id"), F.col("rn").alias("_nr")
+    )
+    return probes.join(right, "_nr").select(
+        F.col("_id").alias(id_col),
+        F.col("_j").alias("neg_rank_j"),
+        "neg_id",
+    )

@@ -5134,3 +5134,39 @@ def q117(spark, sf_dir):
     return sorted_neighborhood_pairs(
         base.unionByName(pert), "id", "nm", window=4, max_dist=2
     )
+
+
+# ------------- q118: deterministic negative sampling -----------------------
+# Contrastive-training negatives (triplet/InfoNCE prep): k pseudo-random
+# non-self partners per document, a pure function of the data — partner j
+# of doc d is 1 + md5(d:j:seed) mod N in the corpus's doc_id order, self
+# hits stepped to the next rank so the output is EXACTLY k·N rows. Same
+# no-RNG-state determinism rule as q107 masking / q32 hash split; the
+# Spark side ranks with the scalable two-phase global index.
+_Q118_SQL = """
+    WITH r AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents),
+    nn AS (SELECT count(*) AS n FROM r),
+    p AS (
+      SELECT r.doc_id, r.rn, t.j,
+             (('0x' || substr(md5(concat(r.doc_id, ':', t.j::VARCHAR, ':7')),
+                              1, 8))::UBIGINT
+              % 2147483647)::BIGINT % nn.n + 1 AS nr0
+      FROM r CROSS JOIN nn, unnest([1, 2, 3, 4]) AS t(j)),
+    q AS (
+      SELECT p.doc_id, p.j,
+             CASE WHEN p.nr0 = p.rn THEN p.nr0 % nn.n + 1 ELSE p.nr0 END AS nr
+      FROM p CROSS JOIN nn)
+    SELECT q.doc_id, q.j AS neg_rank_j, r2.doc_id AS neg_id
+    FROM q JOIN r r2 ON r2.rn = q.nr
+"""
+
+
+@query("q118_negative_samples", _Q118_SQL)
+def q118(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    return corpus.negative_samples(
+        _t(spark, sf_dir, "documents"), "doc_id", k=4, seed=7
+    )

@@ -202,3 +202,31 @@ def test_weighted_sample_bias_and_invariants(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         weighted_sample(small, k=0, weight_col="w")
+
+
+def test_negative_samples_semantics(spark):
+    from georef_ar_etl_spark.operators.corpus import negative_samples
+
+    df = spark.createDataFrame([(f"d{i:02d}",) for i in range(20)], "id string")
+    out = negative_samples(df, "id", k=3, seed=5).collect()
+    assert len(out) == 60  # exactly k per row
+    by_id = {}
+    for r in out:
+        assert r["neg_id"] != r["id"]  # never self
+        by_id.setdefault(r["id"], set()).add(r["neg_rank_j"])
+    assert all(js == {1, 2, 3} for js in by_id.values())
+
+    # deterministic under repartitioning
+    again = sorted(tuple(r) for r in
+                   negative_samples(df.repartition(7), "id", k=3, seed=5).collect())
+    assert again == sorted(tuple(r) for r in out)
+    # a different seed draws different partners
+    other = sorted(tuple(r) for r in
+                   negative_samples(df, "id", k=3, seed=6).collect())
+    assert other != again
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        negative_samples(df, "id", k=0)
+    with _pt.raises(ValueError):
+        negative_samples(df.limit(1), "id", k=2)
