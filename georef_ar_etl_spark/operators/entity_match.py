@@ -85,23 +85,28 @@ def with_global_rank(
     tie-break id), or ties straddling a partition boundary make the rank
     nondeterministic."""
     cols = [F.col(c) for c in order_cols]
-    s = df.repartitionByRange(*cols).withColumn("_pid", F.spark_partition_id())
+    s = (
+        df.repartitionByRange(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # counted below, then ranked — one pass
+    )
     lw = Window.partitionBy("_pid").orderBy(*cols)
-    s = s.withColumn("_lrn", F.row_number().over(lw))
-    counts = s.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    ow = (
-        Window.orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # the offsets frame is n_partitions rows — the unpartitioned window
-    # and the broadcast are metadata-sized by construction
-    off = counts.select(
-        "_pid", F.coalesce(F.sum("_c").over(ow), F.lit(0)).alias("_off")
-    )
+    # cumulative offsets driver-side: one row per PARTITION (metadata-sized
+    # by construction — the established collect policy), which avoids an
+    # unpartitioned window exchange in the plan
+    counts = s.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    acc, offs = 0, []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offs.append((r["_pid"], acc))
+        acc += r["_c"]
+    off = df.sparkSession.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
     return (
         s.join(F.broadcast(off), "_pid")
-        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
-        .drop("_pid", "_lrn", "_off")
+        .withColumn(
+            rank_col,
+            (F.col("_off") + F.row_number().over(lw)).cast("long"),
+        )
+        .drop("_pid", "_off")
     )
 
 
