@@ -5170,3 +5170,33 @@ def q118(spark, sf_dir):
     return corpus.negative_samples(
         _t(spark, sf_dir, "documents"), "doc_id", k=4, seed=7
     )
+
+
+# ------------- q119: quantile feature discretization (grouped ntile) -------
+# Equal-frequency binning of a measure into n quantile buckets per group —
+# the feature-discretization step before bucketed embeddings / monotonic
+# feature audits. ntile is RANK-defined (bucket = position in the group's
+# total order, never value interpolation), so with a total ORDER BY
+# (value, id) the bucket assignment is bit-identical across engines; NULL
+# measures are excluded first (Spark orders NULLs first inside ntile,
+# DuckDB last — exclusion pins the contract instead of the engines'
+# defaults).
+_Q119_SQL = """
+    SELECT event_id, event_type, value,
+           ntile(8) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS vbin
+    FROM events WHERE value IS NOT NULL
+"""
+
+
+@query("q119_quantile_binning", _Q119_SQL)
+def q119(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id", "event_type", "value",
+            F.ntile(8).over(w).alias("vbin"),
+        )
+    )
