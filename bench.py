@@ -113,6 +113,7 @@ HEADLINE = [
     "q117_sorted_neighborhood",
     "q118_negative_samples",
     "q119_quantile_binning",
+    "q120_dup_span_coverage",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —

@@ -1113,3 +1113,88 @@ def bpe_encode(text_col: Column, merges: list[tuple[str, str]]) -> Column:
     for left, right in merges:
         syms = _merge_pair_expr(syms, left, right)
     return syms
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the corpus-diagnostics
+    metric behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): how many of a document's
+    tokens sit inside a k-token n-gram that ALSO appears in another
+    document. ``dup_frac`` ~ 1 flags boilerplate/mirrored pages that
+    survive whole-doc dedup because their remainder differs.
+
+    Plan: one n-gram explode (grams hashed to 60-bit ints before the
+    shuffle — the q104 trick: the aggregate and join move 8-byte keys,
+    never 8-word strings; at 60 bits a trillion-gram corpus has ~3e-13
+    collision probability per pair, and the oracle applies the SAME hash
+    so verification is exact), one distinct-doc-count per gram (map-side
+    combinable), one join back, then per-doc interval-union coverage
+    computed INSIDE an array aggregate: consecutive duplicated start
+    positions s_j cover min(k, s_{j+1} - s_j) new tokens (+k for the
+    last) — no per-position explode of the coverage itself. Docs shorter
+    than k tokens have no grams: dup_tokens 0.
+
+    Output: (id, n_tok, dup_tokens, dup_frac), dup_frac rounded to 6.
+    """
+    w = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    grams = (
+        w.filter(F.size("ws") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k - 1}), i -> "
+                    f"struct(i AS s, conv(substring(md5(concat_ws(' ', "
+                    f"slice(ws, i, {k}))), 1, 15), 16, 10) AS g))"
+                )
+            ).alias("sg"),
+        )
+        .select(id_col, F.col("sg.s").alias("s"), F.col("sg.g").cast("long").alias("g"))
+    )
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("g")
+    )
+    starts = (
+        grams.join(dup_grams, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("s")).alias("ss"))
+    )
+    gaps_sum = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("ss"), 1, F.size("ss") - 1),
+            F.slice(F.col("ss"), 2, F.size("ss") - 1),
+            lambda a, b: F.least(b - a, F.lit(k)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    covered = F.when(F.size("ss") == 0, F.lit(0)).otherwise(
+        F.when(F.size("ss") == 1, F.lit(k)).otherwise(gaps_sum + F.lit(k))
+    )
+    n_tok = F.size("ws")
+    return (
+        w.join(starts, id_col, "left")
+        .select(
+            id_col,
+            n_tok.cast("long").alias("n_tok"),
+            F.coalesce(covered, F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(covered, F.lit(0))
+                / F.greatest(n_tok, F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

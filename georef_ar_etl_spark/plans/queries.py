@@ -5200,3 +5200,48 @@ def q119(spark, sf_dir):
             F.ntile(8).over(w).alias("vbin"),
         )
     )
+
+
+# ------------- q120: duplicated n-gram span coverage ------------------------
+# Exact-substring dedup DIAGNOSTICS (Lee et al. 2022): the fraction of each
+# document covered by 8-token n-grams that also occur in another document.
+# Grams hash to 60-bit ints before the shuffle (q104's trick — the oracle
+# applies the identical hash, so verification stays exact); the per-doc
+# coverage is an interval-union folded INSIDE an array aggregate:
+# consecutive duplicated starts s_j cover min(k, s_{j+1}-s_j) new tokens.
+_Q120_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, i AS s,
+             (('0x' || substr(md5(array_to_string(
+                 list_slice(ws, i, i + 7), ' ')), 1, 15))::UBIGINT)::BIGINT AS g
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+    dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+    st AS (
+      SELECT doc_id, list_sort(list(DISTINCT s)) AS ss
+      FROM g WHERE g IN (SELECT g FROM dup)
+      GROUP BY doc_id),
+    cov AS (
+      SELECT doc_id,
+             CASE WHEN len(ss) = 1 THEN 8
+                  ELSE list_sum(list_transform(
+                         generate_series(1, len(ss) - 1),
+                         j -> least(ss[(j + 1)::int] - ss[j::int], 8))) + 8
+             END AS covered
+      FROM st)
+    SELECT w.doc_id, len(ws)::BIGINT AS n_tok,
+           coalesce(cov.covered, 0)::BIGINT AS dup_tokens,
+           round(coalesce(cov.covered, 0) / greatest(len(ws), 1), 6)::DOUBLE
+             AS dup_frac
+    FROM w LEFT JOIN cov USING (doc_id)
+"""
+
+
+@query("q120_dup_span_coverage", _Q120_SQL)
+def q120(spark, sf_dir):
+    return text.dup_span_stats(_t(spark, sf_dir, "documents"), k=8)

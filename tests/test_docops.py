@@ -655,3 +655,33 @@ def test_hll_set_algebra(spark):
     same = hll_set_algebra(ra, ra, p=9).collect()[0]
     assert same["est_union"] == same["est_a"] == same["est_b"]
     assert abs(same["est_intersect"] - same["est_a"]) < 1e-9
+
+
+def test_dup_span_stats_interval_union(spark):
+    from georef_ar_etl_spark.operators.text import dup_span_stats
+
+    shared = "a b c d e f g h"              # one shared 8-gram
+    prefix10 = " ".join(f"m{i}" for i in range(10))
+    rows = [
+        (1, shared + " x y z"),              # 11 tok, covered 8
+        (2, shared + " q r s"),              # 11 tok, covered 8
+        (3, "totally different words here"), # <8 tok -> no grams
+        (4, " ".join(["p"] * 20)),           # fully duplicated with 5
+        (5, " ".join(["p"] * 20)),
+        (6, prefix10 + " t1 t2 t3 t4 t5"),   # shares only the 10-prefix
+        (7, prefix10 + " u1 u2 u3 u4 u5"),   # -> starts 1,2,3: covered 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_stats(df, k=8).collect()}
+    assert (got[1]["n_tok"], got[1]["dup_tokens"]) == (11, 8)
+    assert got[1]["dup_frac"] == round(8 / 11, 6)
+    assert (got[3]["dup_tokens"], got[3]["dup_frac"]) == (0, 0.0)
+    assert (got[4]["n_tok"], got[4]["dup_tokens"]) == (20, 20)
+    assert got[4]["dup_frac"] == 1.0
+    assert (got[6]["n_tok"], got[6]["dup_tokens"]) == (15, 10)
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_span_stats(df.repartition(5), k=8).collect()
+    }
+    assert again == {i: got[i]["dup_tokens"] for i in got}
