@@ -252,3 +252,33 @@ def test_golden_record_single_exchange(spark):
     assert p.count("Exchange") == 1
     assert "Window" not in p and "Join" not in p
     assert "partial_max" in p or "partial" in p.lower()
+
+
+def test_negative_samples_plan_no_cartesian(spark):
+    """The rank pairing must stay an equi-join on rank: any cartesian or
+    nested-loop shape would explode at corpus scale."""
+    p = plan(QUERY_FNS["q118_negative_samples"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_sorted_neighborhood_plan_no_global_window_over_data(spark):
+    """with_global_rank must never move the DATA through a single-task
+    window: every WindowExec in the plan is partitioned by _pid."""
+    p = plan(QUERY_FNS["q117_sorted_neighborhood"](spark, SF_DIR))
+    for line in p.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, line
+    assert "CartesianProduct" not in p
+
+
+def test_fk_audit_plan_uses_anti_joins(spark):
+    p = plan(QUERY_FNS["q113_fk_audit"](spark, SF_DIR))
+    assert "LeftAnti" in p
+
+
+def test_dup_span_plan_shuffles_hashed_grams(spark):
+    """The gram aggregate must exchange 60-bit hashes, never the 8-word
+    gram strings: the hash projection happens BEFORE the exchange."""
+    p = plan(QUERY_FNS["q120_dup_span_coverage"](spark, SF_DIR))
+    assert "hashpartitioning(g#" in p, p
