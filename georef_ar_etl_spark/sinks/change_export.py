@@ -146,6 +146,36 @@ class ChangeFeedExporter:
             )
         return {**entry, "status": "exported", "orphans_removed": orphans}
 
+    # ------------------------------------------- streaming consumer protocol
+    @property
+    def last_source_epoch(self) -> int | None:
+        """DerivedValueIndex-protocol adapter: the exporter plugs into
+        ``stream_apply(consumers=[...])`` like any changelog consumer —
+        each trigger ships its new epoch range to the feed. Bootstrap by
+        calling ``export()`` once before attaching (mirrors the index
+        consumers' explicit bootstrap rule). On rollback the stream's
+        changelog read fails loudly like every consumer; recover with a
+        direct ``export()``, which re-bases on a snapshot."""
+        entries = read_export_ledger(self.out_root)
+        return entries[-1]["to_epoch"] if entries else None
+
+    def refresh(self, changes_df: DataFrame, source_epoch: int) -> dict:
+        """Publish an already-derived changelog range (the stream hands the
+        same frame ``export()`` would read). Idempotent per the ledger: a
+        range already at or before the last export is a no-op."""
+        last = self.last_source_epoch
+        if last is None:
+            raise RuntimeError("call export() once to bootstrap the feed")
+        if source_epoch <= last:
+            return {"status": "noop", "to_epoch": last}
+        self._remove_orphans(read_export_ledger(self.out_root))
+        return self._publish(
+            changes_df,
+            f"changes-{last}-{source_epoch}",
+            {"kind": "changes", "from_epoch": last, "to_epoch": source_epoch,
+             "reason": "stream"},
+        )
+
     # ------------------------------------------------------------- consumer
     def folded_state(self) -> DataFrame:
         """The reference downstream apply: latest exported snapshot + every

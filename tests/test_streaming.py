@@ -320,3 +320,53 @@ def test_stream_apply_keeps_continuous_aggregate_fresh(spark, tmp_path):
     stream_apply(spark, eng, str(landing), ckpt, consumers=[agg])
     assert agg.last_source_epoch == eng.table.latest_manifest()["epoch"]
     assert current() == recompute()
+
+
+def test_stream_apply_keeps_change_feed_export_fresh(spark, tmp_path):
+    """The CDC outbox rides the stream like any changelog consumer: each
+    trigger ships its epoch range to the feed, a lagging feed is healed by
+    the start-of-stream catch-up, and the folded archive equals the table."""
+    from georef_ar_etl_spark.sinks.change_export import (
+        ChangeFeedExporter,
+        read_export_ledger,
+    )
+
+    initial = datagen.gen_initial_state(150, seed=33, max_len=12)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=300, n_batches=4, seed=34,
+        max_len=12,
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    ex = ChangeFeedExporter(eng, str(tmp_path / "feed"))
+    ex.export()  # bootstrap snapshot — the attach precondition
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], tuple(r["tokens"]), r["n_tok"]) for r in df.collect()
+        )
+
+    for b in (0, 1):
+        _write_batch_file(events, b, str(landing))
+    stream_apply(spark, eng, str(landing), ckpt, consumers=[ex])
+    assert ex.last_source_epoch == eng.table.latest_manifest()["epoch"]
+    assert rows(ex.folded_state().select("doc_id", "tokens", "n_tok")) == rows(
+        eng.state().select("doc_id", "tokens", "n_tok")
+    )
+
+    # engine runs ahead without the exporter, then a consumer-attached
+    # call with nothing new to read heals the feed lag
+    for b in (2, 3):
+        _write_batch_file(events, b, str(landing))
+    stream_apply(spark, eng, str(landing), ckpt)
+    assert ex.last_source_epoch < eng.table.latest_manifest()["epoch"]
+    stream_apply(spark, eng, str(landing), ckpt, consumers=[ex])
+    assert ex.last_source_epoch == eng.table.latest_manifest()["epoch"]
+    assert rows(ex.folded_state().select("doc_id", "tokens", "n_tok")) == rows(
+        eng.state().select("doc_id", "tokens", "n_tok")
+    )
+    kinds = [e["kind"] for e in read_export_ledger(str(tmp_path / "feed"))]
+    assert kinds[0] == "snapshot" and all(k == "changes" for k in kinds[1:])
