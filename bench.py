@@ -114,6 +114,15 @@ HEADLINE = [
     "q118_negative_samples",
     "q119_quantile_binning",
     "q120_dup_span_coverage",
+    "q121_link_prediction",
+    "q122_psi_drift",
+    "q123_state_runs",
+    "q124_random_projection",
+    "q125_pack_layout",
+    "q126_fellegi_sunter",
+    "q127_decayed_sum",
+    "q128_source_minhash_similarity",
+    "q129_stratified_sample",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —

@@ -307,3 +307,102 @@ def negative_samples(
         F.col("_j").alias("neg_rank_j"),
         "neg_id",
     )
+
+
+def pack_layout(
+    df: DataFrame,
+    capacity: int,
+    len_col: str = "n_tok",
+    group_col: str | list[str] = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Physical layout of packed pretraining batches: extend
+    ``pack_sequences``'s pack assignment with what the trainer's data
+    loader actually consumes — per document its ``seg_idx`` (segment
+    index inside the pack, the attention-mask segment id) and
+    ``start_pos`` (token offset where the document begins inside the
+    pack, the position-id base). Without these, packing is an
+    assignment; with them it is an executable batch layout (documents
+    concatenate in (group, id) order, positions are exact prefix sums).
+
+    Pure window arithmetic on the SAME (group ordered-by id) shuffle the
+    pack assignment already runs — Catalyst plans ONE Exchange for all
+    three windows, so the layout costs nothing over the assignment.
+    """
+    from pyspark.sql import Window
+
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    packed = pack_sequences(
+        df, capacity, len_col=len_col, group_col=group_col, id_col=id_col,
+        out_col="pack_seq",
+    )
+    w_pack = Window.partitionBy(*groups, "pack_seq").orderBy(id_col)
+    start = F.sum(len_col).over(w_pack) - F.col(len_col)
+    return packed.withColumn(
+        "seg_idx", (F.row_number().over(w_pack) - 1).cast("int")
+    ).withColumn("start_pos", start.cast("bigint"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    total_k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "stratified",
+) -> DataFrame:
+    """Proportional stratified sampling with largest-remainder (Hamilton)
+    apportionment: a TOTAL budget of ``total_k`` rows allocated across
+    groups proportional to group size — quotas are exact integer
+    arithmetic (floor(k·c_g / N), leftovers to the largest remainders,
+    ties by group name), so the allocation is deterministic and sums to
+    exactly min(total_k, N). Within each group the quota is filled by
+    the k-smallest-salted-hash rule shared with ``per_group_sample``.
+    per_group_sample balances (k per group); this PRESERVES the corpus
+    mixture at a fixed budget — the eval-set / ablation-subset sampler.
+
+    A quota can exceed a tiny group's size only when total_k > N (then
+    everything is taken); otherwise remainder apportionment never
+    overfills: quota ≤ count per group holds by construction only in
+    expectation, so the selector also caps at the group's rows.
+
+    Scale posture: the allocation runs on the GROUPS-sized count frame
+    (two tiny windows), broadcast back onto the corpus; the corpus pays
+    one per-group window rank — same single shuffle as per_group_sample.
+    """
+    from pyspark.sql import Window
+
+    if total_k < 1:
+        raise ValueError(f"total_k must be >= 1, got {total_k}")
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_total = F.sum("_c").over(w_all)
+    base = F.floor(F.lit(total_k) * F.col("_c") / n_total)
+    rem = (F.lit(total_k) * F.col("_c")) % n_total
+    leftover = F.lit(total_k) - F.sum(base).over(w_all)
+    w_rem = Window.orderBy(F.desc("_rem"), F.col("_g").asc())
+    alloc = (
+        counts.select(
+            "_g", "_c", base.alias("_base"), rem.alias("_rem"),
+            leftover.alias("_left"),
+        )
+        .withColumn("_rk", F.row_number().over(w_rem))
+        .select(
+            "_g",
+            (F.col("_base") + F.when(F.col("_rk") <= F.col("_left"), 1)
+             .otherwise(0)).alias("_quota"),
+        )
+    )
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w_g = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.join(
+            F.broadcast(alloc), F.col(group_col) == F.col("_g"), "inner"
+        )
+        .withColumn("_rk", F.row_number().over(w_g))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_g", "_quota", "_rk")
+    )

@@ -159,3 +159,68 @@ def sorted_neighborhood_pairs(
             F.col("dist").cast("int"),
         )
     )
+
+
+def fs_weights(m: float, u: float) -> tuple[int, int]:
+    """Fellegi–Sunter (1969) field weights in integer MILLI-units:
+    agreement weight log2(m/u), disagreement log2((1−m)/(1−u)), where m =
+    P(fields agree | same entity) and u = P(agree | different entities).
+    Quantized to ints driver-side so pair scores are pure integer sums —
+    bit-identical across engines and partitionings (the fixed-point rule
+    every iterative operator here follows)."""
+    import math
+
+    if not (0 < u < m < 1):
+        raise ValueError(f"need 0 < u < m < 1, got m={m}, u={u}")
+    return (
+        round(math.log2(m / u) * 1000),
+        round(math.log2((1 - m) / (1 - u)) * 1000),
+    )
+
+
+def fs_classify(
+    pairs: DataFrame,
+    rules: list[tuple[Column, int, int]],
+    upper_milli: int,
+    lower_milli: int,
+    out_col: str = "fs_milli",
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage decision over candidate pairs: each
+    rule is (agreement predicate over the pair row, agree weight,
+    disagree weight) in milli-units from ``fs_weights``; the pair score
+    is the sum and the verdict thresholds it into match / possible
+    (clerical review) / non_match. This is the probabilistic layer the
+    deterministic blockers (``sorted_neighborhood_pairs``,
+    ``blocked_fuzzy_match``) feed — blocking bounds the pair space,
+    FS decides.
+
+    A NULL field on either side makes the rule abstain (weight 0) — the
+    standard missing-data treatment; a predicate that evaluates NULL
+    (e.g. comparing a null column) counts as abstention too.
+
+    Scale posture: a pure projection over the candidate-pair stream —
+    no shuffle, no Python; whatever partitioning the blocker produced
+    flows through.
+    """
+    if lower_milli > upper_milli:
+        raise ValueError(
+            f"lower ({lower_milli}) must be <= upper ({upper_milli})"
+        )
+    if not rules:
+        raise ValueError("fs_classify needs at least one rule")
+    terms = [
+        F.when(cond, F.lit(int(aw)))
+        .when(~cond, F.lit(int(dw)))
+        .otherwise(F.lit(0))  # NULL predicate → abstain
+        for cond, aw, dw in rules
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    score = total.cast("bigint").alias(out_col)
+    return pairs.select("*", score).withColumn(
+        "verdict",
+        F.when(F.col(out_col) >= upper_milli, "match")
+        .when(F.col(out_col) >= lower_milli, "possible")
+        .otherwise("non_match"),
+    )

@@ -482,3 +482,71 @@ def ivf_topk_quantized(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def jl_signs(dim: int, out_dim: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas
+    2003, the dense ±1 variant): sign(i, j) from the md5 parity of
+    ``"i:j:seed"`` — a pure function of the coordinates, so any engine
+    (and any re-run) regenerates the identical matrix with no RNG state
+    to ship (the q32 / q107 no-RNG-state rule)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{i}:{j}:{seed}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """±1 random projection of an embedding column to ``out_dim``
+    components — the cheap JL sketch that makes downstream similarity
+    work 8× narrower: project once, then band/bucket/near-dup in the
+    small space and verify survivors in the full space (distances are
+    preserved within (1±ε) for out_dim = O(log n / ε²)).
+
+    Output is LONG form, one row per (id, j, comp) with
+    comp = (Σ_i emb[i]·sign(i,j)) / sqrt(out_dim) rounded to
+    ``round_dp`` — long, not an array, so downstream engines (and the
+    correctness harness) compare scalar values exactly.
+
+    Scale posture: the sign matrix is a driver-side constant folded into
+    the plan (out_dim·dim literals, ~512 doubles — never a join), the
+    per-row fold is a JVM higher-order function inside whole-stage
+    codegen, and the projection is a pure map: NO shuffle, pipelined
+    into whatever consumes it.
+    """
+    import math
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    signs = jl_signs(dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    emb = F.col(emb_col).cast("array<double>")
+    comps = [
+        F.round(
+            dot(emb, F.array(*[F.lit(s) for s in row])) * F.lit(inv),
+            round_dp,
+        )
+        for row in signs
+    ]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("j", "comp")
+    )

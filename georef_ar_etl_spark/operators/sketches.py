@@ -586,3 +586,72 @@ def mad_outliers(
             "is_outlier"
         ),
     )
+
+
+def group_minhash(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 16,
+    seed: int = 11,
+) -> DataFrame:
+    """Per-GROUP MinHash signature: for each group, the k-vector of
+    min((A_i·h(item) + B_i) mod p) over the group's item stream — the
+    set sketch at the container level (source / shard / crawl-snapshot)
+    rather than q17's document level. Signatures of group shards MERGE
+    by elementwise min, so this is a plain map-side-combinable aggregate:
+    ONE pass, k longs of state per group, never a shingle-set shuffle.
+
+    min() is duplicate-blind, so feeding the raw item multiset (no
+    distinct) yields the SET sketch for free. Returns long form
+    (group, i, minv) — the join-ready layout for signature comparison.
+
+    Same affine family + md5 base hash as every oracled sketch here
+    (exact in BIGINT, reproducible in any SQL engine).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    A, B = minhash_affine_params(k, seed)
+    h = _word_hash(F.col(item_col))
+    sig = df.groupBy(F.col(group_col).alias("grp")).agg(
+        *[
+            F.min((h * int(A[i]) + int(B[i])) % P31).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    stack = ", ".join(f"{i}, m{i}" for i in range(k))
+    return sig.select(
+        "grp", F.expr(f"stack({k}, {stack}) AS (i, minv)")
+    )
+
+
+def signature_similarity(sig: DataFrame, k: int) -> DataFrame:
+    """Pairwise Jaccard estimates between group signatures: the fraction
+    of matching MinHash components (the collision probability IS the
+    Jaccard). Input is ``group_minhash`` long form; output
+    (grp_a, grp_b, n_eq, est_jaccard) for every unordered group pair.
+
+    The corpus-curation question this answers at 100 TB: which SOURCES
+    substantially duplicate each other (mirror crawls, re-uploads) —
+    with cost groups²·k on signatures, never touching the corpus again.
+    """
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+        .agg(
+            F.count(
+                F.when(F.col("a.minv") == F.col("b.minv"), 1)
+            ).alias("n_eq")
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_eq") / F.lit(float(k)), 6),
+        )
+    )

@@ -468,3 +468,87 @@ def transition_counts(
         "n",
         (F.col("n") / F.sum("n").over(Window.partitionBy("src"))).alias("p"),
     )
+
+
+def state_runs(
+    df: DataFrame,
+    key_cols: str | list[str],
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Gaps-and-islands run-length encoding: collapse each key's ordered
+    event sequence into maximal runs of consecutive rows sharing the same
+    ``state_col`` value — (keys..., state, run_len, first/last order
+    value). The sequence-mining complement of ``sessionize`` (which cuts
+    on TIME gaps; this cuts on VALUE changes): "user did 7 'view's then a
+    'buy'" — the session-shape feature a behavior model trains on, or the
+    alert-flap report over a CDC status column.
+
+    Classic island id: within a key, ``row_number() - row_number()
+    partitioned additionally by state`` is constant across one run and
+    distinct across runs. ``order_col`` must be unique per key (event id,
+    not timestamp) or run boundaries are partitioning-dependent.
+
+    Scale posture: ONE shuffle on the key for both window passes (same
+    partitioning, Catalyst plans a single Exchange), then a
+    map-side-combinable agg keyed by (key, island); nothing ever leaves
+    the key's partition. Hot keys are plain window skew (AQE).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w_all = Window.partitionBy(*keys).orderBy(order_col)
+    w_state = Window.partitionBy(*keys, state_col).orderBy(order_col)
+    island = F.row_number().over(w_all) - F.row_number().over(w_state)
+    return (
+        df.withColumn("_island", island)
+        .groupBy(*keys, F.col(state_col).alias("state"), F.col("_island"))
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min(order_col).alias("run_start"),
+            F.max(order_col).alias("run_end"),
+        )
+        .drop("_island")
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_cols: str | list[str],
+    time_col: str,
+    value_col: str,
+    as_of: str,
+    half_life_s: int,
+) -> DataFrame:
+    """Recency-weighted aggregate: per key, Σ value·0.5^(age/half_life)
+    with age measured back from the fixed ``as_of`` instant — the
+    feature-store "decayed count/sum" (user activity scores, trending
+    signals) computed as a BATCH aggregate with an explicit reference
+    time, so the same query at the same as_of is reproducible forever
+    (an implicit now() would make every run a different feature).
+
+    Rows after ``as_of`` are excluded (they have not happened yet at the
+    reference instant — including them would leak future signal into a
+    training feature). NULL values are excluded like any SQL sum.
+
+    Determinism: the per-row weight is one pow() on a rational exponent
+    (identical IEEE inputs in any engine), quantized to 9 dp decimal
+    BEFORE the sum — the group total is then exact integer arithmetic,
+    bit-identical under any partitioning (q01 money rule).
+
+    Scale posture: pure map + ONE map-side-combinable aggregate; the
+    as_of filter pushes down to the scan.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if half_life_s < 1:
+        raise ValueError(f"half_life_s must be >= 1, got {half_life_s}")
+    ref = F.lit(as_of).cast("timestamp")
+    age_s = _epoch_s(ref) - _epoch_s(F.col(time_col))
+    w = F.pow(F.lit(0.5), age_s / F.lit(float(half_life_s)))
+    term = F.round(F.col(value_col) * w, 9).cast("decimal(28,9)")
+    return (
+        df.filter(F.col(time_col) <= ref)
+        .groupBy(*keys)
+        .agg(
+            F.count(value_col).alias("n"),
+            F.round(F.sum(term), 6).cast("double").alias("decayed_sum"),
+        )
+    )

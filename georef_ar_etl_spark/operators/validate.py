@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from georef_ar_etl_spark.schemas import DOC_ID_LEN, GROUP_PREFIX_LEN, OPS
@@ -275,3 +275,101 @@ def expect_report(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    alert_threshold: float = 0.2,
+) -> DataFrame:
+    """Population-stability-index drift report between a reference
+    snapshot and the current one — the standard "did the feature /
+    training-data distribution move" audit between two table versions
+    (the natural consumer of ``SnapshotTable.state(epoch=...)`` pairs).
+
+    ``col`` is binned into ``n_bins`` fixed-width bins over [lo, hi)
+    (values below/above are clamped into the edge bins; NULLs excluded —
+    null-rate drift is ``expect_report``'s job). Proportions are
+    Laplace-smoothed (+1 per bin) so empty bins never produce ln(0), and
+    PSI = Σ (p−q)·ln(p/q). Fixed-width, not quantile, bins: the bin
+    edges must mean the same thing in both snapshots AND in any engine
+    re-checking the report — a quantile spine would drift with the data
+    it is meant to audit.
+
+    Output: one row per bin (ref_n, cur_n, p_ref, p_cur, psi_term) plus
+    the broadcast psi_total and the ``drifted`` verdict
+    (psi_total > alert_threshold; 0.2 is the conventional "significant
+    shift" line). Per-bin terms are quantized to decimal before the
+    total so psi_total is bit-identical under any summation order.
+
+    Scale posture: ONE union scan reduced by a map-side-combinable
+    (side, bin) count — 2·n_bins rows leave the scan; everything after
+    (spine join, totals window, PSI arithmetic) is bins-sized.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        b = (
+            F.when(v < lo, 0)
+            .when(v >= hi, n_bins - 1)
+            .otherwise(F.floor((v - lo) * n_bins / (hi - lo)))
+        )
+        return df.filter(v.isNotNull()).select(
+            F.lit(side).alias("side"), b.cast("int").alias("bin")
+        )
+
+    counts = (
+        binned(ref, "ref")
+        .unionByName(binned(cur, "cur"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("side") == "ref", 1)).alias("ref_n"),
+            F.count(F.when(F.col("side") == "cur", 1)).alias("cur_n"),
+        )
+    )
+    spine = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    full = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = (F.col("ref_n") + 1) / (F.sum("ref_n").over(w) + n_bins)
+    q = (F.col("cur_n") + 1) / (F.sum("cur_n").over(w) + n_bins)
+    term = F.round((p - q) * F.log(p / q), 9).cast("decimal(18,9)")
+    return (
+        full.select(
+            "bin",
+            "ref_n",
+            "cur_n",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_cur"),
+            term.alias("_term"),
+        )
+        .select(
+            "bin",
+            "ref_n",
+            "cur_n",
+            "p_ref",
+            "p_cur",
+            F.round(F.col("_term"), 6).cast("double").alias("psi_term"),
+            F.round(F.sum("_term").over(w), 6)
+            .cast("double")
+            .alias("psi_total"),
+        )
+        .withColumn(
+            "drifted", F.col("psi_total") > F.lit(float(alert_threshold))
+        )
+    )

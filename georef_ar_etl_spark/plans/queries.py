@@ -5245,3 +5245,393 @@ _Q120_SQL = r"""
 @query("q120_dup_span_coverage", _Q120_SQL)
 def q120(spark, sf_dir):
     return text.dup_span_stats(_t(spark, sf_dir, "documents"), k=8)
+
+
+# ------------- q121: link prediction (common-neighbor / Adamic-Adar) -------
+# Missing-link scoring over the event-derived interaction graph: every
+# non-adjacent pair sharing >= 2 neighbors, with common-neighbor,
+# Adamic-Adar and resource-allocation scores. Hub apexes above deg 30 are
+# dropped from wedge enumeration (the stop-list skew cap, q40's
+# discipline); per-term doubles are quantized to decimal BEFORE the group
+# sum so the score is bit-identical under any summation order (q01 rule).
+_Q121_SQL = """
+    WITH e0 AS (
+      SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM (
+        SELECT event_id % 300 AS s, (event_id * 13 + user_id) % 350 AS d
+        FROM events) WHERE s <> d),
+    adj AS (SELECT u AS w, v AS n FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+    apex AS (SELECT adj.w, adj.n, deg.deg FROM adj JOIN deg USING (w)
+             WHERE deg.deg <= 30),
+    wedge AS (
+      SELECT a1.n AS a, a2.n AS b, a1.deg AS wdeg
+      FROM apex a1 JOIN apex a2 ON a1.w = a2.w AND a1.n < a2.n),
+    nonadj AS (
+      SELECT * FROM wedge WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.u = wedge.a AND e0.v = wedge.b))
+    SELECT a, b, count(*) AS common,
+           cast(round(sum(round(1.0 / ln(wdeg::DOUBLE), 9)::DECIMAL(18,9)), 6)
+                AS double) AS aa_score,
+           cast(round(sum(round(1.0 / wdeg::DOUBLE, 9)::DECIMAL(18,9)), 6)
+                AS double) AS ra_score
+    FROM nonadj GROUP BY a, b HAVING count(*) >= 2
+"""
+
+
+@query("q121_link_prediction", _Q121_SQL)
+def q121(spark, sf_dir):
+    from georef_ar_etl_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("event_id") % 300).alias("src"),
+        ((F.col("event_id") * 13 + F.col("user_id")) % 350).alias("dst"),
+    )
+    return graph.link_prediction(e, max_degree=30, min_common=2)
+
+
+# ------------- q122: PSI distribution-drift report --------------------------
+# Population stability index between two snapshots of the event stream
+# (first half-month = reference, second half with a 1.2x value drift
+# injected = current): fixed-width bins over [0, 200), Laplace-smoothed
+# proportions, per-bin PSI terms decimal-quantized before the total (q01
+# rule). The MLOps "did the feature distribution move" audit between two
+# table versions — the natural consumer of SnapshotTable.state(epoch=..)
+# pairs.
+_Q122_SQL = """
+    WITH src AS (
+      SELECT 'ref' AS side, value AS v FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      UNION ALL
+      SELECT 'cur', value * 1.2 FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+    bn AS (
+      SELECT side,
+             CASE WHEN v < 0 THEN 0 WHEN v >= 200 THEN 9
+                  ELSE floor((v - 0.0) * 10 / (200.0 - 0.0))::INT END AS bin
+      FROM src WHERE v IS NOT NULL),
+    c AS (
+      SELECT bin,
+             count(*) FILTER (side = 'ref') AS ref_n,
+             count(*) FILTER (side = 'cur') AS cur_n
+      FROM bn GROUP BY bin),
+    spine AS (SELECT unnest(generate_series(0, 9))::INT AS bin),
+    f AS (SELECT spine.bin, coalesce(ref_n, 0) AS ref_n,
+                 coalesce(cur_n, 0) AS cur_n
+          FROM spine LEFT JOIN c USING (bin)),
+    t AS (SELECT f.*,
+                 (ref_n + 1)::DOUBLE / (sum(ref_n) OVER () + 10) AS p,
+                 (cur_n + 1)::DOUBLE / (sum(cur_n) OVER () + 10) AS q
+          FROM f),
+    e AS (SELECT bin, ref_n, cur_n, p, q,
+                 round((p - q) * ln(p / q), 9)::DECIMAL(18,9) AS term
+          FROM t)
+    SELECT bin, ref_n, cur_n,
+           round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+           round(term, 6)::DOUBLE AS psi_term,
+           round(sum(term) OVER (), 6)::DOUBLE AS psi_total,
+           round(sum(term) OVER (), 6) > 0.2 AS drifted
+    FROM e
+"""
+
+
+@query("q122_psi_drift", _Q122_SQL)
+def q122(spark, sf_dir):
+    from georef_ar_etl_spark.operators.validate import psi_report
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cutoff)
+    cur = ev.filter(F.col("ts") >= cutoff).withColumn(
+        "value", F.col("value") * 1.2
+    )
+    return psi_report(ref, cur, "value", lo=0.0, hi=200.0, n_bins=10)
+
+
+# ------------- q123: gaps-and-islands state runs ----------------------------
+# Run-length encoding of each user's event-type sequence (ordered by
+# event_id): maximal runs of the same type, with length and boundary ids.
+# Island id = rn(key) - rn(key, state) — constant within a run, distinct
+# across runs; both windows share one shuffle. The VALUE-change complement
+# of q53's TIME-gap sessionization.
+_Q123_SQL = """
+    WITH r AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id) AS island
+      FROM events)
+    SELECT user_id, event_type AS state,
+           count(*) AS run_len,
+           min(event_id) AS run_start, max(event_id) AS run_end
+    FROM r GROUP BY user_id, event_type, island
+"""
+
+
+@query("q123_state_runs", _Q123_SQL)
+def q123(spark, sf_dir):
+    from georef_ar_etl_spark.operators.temporal import state_runs
+
+    return state_runs(
+        _t(spark, sf_dir, "events"), "user_id", "event_id", "event_type"
+    )
+
+
+# ------------- q124: ±1 random projection (JL sketch) -----------------------
+# Project the 64-d embeddings to 8 components with a deterministic
+# Achlioptas ±1 matrix (md5-parity signs, no RNG state) — the cheap
+# dimensionality sketch that narrows every downstream similarity pass 8x
+# before full-space verification. Long-form output (vec_id, j, comp);
+# the oracle regenerates the IDENTICAL matrix from the same hash rule
+# and inlines it as literals (the q19 hyperplane pattern). Both engines
+# fold the dot product left-to-right over the array, so the rounded
+# component is bit-identical (q18 precedent).
+def _q124_sql(dim: int = 64, out_dim: int = 8, seed: int = 7) -> str:
+    import math
+
+    signs = similarity.jl_signs(dim, out_dim, seed)
+    inv = repr(1.0 / math.sqrt(out_dim))
+    parts = [
+        f"SELECT vec_id, {j} AS j, "
+        f"round(list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(s) for s in row)}]) * {inv}, 4) AS comp "
+        f"FROM embeddings"
+        for j, row in enumerate(signs)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q124_random_projection", _q124_sql())
+def q124(spark, sf_dir):
+    return similarity.random_project(
+        _t(spark, sf_dir, "embeddings"), dim=64, out_dim=8, seed=7
+    )
+
+
+# ------------- q125: packed-batch physical layout ---------------------------
+# q41's pack assignment extended to what the trainer's loader consumes:
+# per document its segment index inside the pack (attention-mask segment
+# id) and its token start offset (position-id base) — exact prefix sums
+# on the same one-Exchange window family as the assignment itself.
+_Q125_SQL = """
+    WITH p AS (
+      SELECT source, doc_id, n_chars,
+             floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                    - n_chars) / 4000)::INT AS pack_seq
+      FROM documents)
+    SELECT doc_id, source, n_chars, pack_seq,
+           (row_number() OVER (PARTITION BY source, pack_seq
+                               ORDER BY doc_id) - 1)::INT AS seg_idx,
+           (sum(n_chars) OVER (PARTITION BY source, pack_seq
+                               ORDER BY doc_id) - n_chars)::BIGINT AS start_pos
+    FROM p
+"""
+
+
+@query("q125_pack_layout", _Q125_SQL)
+def q125(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return corpus.pack_layout(d, 4000, len_col="n_chars")
+
+
+# ------------- q126: Fellegi–Sunter probabilistic record linkage ------------
+# The probabilistic decision layer over blocked candidate pairs
+# (completes the ER stack: q73 blocks+verifies, q117 SNM-blocks, q109
+# picks golden records — this CLASSIFIES). Field weights are
+# log2(m/u) / log2((1-m)/(1-u)) quantized to integer millis driver-side
+# (operators/entity_match.py::fs_weights), so pair scores are pure
+# integer sums — bit-identical under any partitioning. Pairs are bounded
+# by the nation blocking key; only match/possible verdicts are emitted
+# (the clerical-review feed).
+_Q126_SQL = """
+    WITH p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) AS nd,
+             a.c_mktsegment = b.c_mktsegment AS seg,
+             abs(a.c_acctbal - b.c_acctbal) <= 500 AS bal
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+    s AS (
+      SELECT id_a, id_b,
+             (CASE WHEN nd <= 3 THEN 4170 ELSE -3248 END
+              + CASE WHEN seg THEN 1807 ELSE -1415 END
+              + CASE WHEN bal THEN 3000 ELSE -2170 END)::BIGINT AS fs_milli
+      FROM p)
+    SELECT id_a, id_b, fs_milli,
+           CASE WHEN fs_milli >= 6000 THEN 'match'
+                WHEN fs_milli >= 2500 THEN 'possible'
+                ELSE 'non_match' END AS verdict
+    FROM s WHERE fs_milli >= 2500
+"""
+
+
+@query("q126_fellegi_sunter", _Q126_SQL)
+def q126(spark, sf_dir):
+    from georef_ar_etl_spark.operators.entity_match import (
+        fs_classify,
+        fs_weights,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("id_a"),
+        F.col("b.c_custkey").alias("id_b"),
+        F.levenshtein("a.c_name", "b.c_name").alias("nd"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("seg"),
+        (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 500).alias(
+            "bal"
+        ),
+    )
+    rules = [
+        (F.col("nd") <= 3, *fs_weights(0.9, 0.05)),
+        (F.col("seg"), *fs_weights(0.7, 0.2)),
+        (F.col("bal"), *fs_weights(0.8, 0.1)),
+    ]
+    return (
+        fs_classify(pairs, rules, upper_milli=6000, lower_milli=2500)
+        .filter(F.col("fs_milli") >= 2500)
+        .select("id_a", "id_b", "fs_milli", "verdict")
+    )
+
+
+# ------------- q127: exponential time-decay aggregate ----------------------
+# Feature-store recency weighting: per user, Σ value·0.5^(age/7d) at the
+# FIXED as-of instant 2024-01-31 (reproducible — an implicit now() would
+# make every run a different feature; rows after as_of are excluded to
+# keep future signal out of a training feature). Per-row weights are one
+# pow() on identical IEEE inputs in both engines, quantized to decimal
+# before the group sum (q01 rule).
+_Q127_SQL = """
+    WITH w AS (
+      SELECT user_id, value,
+             round(value * pow(0.5,
+                 (floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))::BIGINT
+                  - floor(epoch(ts))::BIGINT) / 604800.0),
+               9)::DECIMAL(28,9) AS term
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-31 00:00:00')
+    SELECT user_id, count(value) AS n,
+           round(sum(term), 6)::DOUBLE AS decayed_sum
+    FROM w GROUP BY user_id
+"""
+
+
+@query("q127_decayed_sum", _Q127_SQL)
+def q127(spark, sf_dir):
+    from georef_ar_etl_spark.operators.temporal import decayed_sum
+
+    return decayed_sum(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        as_of="2024-01-31 00:00:00",
+        half_life_s=7 * 86400,
+    )
+
+
+# ------------- q128: per-source MinHash corpus similarity -------------------
+# Which SOURCES duplicate each other (mirror crawls, re-uploads): one
+# MinHash signature per source over its 8-char shingle stream (a
+# map-side-combinable min aggregate — signatures of shards merge by
+# elementwise min, never a shingle shuffle), then pairwise Jaccard
+# estimates on signatures alone — sources² · k work after ONE corpus
+# pass. Same md5+affine family as every oracled sketch; the oracle
+# inlines identical constants, so every signature component is verified
+# bit-for-bit.
+def _q128_sql(k: int = 16, seed: int = 11) -> str:
+    A, B = doc_dedup.minhash_affine_params(k, seed)
+    mins = ",\n             ".join(
+        f"min((h * {int(A[i])} + {int(B[i])}) % 2147483647) AS m{i}"
+        for i in range(k)
+    )
+    structs = ", ".join(
+        f"struct_pack(i := {i}, v := m{i})" for i in range(k)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT source, lower(text) AS t FROM documents
+      WHERE length(text) >= 8),
+    g AS (
+      SELECT source,
+             (('0x' || substr(md5(substr(t, i, 8)), 1, 8))::UBIGINT
+              % 2147483647)::BIGINT AS h
+      FROM sh, unnest(generate_series(1, length(t) - 7)) AS u(i)),
+    sig AS (SELECT source AS grp,
+             {mins}
+            FROM g GROUP BY source),
+    l AS (SELECT grp, unnest([{structs}]) AS s FROM sig),
+    lng AS (SELECT grp, s.i AS i, s.v AS minv FROM l)
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           count(*) FILTER (a.minv = b.minv) AS n_eq,
+           round(count(*) FILTER (a.minv = b.minv) / {float(k)!r}, 6)
+             AS est_jaccard
+    FROM lng a JOIN lng b ON a.i = b.i AND a.grp < b.grp
+    GROUP BY 1, 2
+    """
+
+
+@query("q128_source_minhash_similarity", _q128_sql())
+def q128(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    shingles = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.lower("text").alias("t"))
+        .filter(F.length("t") >= 8)
+        .select(
+            "source",
+            F.explode(
+                # sequence(1, 0) DESCENDS in Spark — the length filter
+                # above guarantees at least one shingle
+                F.expr(
+                    "transform(sequence(1, length(t) - 7),"
+                    " i -> substring(t, i, 8))"
+                )
+            ).alias("tok"),
+        )
+    )
+    sig = sketches.group_minhash(shingles, "source", "tok", k=16, seed=11)
+    return sketches.signature_similarity(sig, k=16)
+
+
+# ------------- q129: proportional stratified sample (largest remainder) ----
+# A fixed TOTAL budget (97 docs) split across sources proportional to
+# size via Hamilton apportionment — exact integer quotas (floor + largest
+# remainders, ties by source name; 97 is deliberately non-divisible so
+# the remainder tie-break path is exercised), filled per source by the
+# k-smallest-salted-hash rule. Preserves the corpus mixture at a fixed
+# budget, where q55 balances per group; allocation runs on the
+# groups-sized count frame and broadcasts back.
+_Q129_SQL = """
+    WITH c AS (SELECT source AS g, count(*) AS c FROM documents GROUP BY 1),
+    t AS (SELECT g, c, (sum(c) OVER ())::BIGINT AS n FROM c),
+    a AS (SELECT g, c, n, (97 * c) // n AS base, (97 * c) % n AS rem FROM t),
+    b AS (SELECT a.*, (97 - (sum(base) OVER ())::BIGINT) AS leftover,
+                 row_number() OVER (ORDER BY rem DESC, g) AS rk FROM a),
+    q AS (SELECT g, base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS quota FROM b),
+    r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR || 'stratified'), doc_id)
+                   AS rk
+          FROM documents)
+    SELECT r.doc_id, r.source, r.n_chars
+    FROM r JOIN q ON r.source = q.g WHERE r.rk <= q.quota
+"""
+
+
+@query("q129_stratified_sample", _Q129_SQL)
+def q129(spark, sf_dir):
+    from georef_ar_etl_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return corpus.stratified_sample(d, total_k=97)

@@ -282,3 +282,44 @@ def test_dup_span_plan_shuffles_hashed_grams(spark):
     gram strings: the hash projection happens BEFORE the exchange."""
     p = plan(QUERY_FNS["q120_dup_span_coverage"](spark, SF_DIR))
     assert "hashpartitioning(g#" in p, p
+
+
+def test_random_projection_no_shuffle(spark):
+    # the JL sketch is a pure map: sign matrix folded into the plan as
+    # literals (never a join), projection pipelined into the scan. The only
+    # permitted exchange is _t's input-spread round-robin (a no-op at
+    # production split counts) — never a HASH shuffle.
+    p = plan(QUERY_FNS["q124_random_projection"](spark, SF_DIR))
+    assert "hashpartitioning" not in p, p
+    assert "Join" not in p
+
+
+def test_state_runs_single_exchange(spark):
+    # both window passes and the island agg ride ONE hash partitioning
+    p = plan(QUERY_FNS["q123_state_runs"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_layout_single_exchange(spark):
+    # layout windows reuse the pack-assignment window's shuffle
+    p = plan(QUERY_FNS["q125_pack_layout"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_decayed_sum_pushes_asof_filter(spark):
+    p = plan(QUERY_FNS["q127_decayed_sum"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts" in p
+
+
+def test_fellegi_sunter_is_pure_projection_over_block_join(spark):
+    # FS scoring adds NO shuffle beyond the blocker's equi-join
+    p = plan(QUERY_FNS["q126_fellegi_sunter"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_psi_report_scan_reduced_before_spine(spark):
+    # the corpus leaves the scan as a (side,bin) partial agg: the plan
+    # must show a partial_count BEFORE the exchange (map-side combine)
+    p = plan(QUERY_FNS["q122_psi_drift"](spark, SF_DIR))
+    assert "partial_count" in p
