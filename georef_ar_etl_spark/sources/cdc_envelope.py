@@ -1,0 +1,158 @@
+"""Debezium-style change-envelope decoder: WAL-tail JSON → canonical events.
+
+The de-facto wire format for binlog/WAL tails (Debezium, and the shape
+Maxwell/DMS emit modulo field names) is a JSON envelope per change:
+
+    {"op": "c"|"u"|"d"|"r", "before": {...}|null, "after": {...}|null,
+     "source": {"lsn": 42, "ts_ms": ..., "table": ...}, "ts_ms": ...}
+
+This module decodes a DataFrame of raw envelope strings (a Kafka value
+column, a landed NDJSON file — transport-agnostic) into the engine's
+canonical ``EVENT_SCHEMA`` so the rest of the pipeline (quarantine,
+merge, changelog, consumers) never knows what wire format fed it.
+Reference analogue: the reference normalizes every source into one
+staging shape before transformation (georef_ar_etl/processes.py); this
+is that boundary for a WAL tail.
+
+Mapping contract:
+
+* op ``c`` (create) and ``r`` (snapshot read) → ``insert``; ``u`` →
+  ``update``; ``d`` → ``delete``. Anything else is quarantined, not
+  dropped — the reference's fail-loudly rule, per row.
+* payload comes from ``after`` (``before`` for deletes — Debezium
+  deletes carry no after-image); a delete missing ``before`` or any row
+  whose image lacks ``doc_id`` is quarantined.
+* ``seq`` = ``source.lsn`` — the log sequence number IS the total order
+  the engine replays by, so at-least-once redelivery dedupes to the
+  same state; a null/missing lsn is quarantined (an unordered change
+  cannot be replayed deterministically).
+* ``n_tok`` is recomputed from ``tokens`` when absent (derived-only,
+  the schemas.py rule).
+* additive evolution: pass ``extra_cols`` (name → Spark type) to carry
+  new upstream columns (e.g. ``src_meta``) through the after-image —
+  they ride as nullable payload columns and the engine's contract
+  validator classifies them additively downstream.
+
+Scale posture: ONE ``from_json`` per row (JVM Jackson inside codegen, no
+Python), a pure map with NO shuffle — decoding pipelines straight into
+the digest/quarantine stage; malformed detection is the from_json null
+result plus per-field null checks, so the split is two filters over the
+same decoded projection (Catalyst collapses them into one scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
+
+
+def envelope_schema(
+    extra_cols: dict[str, T.DataType] | None = None,
+) -> T.StructType:
+    image = [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ] + [T.StructField(n, t) for n, t in (extra_cols or {}).items()]
+    img = T.StructType(image)
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("before", img),
+            T.StructField("after", img),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("lsn", T.LongType()),
+                        T.StructField("ts_ms", T.LongType()),
+                        T.StructField("table", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def parse_debezium(
+    raw: DataFrame,
+    batch_id: int,
+    value_col: str = "value",
+    extra_cols: dict[str, T.DataType] | None = None,
+    payload_wrapper: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Decode raw envelope strings into ``(events, malformed)``.
+
+    ``events`` conforms to ``EVENT_SCHEMA`` (+ ``extra_cols``), ordered
+    for replay by the engine's ``(batch_id, seq)`` contract with
+    ``seq = source.lsn``. ``malformed`` keeps the ORIGINAL raw string
+    plus a ``reason`` — the dead-letter feed, same discipline as
+    ``tabular.split_malformed``. Kafka tombstones (null value) are
+    counted malformed with reason ``tombstone`` rather than silently
+    dropped: the engine's deletes are explicit ``op=d`` envelopes, so a
+    tombstone reaching this decoder means a misconfigured producer.
+    """
+    js = F.col(value_col)
+    if payload_wrapper:
+        # Kafka Connect without ExtractNewRecordState: {"schema":..,
+        # "payload": {<envelope>}} — unwrap before typed decoding
+        js = F.get_json_object(js, "$.payload")
+    # PERMISSIVE from_json yields an all-NULL struct (not a null struct)
+    # for malformed input, indistinguishable from {"op": null}; the corrupt
+    # -record column is the only reliable bad-JSON signal
+    schema = envelope_schema(extra_cols).add("_corrupt", T.StringType())
+    dec = raw.withColumn(
+        "_env",
+        F.from_json(
+            js,
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+
+    op_raw = F.col("_env.op")
+    canon_op = F.coalesce(
+        *[F.when(op_raw == k, F.lit(v)) for k, v in _OP_MAP.items()]
+    )
+    image = F.when(op_raw == "d", F.col("_env.before")).otherwise(
+        F.col("_env.after")
+    )
+    lsn = F.col("_env.source.lsn")
+
+    reason = (
+        F.when(F.col(value_col).isNull(), "tombstone")
+        .when(
+            F.col("_env").isNull() | F.col("_env._corrupt").isNotNull(),
+            "bad_json",
+        )
+        .when(op_raw.isNull() | canon_op.isNull(), "unknown_op")
+        .when(lsn.isNull(), "no_lsn")
+        .when(image.isNull() | image["doc_id"].isNull(), "no_image")
+    )
+    tagged = dec.withColumn("_reason", reason).withColumn("_img", image)
+    malformed = tagged.filter(F.col("_reason").isNotNull()).select(
+        F.col(value_col).alias("raw"), F.col("_reason").alias("reason")
+    )
+    payload_extra = list((extra_cols or {}).keys())
+    events = tagged.filter(F.col("_reason").isNull()).select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        lsn.cast("long").alias("seq"),
+        canon_op.alias("op"),
+        F.col("_img.doc_id").alias("doc_id"),
+        F.col("_img.tokens").alias("tokens"),
+        F.coalesce(
+            F.col("_img.n_tok"),
+            F.when(
+                F.col("_img.tokens").isNotNull(), F.size("_img.tokens")
+            ),
+        )
+        .cast("int")
+        .alias("n_tok"),
+        F.col("_img.source").alias("source"),
+        *[F.col(f"_img.{n}").alias(n) for n in payload_extra],
+    )
+    return events, malformed

@@ -1,0 +1,147 @@
+"""Debezium-envelope decoder: WAL-tail JSON → canonical events feeding the
+engine unchanged (reference analogue: every source normalized into one
+staging shape before transformation, georef_ar_etl/processes.py)."""
+
+import json
+
+from pyspark.sql import types as T
+
+from georef_ar_etl_spark import datagen
+from georef_ar_etl_spark.engine import CdcEngine
+from georef_ar_etl_spark.sources.cdc_envelope import parse_debezium
+
+_OP_WIRE = {"insert": "c", "update": "u", "delete": "d"}
+
+
+def _envelope(ev, extra=None):
+    img = {
+        k: ev[k]
+        for k in ("doc_id", "tokens", "n_tok", "source")
+        if ev.get(k) is not None
+    }
+    if extra:
+        img.update(extra)
+    # datagen injects invalid ops (e.g. 'upsert') for the quarantine path:
+    # encode them as an unknown wire code so the DECODER quarantines them —
+    # state-identical to the native engine quarantining the same row
+    wire = _OP_WIRE.get(ev["op"], "z")
+    return json.dumps(
+        {
+            "op": wire,
+            "before": img if wire == "d" else None,
+            "after": None if wire == "d" else img,
+            "source": {
+                "lsn": ev["seq"],
+                "ts_ms": 1700000000000 + ev["seq"],
+                "table": "docs",
+            },
+        }
+    )
+
+
+def _raw_df(spark, strings):
+    return spark.createDataFrame(
+        [(s,) for s in strings], T.StructType([T.StructField("value", T.StringType())])
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in df.select("doc_id", "tokens", "n_tok", "source").collect()
+    )
+
+
+def test_envelope_replay_equals_native_events(spark, tmp_path):
+    """Decoding the wire envelopes and applying them batch-by-batch lands
+    the byte-identical final state as applying the native event frames —
+    the decoder is a pure boundary, invisible to the engine."""
+    initial = datagen.gen_initial_state(120, seed=51, max_len=12)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=240, n_batches=3, seed=52,
+        max_len=12,
+    )
+    native = CdcEngine(spark, str(tmp_path / "native"), n_buckets=4)
+    native.bootstrap(datagen.state_to_df(spark, initial))
+    wire = CdcEngine(spark, str(tmp_path / "wire"), n_buckets=4)
+    wire.bootstrap(datagen.state_to_df(spark, initial))
+
+    for b in range(3):
+        evs = [e for e in events if e["batch_id"] == b]
+        native.apply_batch(datagen.events_to_df(spark, evs), batch_id=b)
+        parsed, bad = parse_debezium(
+            _raw_df(spark, [_envelope(e) for e in evs]), batch_id=b
+        )
+        # datagen's injected invalid ops quarantine at DECODE on the wire
+        # path (unknown wire code) where the native path quarantines them
+        # in-engine — either way they never touch state
+        n_bad_op = sum(1 for e in evs if e["op"] not in _OP_WIRE)
+        assert bad.count() == n_bad_op
+        assert {r["reason"] for r in bad.collect()} <= {"unknown_op"}
+        # wire envelopes carry no batch_id; the decoder stamps the caller's
+        # and seq comes from the lsn — same replay order as the native frame
+        wire.apply_batch(parsed, batch_id=b)
+
+    assert _rows(native.state()) == _rows(wire.state())
+
+
+def test_envelope_quarantines_are_reasoned_not_dropped(spark):
+    good = _envelope(
+        {"op": "insert", "seq": 7, "doc_id": "0200000000001",
+         "tokens": [1, 2], "n_tok": 2, "source": "wal"}
+    )
+    cases = [
+        ("{not json", "bad_json"),
+        (None, "tombstone"),
+        (json.dumps({"op": "x", "after": {"doc_id": "d"},
+                     "source": {"lsn": 1}}), "unknown_op"),
+        (json.dumps({"op": "c", "after": {"doc_id": "d"},
+                     "source": {"ts_ms": 5}}), "no_lsn"),
+        (json.dumps({"op": "c", "after": None,
+                     "source": {"lsn": 2}}), "no_image"),
+        (json.dumps({"op": "d", "before": None,
+                     "source": {"lsn": 3}}), "no_image"),
+    ]
+    ev, bad = parse_debezium(
+        _raw_df(spark, [good] + [c for c, _ in cases]), batch_id=0
+    )
+    assert ev.count() == 1
+    got = {r["raw"]: r["reason"] for r in bad.collect()}
+    assert len(got) == len(cases)
+    for raw, reason in cases:
+        assert got[raw] == reason
+    # snapshot reads (op=r) are inserts; n_tok recomputed when absent
+    r_ev, _ = parse_debezium(
+        _raw_df(
+            spark,
+            [json.dumps({"op": "r",
+                         "after": {"doc_id": "d1", "tokens": [5, 6, 7],
+                                   "source": "snap"},
+                         "source": {"lsn": 9}})],
+        ),
+        batch_id=1,
+    )
+    row = r_ev.first()
+    assert (row["op"], row["seq"], row["n_tok"]) == ("insert", 9, 3)
+
+
+def test_envelope_extra_cols_and_payload_wrapper(spark):
+    env = json.dumps(
+        {
+            "op": "c",
+            "after": {"doc_id": "0200000000001", "tokens": [1],
+                      "source": "wal", "src_meta": "m1"},
+            "source": {"lsn": 4},
+        }
+    )
+    wrapped = json.dumps({"schema": {"type": "struct"}, "payload": json.loads(env)})
+    ev, bad = parse_debezium(
+        _raw_df(spark, [wrapped]),
+        batch_id=0,
+        extra_cols={"src_meta": T.StringType()},
+        payload_wrapper=True,
+    )
+    assert bad.count() == 0
+    row = ev.first()
+    assert row["src_meta"] == "m1" and row["n_tok"] == 1
+    assert "src_meta" in ev.columns
