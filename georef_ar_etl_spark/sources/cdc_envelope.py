@@ -48,6 +48,12 @@ from pyspark.sql import types as T
 
 _OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
 
+# engine changelog op -> wire op. The changelog is NET effect per key per
+# epoch (LWW-merged), so create-vs-update is not recoverable — 'u' is
+# exact because the engine applies insert and update identically (upsert;
+# oracle.apply_events:104-110 path is shared).
+_WIRE_MAP = {"upsert": "u", "delete": "d"}
+
 
 def envelope_schema(
     extra_cols: dict[str, T.DataType] | None = None,
@@ -156,3 +162,67 @@ def parse_debezium(
         *[F.col(f"_img.{n}").alias(n) for n in payload_extra],
     )
     return events, malformed
+
+
+def to_debezium(
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    table: str = "docs",
+    epoch_col: str = "change_epoch",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Encode the engine's changelog (``CdcEngine.changes`` rows:
+    ``change_epoch, batch_id, op in ('upsert','delete'), <payload>,
+    bucket``) as Debezium-style envelope strings — the EMIT side of this
+    module, closing the replication loop: any engine (including a second
+    ``CdcEngine`` via ``parse_debezium``) can subscribe to this table's
+    changes over the same wire format a binlog tail would use.
+
+    Mapping back out:
+
+    * ``upsert`` → op ``u`` with the net payload as the after-image
+      (exact: the engine applies insert and update identically);
+      ``delete`` → op ``d`` with a KEY-ONLY before-image (Debezium
+      ``REPLICA IDENTITY`` minimal — the changelog's deletes carry a
+      null payload by construction).
+    * ``source.lsn`` is synthesized deterministically as
+      ``change_epoch·2³² + xxhash64(key) mod 2³²`` — NO wall clock, no
+      window. Per key it is strictly increasing across epochs, so a
+      consumer may fold ANY contiguous range of exported epochs into one
+      replay batch and land the same state (the changelog nets each key
+      once per epoch; cross-key lsn collisions are harmless because
+      replay order only matters within a key). ``ts_ms`` mirrors the lsn
+      rather than faking a timestamp.
+
+    Scale posture: pure map (one ``to_json`` per row, JVM-side), no
+    shuffle — pipelines straight onto the changelog scan, which already
+    reads only changed bytes for delta epochs.
+    """
+    meta = {epoch_col, "batch_id", "op", "bucket"}
+    payload_cols = payload_cols or [
+        c for c in changes.columns if c not in meta
+    ]
+    if key_col not in payload_cols:
+        raise ValueError(f"key_col {key_col!r} missing from payload")
+    is_del = F.col("op") == "delete"
+    lsn = F.col(epoch_col).cast("long") * F.lit(1 << 32) + F.pmod(
+        F.xxhash64(F.col(key_col)), F.lit(1 << 32)
+    )
+    wire_op = F.coalesce(
+        *[F.when(F.col("op") == k, F.lit(v)) for k, v in _WIRE_MAP.items()]
+    )
+    img = F.struct(*[F.col(c) for c in payload_cols])
+    env = F.struct(
+        wire_op.alias("op"),
+        F.when(is_del, F.struct(F.col(key_col).alias(key_col))).alias(
+            "before"
+        ),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            lsn.alias("lsn"), lsn.alias("ts_ms"), F.lit(table).alias("table")
+        ).alias("source"),
+    )
+    return changes.select(
+        F.to_json(F.struct(F.col(key_col).alias(key_col))).alias("key"),
+        F.to_json(env, {"ignoreNullFields": "true"}).alias("value"),
+    )

@@ -145,3 +145,73 @@ def test_envelope_extra_cols_and_payload_wrapper(spark):
     row = ev.first()
     assert row["src_meta"] == "m1" and row["n_tok"] == 1
     assert "src_meta" in ev.columns
+
+
+def _state_rows(eng):
+    return _rows(eng.state())
+
+
+def test_replication_round_trip_via_wire(spark, tmp_path):
+    """to_debezium(changes) -> parse_debezium -> second engine: a replica
+    subscribed over the wire format lands the byte-identical state,
+    epoch by epoch AND when folding the whole range into one batch (the
+    synthesized lsn is per-key monotone across epochs)."""
+    from georef_ar_etl_spark.sources.cdc_envelope import to_debezium
+
+    initial = datagen.gen_initial_state(100, seed=61, max_len=10)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=200, n_batches=4, seed=62,
+        max_len=10,
+    )
+    src = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4)
+    boot = src.bootstrap(datagen.state_to_df(spark, initial))
+    boot_epoch = boot["epoch"]
+    for b in range(4):
+        src.apply_batch(
+            datagen.events_to_df(
+                spark, [e for e in events if e["batch_id"] == b]
+            ),
+            batch_id=b,
+        )
+    head = src.table.latest_manifest()["epoch"]
+
+    # epoch-by-epoch replica
+    replica = CdcEngine(spark, str(tmp_path / "replica"), n_buckets=2)
+    replica.bootstrap(src.state(epoch=boot_epoch))
+    for e in range(boot_epoch + 1, head + 1):
+        wire = to_debezium(src.changes(e - 1, e))
+        parsed, bad = parse_debezium(wire.select("value"), batch_id=e)
+        assert bad.count() == 0
+        replica.apply_batch(parsed, batch_id=e)
+    assert _state_rows(replica) == _state_rows(src)
+
+    # whole-range fold into ONE replay batch
+    folded = CdcEngine(spark, str(tmp_path / "folded"), n_buckets=2)
+    folded.bootstrap(src.state(epoch=boot_epoch))
+    wire_all = to_debezium(src.changes(boot_epoch, head))
+    parsed_all, bad_all = parse_debezium(wire_all.select("value"), batch_id=0)
+    assert bad_all.count() == 0
+    folded.apply_batch(parsed_all, batch_id=0)
+    assert _state_rows(folded) == _state_rows(src)
+
+
+def test_to_debezium_delete_is_key_only_before_image(spark, tmp_path):
+    from georef_ar_etl_spark.sources.cdc_envelope import to_debezium
+
+    initial = datagen.gen_initial_state(20, seed=71, max_len=6)
+    src = CdcEngine(spark, str(tmp_path / "s2"), n_buckets=2)
+    src.bootstrap(datagen.state_to_df(spark, initial))
+    victim = initial[0]["doc_id"]
+    ev = [{"batch_id": 0, "seq": 1, "op": "delete", "doc_id": victim,
+           "tokens": None, "n_tok": None, "source": "wal"}]
+    src.apply_batch(datagen.events_to_df(spark, ev), batch_id=0)
+    head = src.table.latest_manifest()["epoch"]
+    rows = to_debezium(src.changes(head - 1, head)).collect()
+    assert len(rows) == 1
+    env = json.loads(rows[0]["value"])
+    assert env["op"] == "d"
+    assert env["before"] == {"doc_id": victim}
+    assert "after" not in env  # ignoreNullFields drops the null image
+    assert env["source"]["lsn"] == env["source"]["ts_ms"]
+    key = json.loads(rows[0]["key"])
+    assert key == {"doc_id": victim}
