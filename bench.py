@@ -123,6 +123,14 @@ HEADLINE = [
     "q127_decayed_sum",
     "q128_source_minhash_similarity",
     "q129_stratified_sample",
+    "q130_cdc_envelope_decode",
+    "q131_cdc_envelope_quarantine",
+    "q132_scd2_temporal_lookup",
+    "q133_dup_span_removal",
+    "q134_corr_matrix",
+    "q135_lexical_diversity",
+    "q136_tx_boundary_assembly",
+    "q137_redelivery_dedupe",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —

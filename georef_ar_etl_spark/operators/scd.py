@@ -95,6 +95,58 @@ def scd2_history(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    time_col: str,
+    payload_cols: list[str],
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time dimension lookup — THE consumer of an SCD2 history:
+    attach to every fact row the dimension version live at the fact's
+    sequence/time, or nulls when the key had no live version there (before
+    its first insert, or inside a deletion gap — ``scd2_history`` emits no
+    row for deleted intervals, so liveness needs the explicit
+    ``valid_to`` check below, not just "latest version at or before t").
+
+    Semantics: version [valid_from, valid_to) is live at t iff
+    valid_from <= t AND (valid_to IS NULL OR t < valid_to) — half-open,
+    matching ``scd2_history``'s interval contract; versions are disjoint
+    per key so at most one matches.
+
+    Plan shape: NOT an interval join (which Spark would plan as a theta
+    join — a per-key cross product). Versions are disjoint and tile the
+    axis, so the live version is exactly the as-of (backward) match on
+    ``valid_from`` filtered by its own ``valid_to`` — ONE shuffle via
+    ``temporal.asof_join``'s union+window formulation, O((facts +
+    versions) log) per key, no pair explosion at any fact:version ratio.
+    """
+    from georef_ar_etl_spark.operators.temporal import asof_join
+
+    carried = list(dict.fromkeys([*payload_cols, "valid_to"]))
+    j = asof_join(
+        facts,
+        history,
+        key_col,
+        key_col,
+        time_col,
+        "valid_from",
+        right_cols=carried,
+        prefix="_scd_",
+    )
+    live = F.col("_scd_valid_to").isNull() | (
+        F.col(time_col) < F.col("_scd_valid_to")
+    )
+    return j.select(
+        *facts.columns,
+        *[
+            F.when(live, F.col(f"_scd_{c}")).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+
+
 def golden_record(
     df: DataFrame,
     key_cols: list[str],

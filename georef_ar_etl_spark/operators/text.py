@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -1197,4 +1197,166 @@ def dup_span_stats(
                 6,
             ).alias("dup_frac"),
         )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring deduplication with REMOVAL (the second half of Lee
+    et al. 2022 — ``dup_span_stats`` above is the diagnostic): every
+    k-token n-gram occurrence that is not the gram's globally FIRST
+    occurrence (order: (doc, start), so exactly one copy of every
+    duplicated substring survives, including within-doc repeats) marks its
+    k token positions for removal; a document's kept text is its tokens
+    outside every such span, in original order.
+
+    Plan: gram explode with 60-bit hashes (q104/q120 trick — the shuffle
+    moves 8-byte keys), then ONE window over the gram (row_number + count
+    — first-occurrence flag and duplication arity from a single exchange,
+    vs groupBy+join-back's two), one groupBy back to the doc collecting
+    the sorted duplicate start positions, and the kept-token
+    reconstruction entirely inside array expressions (no per-position
+    explode, no Python). Removal check per position t: the largest
+    duplicate start <= t is within k — O(tokens · dup_starts) per doc,
+    JVM-side; per-doc cost is independent of corpus size (docs don't grow
+    when the corpus does — chunk pathological single documents upstream).
+
+    Skew: a boilerplate gram shared by millions of docs lands its
+    occurrences in one window partition — an external per-key sort, not a
+    blowup (row_number streams); unlike the pair-join operators there is
+    no quadratic term, so no stop-list is needed for correctness.
+
+    Output: (id, n_tok, n_removed, kept_text) — kept_text is the
+    space-joined surviving tokens (empty string when everything was
+    removed; docs shorter than k tokens have no grams and keep all).
+    """
+    w = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    grams = (
+        w.filter(F.size("ws") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k - 1}), i -> "
+                    f"struct(i AS s, conv(substring(md5(concat_ws(' ', "
+                    f"slice(ws, i, {k}))), 1, 15), 16, 10) AS g))"
+                )
+            ).alias("sg"),
+        )
+        .select(
+            id_col,
+            F.col("sg.s").alias("s"),
+            F.col("sg.g").cast("long").alias("g"),
+        )
+    )
+    wg = Window.partitionBy("g").orderBy(id_col, "s")
+    occ = grams.select(
+        id_col,
+        "s",
+        F.row_number().over(wg).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_cnt"),
+    )
+    dup_starts = (
+        occ.filter((F.col("_cnt") > 1) & (F.col("_rn") > 1))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("s")).alias("ss"))
+    )
+    joined = w.join(dup_starts, id_col, "left").withColumn(
+        "ss", F.coalesce(F.col("ss"), F.array().cast("array<int>"))
+    )
+    # F.sequence(1, 0) DESCENDS in Spark — guard the empty-token case
+    kept_nonempty = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda t: F.when(
+                ~F.exists(
+                    F.col("ss"), lambda s: (s <= t) & (t < s + F.lit(k))
+                ),
+                F.element_at(F.col("ws"), t),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    kept = F.when(F.size("ws") > 0, kept_nonempty).otherwise(
+        F.array().cast("array<string>")
+    )
+    return joined.select(
+        id_col,
+        F.size("ws").cast("long").alias("n_tok"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity profile — unigram Shannon entropy,
+    Simpson diversity and type/token ratio. Low-entropy / low-diversity
+    documents are keyword-stuffed or template pages that slip past
+    length/punctuation gates (quality_score) and even the Gopher
+    repetition rules when the repeats are shuffled; entropy is the
+    standard pretraining-corpus signal for them.
+
+    Shape: word-count — explode to (doc, word), count, re-aggregate per
+    doc. Two shuffles, both map-side combinable, no vocabulary state.
+
+    Cross-engine determinism: Simpson (1 - Σc(c-1)/(n(n-1))) and TTR are
+    EXACT integer/decimal arithmetic. Entropy needs log2: each term
+    c·log2(c) is quantized to 6dp BEFORE the (exact, order-insensitive)
+    decimal sum, and H = log2(n) - S/n is derived from exact inputs in
+    IEEE double — term quantization bounds the entropy error at
+    ~types·5e-7/n (≪ the 6dp output rounding) while making the sum
+    reproducible under any partitioning.
+    """
+    wds = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+            )
+        ).alias("w"),
+    )
+    c = wds.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(F.col("c") * F.log2("c"), 6).cast("decimal(28,6)")
+    t = c.groupBy(id_col).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(term).alias("s"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("pairs"),
+    )
+    n = F.col("n")
+    return t.select(
+        id_col,
+        n.cast("long").alias("n_tok"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(
+            F.log2(n) - F.col("s").cast("double") / n.cast("double"), 6
+        ).alias("entropy"),
+        F.when(n > 1,
+            F.round(
+                F.lit(1.0)
+                - F.col("pairs").cast("double")
+                / (n * (n - 1)).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("simpson"),
+        F.round(F.col("n_types").cast("double") / n.cast("double"), 6).alias(
+            "ttr"
+        ),
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from georef_ar_etl_spark.schemas import DOC_ID_LEN, GROUP_PREFIX_LEN, OPS
@@ -371,5 +371,110 @@ def psi_report(
         )
         .withColumn(
             "drifted", F.col("psi_total") > F.lit(float(alert_threshold))
+        )
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: dict[str, str],
+    scale: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols`` (output name → input
+    column) as ONE single-pass aggregate — the data-profiling companion to
+    ``expect_report``/``psi_report`` for feature-drift and leakage audits.
+
+    NOT ``F.corr`` per pair (p·(p-1)/2 separate aggregates → Catalyst
+    still fuses them, but each uses streaming double accumulation whose
+    result depends on row order — irreproducible across partitionings and
+    unverifiable cross-engine). Instead every moment (n, Σx, Σx², Σxy) is
+    accumulated in EXACT decimal arithmetic (order-insensitive,
+    map-side-combinable, one shuffle carrying one partial row per task),
+    and the correlation is derived from the exact moments in IEEE double —
+    bit-identical on any cluster size, any AQE re-plan, any engine that
+    sums the same decimals. ``scale`` must cover the inputs' true decimal
+    scale (money/rate columns here are 2dp) or the cast itself quantizes.
+
+    Output: one row per unordered pair — (col_a, col_b, n, corr) with
+    corr rounded to 6dp, derived entirely in-plan (explode over the
+    single aggregate row; no driver-side math).
+    """
+    names = list(cols)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    def dec(c):
+        return F.col(cols[c]).cast(f"decimal(18,{scale})")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        aggs.append(F.sum(dec(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(dec(a) * dec(a)).alias(f"ss_{a}"))
+    for a, b in pairs:
+        aggs.append(F.sum(dec(a) * dec(b)).alias(f"sp_{a}_{b}"))
+    one = df.agg(*aggs)
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    rows = []
+    for a, b in pairs:
+        n = d("n")
+        num = n * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+        den = F.sqrt(
+            (n * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"))
+            * (n * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").alias("n"),
+                F.round(num / den, 6).alias("corr"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def table_checksum(
+    df: DataFrame,
+    bucket_col,
+    cols: list[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-bucket row-count + order-insensitive content checksum — the
+    replica-reconciliation primitive (pt-table-checksum's core idea): after
+    a CDC pipeline replicates a table, source and replica run this ONE
+    aggregate each and compare n_buckets tiny rows instead of shipping
+    either table; a mismatched bucket pinpoints where to re-sync.
+
+    Checksum = Σ over rows of (md5(field-string) → 60-bit int → mod 2^40),
+    per bucket. Addition makes it order-insensitive and map-side
+    combinable (one shuffle of n_buckets·tasks partial rows); the 2^40
+    term bound keeps the int64 sum overflow-free to ~8M rows per bucket —
+    size ``n_buckets`` so buckets stay under that, the same contract as
+    the engine's bucket sizing. Fields are joined with '|' after casting
+    floats to fixed-scale decimals UPSTREAM (float→string formatting is
+    engine-specific; decimal strings are not).
+
+    Output: (bucket, n, checksum) — n_buckets rows total.
+    """
+    row_hash = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in cols])), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1 << 40),
+    )
+    b = bucket_col if isinstance(bucket_col, Column) else F.col(bucket_col)
+    return (
+        df.select(
+            F.pmod(b, F.lit(n_buckets)).cast("int").alias("bucket"),
+            row_hash.alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_h").alias("checksum"),
         )
     )

@@ -5635,3 +5635,475 @@ def q129(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return corpus.stratified_sample(d, total_k=97)
+
+
+# ------------- q130/q131: Debezium envelope wire decode --------------------
+# The WAL-tail ingest boundary (sources/cdc_envelope.py) exercised as a
+# catalog query: events rows are ENCODED into Debezium-style JSON
+# envelopes (op c/r/u/d, before/after images, source.lsn) with five
+# deterministic malformation classes injected (unknown op, missing lsn,
+# delete without before-image, corrupt JSON, Kafka tombstone), then
+# decoded back through ``parse_debezium``. The oracle computes the
+# decode SPEC directly from events — so the whole JSON encode → Jackson
+# decode → quarantine-split path is verified value-for-value, and the
+# five malformed classes are verified by count in q131. Pure map both
+# directions: one to_json + one from_json per row, no shuffle (the
+# groupBy in q131 aggregates a row per malformation class).
+def _envelope_feed(spark, sf_dir):
+    from georef_ar_etl_spark.sources.cdc_envelope import parse_debezium
+
+    m = F.pmod(F.col("event_id"), F.lit(13))
+    tokens = F.expr(
+        "transform(sequence(0, cast(event_id % 5 as int)), x -> cast(x as int))"
+    )
+    img = F.struct(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        tokens.alias("tokens"),
+        # one in three images omits n_tok -> decoder recomputes size(tokens)
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(3)) != 0, F.size(tokens)
+        ).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+    )
+    wire_op = (
+        F.when(m == 0, F.lit("d"))
+        .when(m == 1, F.lit("r"))
+        .when(m == 2, F.lit("c"))
+        .when(m == 3, F.lit("z"))  # unknown op -> quarantine
+        .when(m == 5, F.lit("d"))  # delete missing before -> quarantine
+        .otherwise(F.lit("u"))
+    )
+    env = F.struct(
+        wire_op.alias("op"),
+        F.when(m == 0, img).alias("before"),
+        F.when((m != 0) & (m != 5), img).alias("after"),
+        F.struct(
+            F.when(m != 4, F.col("event_id")).cast("long").alias("lsn"),
+            F.col("event_id").cast("long").alias("ts_ms"),
+            F.lit("events").alias("table"),
+        ).alias("source"),
+    )
+    js = F.to_json(env, {"ignoreNullFields": "true"})
+    raw = _t(spark, sf_dir, "events").select(
+        F.when(m == 6, F.concat(F.lit("{oops"), js))  # corrupt JSON
+        .when(m == 7, F.lit(None).cast("string"))  # Kafka tombstone
+        .otherwise(js)
+        .alias("value")
+    )
+    return parse_debezium(raw, batch_id=7)
+
+
+_Q130_SQL = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, event_id % 13 AS m FROM events)
+    SELECT 7::BIGINT AS batch_id, event_id AS seq,
+           CASE WHEN m = 0 THEN 'delete'
+                WHEN m IN (1, 2) THEN 'insert'
+                ELSE 'update' END AS op,
+           'u' || user_id::VARCHAR AS doc_id,
+           md5(array_to_string(
+               generate_series(0, (event_id % 5)::INT), ',')) AS tokens_fp,
+           (event_id % 5 + 1)::INT AS n_tok,
+           event_type AS source
+    FROM e WHERE m NOT IN (3, 4, 5, 6, 7)
+"""
+
+
+@query("q130_cdc_envelope_decode", _Q130_SQL)
+def q130(spark, sf_dir):
+    events, _ = _envelope_feed(spark, sf_dir)
+    return events.select(
+        "batch_id",
+        "seq",
+        "op",
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )
+
+
+_Q131_SQL = """
+    SELECT CASE m WHEN 3 THEN 'unknown_op' WHEN 4 THEN 'no_lsn'
+                  WHEN 5 THEN 'no_image' WHEN 6 THEN 'bad_json'
+                  ELSE 'tombstone' END AS reason,
+           count(*) AS n
+    FROM (SELECT event_id % 13 AS m FROM events)
+    WHERE m IN (3, 4, 5, 6, 7) GROUP BY 1
+"""
+
+
+@query("q131_cdc_envelope_quarantine", _Q131_SQL)
+def q131(spark, sf_dir):
+    _, malformed = _envelope_feed(spark, sf_dir)
+    return malformed.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------- q132: SCD2 point-in-time lookup join -------------------------
+# The consumer side of q97's history: every click event is enriched with
+# the user's status version live AT that click's sequence (non-click
+# events form the status stream; 'error' closes the account, so clicks
+# inside a deletion gap or before signup get NULLs). NOT an interval
+# theta-join — versions tile the axis disjointly, so the live version is
+# the as-of(backward) match on valid_from gated by its own valid_to:
+# operators/scd.py::scd2_lookup rides the union+window as-of (ONE shuffle
+# for history-build + ONE for the lookup, no pair explosion at any
+# fact:version ratio). The oracle replays the q97 history CTE and joins
+# by explicit interval containment.
+_Q132_SQL = """
+    WITH c AS (
+      SELECT user_id, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE event_type END AS e_et
+      FROM events WHERE event_type <> 'click'),
+    m AS (
+      SELECT *, row_number() OVER w AS rn,
+             lag(op) OVER w AS p_op, lag(e_et) OVER w AS p_et
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+    cp AS (
+      SELECT * FROM m
+      WHERE rn = 1 OR op IS DISTINCT FROM p_op
+         OR e_et IS DISTINCT FROM p_et),
+    v AS (
+      SELECT user_id, op, e_et, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+      FROM cp),
+    h AS (SELECT user_id, e_et AS status, valid_from, valid_to
+          FROM v WHERE op = 'u'),
+    f AS (SELECT event_id AS at_seq, user_id FROM events
+          WHERE event_type = 'click')
+    SELECT f.at_seq, f.user_id, h.status AS dim_status,
+           -- coalesce: a nullable BIGINT round-trips through pandas as
+           -- float64, which the dtype-sensitive compare would flag
+           coalesce(h.valid_from, -1) AS dim_valid_from
+    FROM f LEFT JOIN h
+      ON h.user_id = f.user_id AND h.valid_from <= f.at_seq
+     AND (h.valid_to IS NULL OR f.at_seq < h.valid_to)
+"""
+
+
+@query("q132_scd2_temporal_lookup", _Q132_SQL)
+def q132(spark, sf_dir):
+    from georef_ar_etl_spark.operators import scd
+
+    ev = _t(spark, sf_dir, "events")
+    dim_stream = ev.filter(F.col("event_type") != "click").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.col("event_type").alias("status"),
+    )
+    history = scd.scd2_history(
+        dim_stream, key_col="user_id", seq_col="seq", op_col="op",
+        payload_cols=["status"],
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("at_seq"), "user_id"
+    )
+    looked = scd.scd2_lookup(
+        facts, history, key_col="user_id", time_col="at_seq",
+        payload_cols=["status", "valid_from"],
+    )
+    return looked.select(
+        "at_seq",
+        "user_id",
+        "dim_status",
+        F.coalesce(F.col("dim_valid_from"), F.lit(-1)).alias(
+            "dim_valid_from"
+        ),
+    )
+
+
+# ------------- q133: exact-substring dedup with span REMOVAL ----------------
+# The acting half of Lee et al. 2022 (q120 is the diagnostic): every
+# non-first occurrence of a duplicated 8-token gram marks its span for
+# removal; documents keep their remaining tokens in order, so exactly one
+# copy of every duplicated substring survives corpus-wide (first
+# occurrence by (doc_id, start)). Grams move as 60-bit hashes; first-
+# occurrence flag + duplication arity come from ONE window over the gram;
+# reconstruction is pure array expressions. The oracle replays the
+# identical hash, window rule and span filter in SQL lists.
+_Q133_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, i AS s,
+             (('0x' || substr(md5(array_to_string(
+                 list_slice(ws, i, i + 7), ' ')), 1, 15))::UBIGINT)::BIGINT
+               AS g
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+    o AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM g),
+    d AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS ss
+          FROM o WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
+    r AS (SELECT w.doc_id, ws, coalesce(d.ss, []) AS ss
+          FROM w LEFT JOIN d USING (doc_id)),
+    kept AS (
+      SELECT doc_id, ws,
+             list_filter(
+               list_transform(generate_series(1, len(ws)),
+                 t -> CASE WHEN len(list_filter(ss,
+                        s -> s <= t AND t < s + 8)) = 0
+                      THEN ws[t] END),
+               x -> x IS NOT NULL) AS kw
+      FROM r)
+    SELECT doc_id, len(ws)::BIGINT AS n_tok,
+           (len(ws) - len(kw))::BIGINT AS n_removed,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+           coalesce(array_to_string(kw, ' '), '') AS kept_text
+    FROM kept
+"""
+
+
+@query("q133_dup_span_removal", _Q133_SQL)
+def q133(spark, sf_dir):
+    return text.remove_dup_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+# ------------- q134: single-pass Pearson correlation matrix -----------------
+# Feature-profiling over lineitem's four numeric measures as ONE
+# aggregate: every moment (n, Σx, Σx², Σxy) accumulates in exact decimal
+# (order-insensitive — reproducible under any partitioning/AQE re-plan,
+# unlike streaming-double F.corr), correlations derive from the exact
+# moments in IEEE double, in-plan. The oracle mirrors moment-for-moment.
+_Q134_COLS = {
+    "quantity": "l_quantity",
+    "extendedprice": "l_extendedprice",
+    "discount": "l_discount",
+    "tax": "l_tax",
+}
+
+
+def _q134_sql() -> str:
+    names = list(_Q134_COLS)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    def dec(a):
+        return f"{_Q134_COLS[a]}::DECIMAL(18,2)"
+
+    moments = ["count(*)::BIGINT AS n"]
+    for a in names:
+        moments.append(f"sum({dec(a)}) AS s_{a}")
+        moments.append(f"sum({dec(a)} * {dec(a)}) AS ss_{a}")
+    for a, b in pairs:
+        moments.append(f"sum({dec(a)} * {dec(b)}) AS sp_{a}_{b}")
+    sels = []
+    for a, b in pairs:
+        num = f"(n::DOUBLE * sp_{a}_{b}::DOUBLE - s_{a}::DOUBLE * s_{b}::DOUBLE)"
+        den = (
+            f"sqrt((n::DOUBLE * ss_{a}::DOUBLE - s_{a}::DOUBLE * s_{a}::DOUBLE)"
+            f" * (n::DOUBLE * ss_{b}::DOUBLE - s_{b}::DOUBLE * s_{b}::DOUBLE))"
+        )
+        sels.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,"
+            f" round({num} / {den}, 6)::DOUBLE AS corr FROM m"
+        )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(moments)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(sels)
+    )
+
+
+@query("q134_corr_matrix", _q134_sql())
+def q134(spark, sf_dir):
+    from georef_ar_etl_spark.operators.validate import corr_matrix
+
+    return corr_matrix(_t(spark, sf_dir, "lineitem"), _Q134_COLS)
+
+
+# ------------- q135: lexical diversity (entropy / Simpson / TTR) ------------
+# Template/keyword-stuffed docs that pass length and Gopher gates show up
+# as low unigram entropy & Simpson diversity. Word-count shape; entropy
+# terms quantized to 6dp before the exact decimal sum (order-insensitive
+# — the only floats are log2 calls on small ints, identical both
+# engines), Simpson and TTR exact arithmetic.
+_Q135_SQL = r"""
+    WITH wds AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    c AS (SELECT doc_id, w, count(*) AS c FROM wds GROUP BY 1, 2),
+    t AS (
+      SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_types,
+             sum(round(c * log2(c), 6)::DECIMAL(28,6)) AS s,
+             sum(c * (c - 1))::BIGINT AS pairs
+      FROM c GROUP BY 1)
+    SELECT doc_id, n AS n_tok, n_types,
+           round(log2(n) - s::DOUBLE / n::DOUBLE, 6)::DOUBLE AS entropy,
+           CASE WHEN n > 1
+                THEN round(1.0 - pairs::DOUBLE / (n * (n - 1))::DOUBLE, 6)
+                ELSE 0.0 END::DOUBLE AS simpson,
+           round(n_types::DOUBLE / n::DOUBLE, 6)::DOUBLE AS ttr
+    FROM t
+"""
+
+
+@query("q135_lexical_diversity", _Q135_SQL)
+def q135(spark, sf_dir):
+    return text.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+# ------------- q136: CDC transaction-boundary assembly ----------------------
+# A WAL tail delivers ops grouped in source transactions; a consistent
+# consumer emits ONLY ops whose transaction committed (here: txs of 8
+# consecutive events, committed iff the tx contains a 'purchase' — the
+# commit-marker stand-in). One window over the tx id (max-flag, no
+# groupBy+join-back), ops ride through in (tx, seq) order untouched.
+_Q136_SQL = """
+    WITH x AS (
+      SELECT event_id // 8 AS tx_id, event_id AS seq, user_id, event_type,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_id // 8) AS committed
+      FROM events)
+    SELECT tx_id, seq, user_id, event_type
+    FROM x WHERE committed = 1
+"""
+
+
+@query("q136_tx_boundary_assembly", _Q136_SQL)
+def q136(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") / 8).cast("long").alias("tx_id"),
+        F.col("event_id").alias("seq"),
+        "user_id",
+        "event_type",
+    )
+    committed = F.max(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(
+        Window.partitionBy("tx_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return ev.withColumn("_c", committed).filter(F.col("_c") == 1).drop("_c")
+
+
+# ------------- q137: at-least-once redelivery dedupe ------------------------
+# Kafka/WAL consumers see redelivered envelopes after rebalances; exactly-
+# once apply = keep the FIRST arrival per lsn and audit the delivery
+# count. Feed synthesizes redeliveries (every 5th event arrives twice,
+# the duplicate 10007 arrival slots later); one window per lsn keyed by
+# arrival order — first-wins is NOT q02's latest-wins LWW.
+_Q137_SQL = """
+    WITH feed AS (
+      SELECT event_id AS lsn, user_id, event_type,
+             event_id * 2 AS arrival FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type, event_id * 2 + 10007
+      FROM events WHERE event_id % 5 = 0),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lsn ORDER BY arrival) AS rn,
+             count(*) OVER (PARTITION BY lsn) AS n_deliveries
+      FROM feed)
+    SELECT lsn, user_id, event_type, arrival, n_deliveries
+    FROM r WHERE rn = 1
+"""
+
+
+@query("q137_redelivery_dedupe", _Q137_SQL)
+def q137(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = ev.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        "event_type",
+        (F.col("event_id") * 2).alias("arrival"),
+    )
+    redeliv = ev.filter(F.pmod("event_id", F.lit(5)) == 0).select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        "event_type",
+        (F.col("event_id") * 2 + 10007).alias("arrival"),
+    )
+    feed = first.unionByName(redeliv)
+    w = Window.partitionBy("lsn").orderBy("arrival")
+    wc = Window.partitionBy("lsn").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_deliveries", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("lsn", "user_id", "event_type", "arrival", "n_deliveries")
+    )
+
+
+# ------------- q138: replica reconciliation by bucket checksums -------------
+# Post-replication audit (pt-table-checksum's idea): source and replica
+# each reduce to 32 (bucket, count, additive 40-bit content checksum)
+# rows — comparing those finds every diverged bucket without shipping
+# either table. The replica here diverges deterministically (rows
+# event_id%1000==13 missing, value corrupted where event_id%997==0);
+# value rides as a DECIMAL string in the row hash (float→string
+# formatting is engine-specific, decimal strings are not).
+_Q138_SQL = """
+    WITH src AS (
+      SELECT (user_id % 32)::INT AS b,
+             (('0x' || substr(md5(
+                 event_id::VARCHAR || '|' || user_id::VARCHAR || '|' ||
+                 event_type || '|' || value::DECIMAL(18,2)::VARCHAR),
+               1, 15))::UBIGINT % 1099511627776)::BIGINT AS h
+      FROM events),
+    rep AS (
+      SELECT (user_id % 32)::INT AS b,
+             (('0x' || substr(md5(
+                 event_id::VARCHAR || '|' || user_id::VARCHAR || '|' ||
+                 event_type || '|' ||
+                 (CASE WHEN event_id % 997 = 0 THEN value + 1
+                       ELSE value END)::DECIMAL(18,2)::VARCHAR),
+               1, 15))::UBIGINT % 1099511627776)::BIGINT AS h
+      FROM events WHERE event_id % 1000 <> 13),
+    s AS (SELECT b, count(*) AS n, sum(h)::BIGINT AS c FROM src GROUP BY b),
+    r AS (SELECT b, count(*) AS n, sum(h)::BIGINT AS c FROM rep GROUP BY b)
+    SELECT s.b AS bucket, s.n AS n_src, r.n AS n_replica,
+           s.n = r.n AND s.c = r.c AS consistent
+    FROM s JOIN r ON s.b = r.b
+"""
+
+
+@query("q138_replica_reconciliation", _Q138_SQL)
+def q138(spark, sf_dir):
+    from georef_ar_etl_spark.operators.validate import table_checksum
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "v"]
+    src = ev.withColumn("v", F.col("value").cast("decimal(18,2)"))
+    rep = (
+        ev.filter(F.pmod("event_id", F.lit(1000)) != 13)
+        .withColumn(
+            "v",
+            F.when(
+                F.pmod("event_id", F.lit(997)) == 0, F.col("value") + 1
+            )
+            .otherwise(F.col("value"))
+            .cast("decimal(18,2)"),
+        )
+    )
+    cs = table_checksum(src, F.col("user_id"), cols, n_buckets=32)
+    cr = table_checksum(rep, F.col("user_id"), cols, n_buckets=32)
+    return (
+        cs.alias("s")
+        .join(cr.alias("r"), F.col("s.bucket") == F.col("r.bucket"))
+        .select(
+            F.col("s.bucket").alias("bucket"),
+            F.col("s.n").alias("n_src"),
+            F.col("r.n").alias("n_replica"),
+            (
+                (F.col("s.n") == F.col("r.n"))
+                & (F.col("s.checksum") == F.col("r.checksum"))
+            ).alias("consistent"),
+        )
+    )
