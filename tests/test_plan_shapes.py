@@ -323,3 +323,47 @@ def test_psi_report_scan_reduced_before_spine(spark):
     # must show a partial_count BEFORE the exchange (map-side combine)
     p = plan(QUERY_FNS["q122_psi_drift"](spark, SF_DIR))
     assert "partial_count" in p
+
+
+def test_envelope_decode_no_shuffle(spark):
+    # decode is a pure map: one from_json inside the scan projection —
+    # no exchange beyond _t's round-robin input spread, no join
+    p = plan(QUERY_FNS["q130_cdc_envelope_decode"](spark, SF_DIR))
+    assert "hashpartitioning" not in p, p
+    assert "from_json" in p
+    assert "Join" not in p
+
+
+def test_scd2_lookup_two_exchanges_no_theta_join(spark):
+    # history build shuffles once on the key; the as-of lookup unions
+    # facts+versions and shuffles once more — NEVER an interval join
+    # (no theta/nested-loop/cartesian pair explosion)
+    p = plan(QUERY_FNS["q132_scd2_temporal_lookup"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_dup_span_removal_hashed_grams_no_python(spark):
+    # grams exchange as 60-bit ints (projection before the window's
+    # shuffle); reconstruction is array expressions — no Python workers
+    p = plan(QUERY_FNS["q133_dup_span_removal"](spark, SF_DIR))
+    assert "hashpartitioning(g#" in p, p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+def test_corr_matrix_single_partial_aggregate(spark):
+    # every moment rides ONE map-side-combined aggregate: a single
+    # single-partition exchange, no per-pair scans, no join
+    p = plan(QUERY_FNS["q134_corr_matrix"](spark, SF_DIR))
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2, p  # input spread + SinglePartition
+    assert "partial_" in p
+
+
+def test_table_checksum_map_side_combined(spark):
+    # per-bucket checksum partials combine before the exchange
+    p = plan(QUERY_FNS["q138_replica_reconciliation"](spark, SF_DIR))
+    assert "partial_sum" in p and "partial_count" in p
