@@ -131,6 +131,9 @@ HEADLINE = [
     "q135_lexical_diversity",
     "q136_tx_boundary_assembly",
     "q137_redelivery_dedupe",
+    "q138_replica_reconciliation",
+    "q139_ngram_novelty",
+    "q140_sliding_hll_uniques",
 ]
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —

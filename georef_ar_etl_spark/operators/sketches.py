@@ -655,3 +655,53 @@ def signature_similarity(sig: DataFrame, k: int) -> DataFrame:
             F.round(F.col("n_eq") / F.lit(float(k)), 6),
         )
     )
+
+
+def sliding_hll_uniques(
+    df: DataFrame,
+    time_col: str,
+    item_col: str,
+    window_days: int = 7,
+    p: int = 6,
+) -> DataFrame:
+    """Trailing-window distinct counts per day from MERGEABLE daily HLL
+    sketches — "7-day active uniques" at 100 TB without ever re-scanning
+    the window: each day's register table (m=2^p ints) is built ONCE
+    (map-side-combinable max), and a day's trailing estimate merges the
+    registers of calendar days [D-w+1, D] by register-wise max.
+
+    Sliding merge WITHOUT a window function: a range-frame window over
+    (bucket, day) would emit rows only for days where that bucket was
+    observed, silently dropping a day-(D-3) register from day D's merge
+    when the bucket is absent on D. Instead every register row explodes
+    into the ≤w calendar days it influences (a w× multiplication of the
+    register table — m rows/day, not data rows), semi-joined to observed
+    days, then one (day, bucket) max. Exact same semantics as merging
+    persisted daily sketches in a serving layer.
+
+    Output: (day DATE, est DOUBLE) per observed day — estimate over the
+    trailing ``window_days`` calendar days (missing days contribute
+    nothing, matching the calendar-window reading).
+    """
+    daily = df.select(
+        F.to_date(F.col(time_col)).alias("_day"),
+        F.col(item_col).cast("string").alias("_it"),
+    )
+    regs = hll_group_registers(daily, "_day", "_it", p=p)
+    days = daily.select(F.col("_day").alias("day")).distinct()
+    influence = regs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {int(window_days) - 1}),"
+                f" i -> date_add(_day, i))"
+            )
+        ).alias("day"),
+        "bucket",
+        "r",
+    )
+    merged = (
+        influence.join(days, "day", "left_semi")
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    return hll_group_estimate(merged, "day", p=p)

@@ -1360,3 +1360,72 @@ def lexical_diversity(
             "ttr"
         ),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus — the
+    memorization/overlap audit: what fraction of a candidate document's
+    k-token grams already exist ANYWHERE in ``ref``. novelty → 0 flags
+    near-verbatim reuse of reference material even when whole-doc and
+    span-level dedup miss it (q45's contamination op asks the pair
+    question; this asks the per-doc score question).
+
+    Plan: grams hash to 60-bit ints (q104/q120 discipline) on both sides;
+    the reference reduces to its DISTINCT gram set ONCE (re-usable across
+    audits — persist it and this is one semi-join per audit), then a
+    LEFT SEMI join marks seen occurrences and one per-doc aggregate
+    scores. Occurrence-level counting (every position counts, repeated
+    grams count each time) so novelty reflects the document's surface,
+    not its vocabulary. Docs with fewer than k tokens have no grams:
+    novelty 1.0 by contract (nothing measurable was reused).
+    """
+    def grams(frame):
+        return (
+            frame.select(
+                F.col(id_col),
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                ).alias("ws"),
+            )
+            .filter(F.size("ws") >= k)
+            .select(
+                id_col,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(ws) - {k - 1}), i -> "
+                        f"cast(conv(substring(md5(concat_ws(' ', "
+                        f"slice(ws, i, {k}))), 1, 15), 16, 10) as bigint))"
+                    )
+                ).alias("g"),
+            )
+        )
+
+    ref_set = grams(ref).select("g").distinct()
+    aud = grams(df)
+    seen = aud.join(ref_set, "g", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_seen")
+    )
+    totals = aud.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    base = df.select(id_col)
+    return (
+        base.join(totals, id_col, "left")
+        .join(seen, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce("n_seen", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -6107,3 +6107,105 @@ def q138(spark, sf_dir):
             ).alias("consistent"),
         )
     )
+
+
+# ------------- q139: per-doc n-gram novelty vs a reference corpus ----------
+# Memorization/overlap audit: what fraction of each candidate document's
+# 8-grams already exists anywhere in the reference slice (sources
+# src0-2). Occurrence-level (every position counts); the reference
+# reduces to its distinct 60-bit gram set once, then one semi-join +
+# per-doc aggregate. Docs shorter than 8 tokens score novelty 1.0.
+_Q139_SQL = r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(array_to_string(
+                 list_slice(ws, i, i + 7), ' ')), 1, 15))::UBIGINT)::BIGINT
+               AS g
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8),
+    refset AS (SELECT DISTINCT g FROM g
+               WHERE source IN ('src0', 'src1', 'src2')),
+    aud AS (SELECT doc_id, g FROM g
+            WHERE source NOT IN ('src0', 'src1', 'src2')),
+    tot AS (
+      SELECT doc_id, count(*) AS n_grams,
+             count(*) FILTER (g IN (SELECT g FROM refset)) AS n_seen
+      FROM aud GROUP BY 1)
+    SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_seen, 0) AS n_seen,
+           round(1.0 - coalesce(n_seen, 0)
+                 / greatest(coalesce(n_grams, 0), 1), 6)::DOUBLE AS novelty
+    FROM (SELECT doc_id FROM documents
+          WHERE source NOT IN ('src0', 'src1', 'src2')) d
+    LEFT JOIN tot USING (doc_id)
+"""
+
+
+@query("q139_ngram_novelty", _Q139_SQL)
+def q139(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ref_srcs = ["src0", "src1", "src2"]
+    return text.ngram_novelty(
+        d.filter(~F.col("source").isin(ref_srcs)),
+        d.filter(F.col("source").isin(ref_srcs)),
+        k=8,
+    )
+
+
+# ------------- q140: trailing 7-day uniques from daily HLL sketches --------
+# "Weekly active users" per day at 100 TB: each day sketches its users
+# ONCE (m=64 ints, map-side combinable); a day's trailing estimate is a
+# register-wise max over calendar days [D-6, D] — sketches explode into
+# the <=7 days they influence (a 7x multiplication of m rows/day, never
+# of data rows), so absent-on-day-D buckets still contribute. Estimates
+# hash-oracled (q112 rule: 2^-r sums are exact powers of two).
+def _q140_sql(p: int = 6, window_days: int = 7) -> str:
+    m = 1 << p
+    maxp1 = 31 - p + 1
+    amm = repr((0.7213 / (1 + 1.079 / m)) * m * m)
+    return f"""
+    WITH e AS (SELECT ts::DATE AS day, user_id FROM events),
+    h AS (SELECT day,
+                 (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT
+                  % 2147483647)::BIGINT AS hv
+          FROM e),
+    reg AS (
+      SELECT day, hv % {m} AS bucket,
+             max(CASE WHEN (hv >> {p}) = 0 THEN {maxp1}
+                      ELSE {maxp1} - length(bin(hv >> {p})) END) AS r
+      FROM h GROUP BY 1, 2),
+    infl AS (SELECT day + i::INT AS day2, bucket, r
+             FROM reg, unnest(generate_series(0, {window_days - 1})) AS t(i)),
+    days AS (SELECT DISTINCT day FROM e),
+    m2 AS (SELECT day2 AS day, bucket, max(r) AS r
+           FROM infl JOIN days ON infl.day2 = days.day GROUP BY 1, 2),
+    agg AS (SELECT day, sum(1.0 / (1::BIGINT << r)) AS sp,
+                   count(*) AS np
+            FROM m2 GROUP BY 1),
+    est AS (SELECT day, {amm} / (sp + ({m} - np)) AS raw,
+                   {m} - np AS zeros
+            FROM agg)
+    SELECT day::VARCHAR AS day,
+           round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                      ELSE raw END, 4)::DOUBLE AS est_uniques
+    FROM est
+    """
+
+
+@query("q140_sliding_hll_uniques", _q140_sql())
+def q140(spark, sf_dir):
+    from georef_ar_etl_spark.operators import sketches
+
+    out = sketches.sliding_hll_uniques(
+        _t(spark, sf_dir, "events"), "ts", "user_id", window_days=7, p=6
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.round("est", 4).alias("est_uniques"),
+    )

@@ -208,3 +208,64 @@ class TestEnvelopeFeedQuarantine:
             ("bad_json", False),
             ("tombstone", True),
         }
+
+
+class TestNgramNovelty:
+    def test_scores(self, spark):
+        from georef_ar_etl_spark.operators.text import ngram_novelty
+
+        ref = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+        aud = spark.createDataFrame(
+            [
+                (1, "a b c d e"),      # fully seen: 3 grams, all in ref
+                (2, "x y z w v"),      # fully novel
+                (3, "a b c d q"),      # grams: abc bcd cdq -> 2 seen
+                (4, "a b"),            # < k tokens: novelty 1.0
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(aud, ref, k=3).collect()}
+        assert out[1]["novelty"] == pytest.approx(0.0)
+        assert out[2]["novelty"] == pytest.approx(1.0)
+        assert out[3]["n_grams"] == 3 and out[3]["n_seen"] == 2
+        assert out[3]["novelty"] == pytest.approx(round(1 - 2 / 3, 6))
+        assert out[4]["n_grams"] == 0 and out[4]["novelty"] == 1.0
+
+    def test_occurrence_level_counting(self, spark):
+        from georef_ar_etl_spark.operators.text import ngram_novelty
+
+        ref = spark.createDataFrame([(9, "p q r")], ["doc_id", "text"])
+        # 'p q r' appears twice among 5 grams -> both occurrences count
+        aud = spark.createDataFrame(
+            [(1, "p q r p q r x")], ["doc_id", "text"]
+        )
+        (r,) = ngram_novelty(aud, ref, k=3).collect()
+        assert r["n_grams"] == 5 and r["n_seen"] == 2
+
+
+class TestSlidingHllUniques:
+    def test_trailing_window_merges_prior_days(self, spark):
+        from georef_ar_etl_spark.operators.sketches import (
+            hll_group_estimate,
+            sliding_hll_uniques,
+        )
+
+        rows = (
+            [("2024-01-01 10:00:00", f"u{i}") for i in range(40)]
+            + [("2024-01-05 10:00:00", f"v{i}") for i in range(40)]
+            + [("2024-01-20 10:00:00", f"u{i}") for i in range(40)]
+        )
+        df = spark.createDataFrame(rows, ["ts", "item"]).select(
+            F.col("ts").cast("timestamp").alias("ts"), "item"
+        )
+        out = {
+            str(r["day"]): r["est"]
+            for r in sliding_hll_uniques(df, "ts", "item", 7, p=9).collect()
+        }
+        # day 5's window [day-6, day] includes day 1: ~80 uniques, well
+        # above either single day; day 20 is beyond day 5's window: ~40
+        assert out["2024-01-05"] > out["2024-01-01"] * 1.5
+        assert abs(out["2024-01-20"] - out["2024-01-01"]) < 2
+        # sanity: estimates in HLL error range of truth
+        assert 30 < out["2024-01-01"] < 50
+        assert 60 < out["2024-01-05"] < 100
