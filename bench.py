@@ -135,6 +135,8 @@ HEADLINE = [
     "q139_ngram_novelty",
     "q140_sliding_hll_uniques",
 ]
+# q141_incremental_gram_index drives a full engine replay like q34 — the
+# CDC replay benchmark measures that path
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —
 # the CDC replay benchmark below measures that path end-to-end

@@ -927,3 +927,201 @@ class Scd2Index:
             F.lit(True).alias("is_current"),
         )
         return closed.unionByName(open_)
+
+
+def token_gram_hashes(tokens_col: str, k: int) -> Column:
+    """Position-aligned 60-bit hashes of the ``k``-token grams of an int
+    token array: element i (1-based) hashes tokens[i..i+k-1] (md5 of the
+    comma-joined values → first 15 hex digits; DuckDB mirror:
+    ``('0x' || substr(md5(array_to_string(l[i:i+k-1], ',')), 1, 15))``).
+    Arrays shorter than k yield an empty gram list."""
+    t = tokens_col
+    return F.expr(
+        f"CASE WHEN size({t}) >= {k} THEN "
+        f"transform(sequence(1, size({t}) - {k - 1}), i -> "
+        f"cast(conv(substring(md5(array_join("
+        f"cast(slice({t}, i, {k}) as array<string>), ',')), 1, 15), 16, 10)"
+        f" as bigint)) ELSE array()::array<bigint> END"
+    )
+
+
+class TokenGramIndex:
+    """Changelog-maintained inverted n-gram index over token-array
+    payloads — the incremental backbone of exact-substring dedup: the
+    batch operators (``text.dup_span_stats`` / ``text.remove_dup_spans``)
+    recompute gram postings from the corpus per run, which at 100 TB must
+    instead refresh in O(changed docs × grams/doc) from the changelog.
+
+    The multi-valued generalization of ``DerivedValueIndex`` (a doc owns
+    MANY (gram, position) postings, not one scalar):
+
+    * ``forward``  — (doc_id, grams array<long>), bucketed by doc_id:
+      position i holds the hash of tokens[i..i+k-1], so a changed doc's
+      OLD posting rows are reconstructable without touching the corpus;
+    * ``postings`` — (g, doc_id, s), bucketed by g: the occurrence lists
+      behind "which grams are duplicated, where is each one's first
+      occurrence" (``dup_grams``).
+
+    A refresh deletes every old posting row of each changed doc (old
+    grams looked up from forward, bucket-pruned, broadcast-trimmed — the
+    DerivedValueIndex lookup shape) and inserts the new ones; rows whose
+    gram didn't move are deleted+reinserted, trading a little write
+    amplification inside touched postings buckets for set-difference-free
+    logic. Same crash-safe commit order (postings FIRST, forward LAST =
+    progress authority) and torn-refresh healing contract as
+    DerivedValueIndex.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, k: int = 2, n_buckets: int = 16
+    ):
+        self.spark = spark
+        self.k = int(k)
+        self.forward_schema = T.StructType([
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("grams", T.ArrayType(T.LongType()), True),
+        ])
+        self.postings_schema = T.StructType([
+            T.StructField("g", T.LongType(), False),
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("s", T.IntegerType(), False),
+        ])
+        self.forward = SnapshotTable(spark, f"{root.rstrip('/')}/forward", n_buckets)
+        self.postings = SnapshotTable(spark, f"{root.rstrip('/')}/postings", n_buckets)
+
+    # ------------------------------------------------------------- bookkeeping
+    @property
+    def last_source_epoch(self) -> int | None:
+        m = self.forward.latest_manifest()
+        return None if m is None else int(m["metrics"]["source_epoch"])
+
+    @property
+    def pending_refresh_epoch(self) -> int | None:
+        pm = self.postings.latest_manifest()
+        fm = self.forward.latest_manifest()
+        if pm is None or fm is None:
+            return None
+        p, f = int(pm["metrics"]["source_epoch"]), int(fm["metrics"]["source_epoch"])
+        return p if p > f else None
+
+    @staticmethod
+    def _explode(fwd: DataFrame, grams_col: str) -> DataFrame:
+        return fwd.select(
+            "doc_id", F.posexplode(F.col(grams_col)).alias("_p", "g")
+        ).select("g", "doc_id", (F.col("_p") + 1).cast("int").alias("s"))
+
+    # --------------------------------------------------------------- bootstrap
+    def bootstrap(self, state_df: DataFrame, source_epoch: int = 0) -> None:
+        if self.forward.latest_manifest() is not None:
+            return
+        fwd = state_df.select(
+            "doc_id", token_gram_hashes("tokens", self.k).alias("grams")
+        ).localCheckpoint(eager=True)
+        _commit_epoch(
+            self.postings,
+            self.postings_schema,
+            self._explode(fwd, "grams").withColumn(
+                "bucket", bucket_expr(F.col("g"), self.postings.n_buckets)
+            ),
+            list(range(self.postings.n_buckets)),
+            source_epoch,
+            "bootstrap",
+        )
+        _commit_epoch(
+            self.forward,
+            self.forward_schema,
+            fwd.withColumn(
+                "bucket", bucket_expr(F.col("doc_id"), self.forward.n_buckets)
+            ),
+            list(range(self.forward.n_buckets)),
+            source_epoch,
+            "bootstrap",
+        )
+
+    # ----------------------------------------------------------------- refresh
+    def refresh(self, changes_df: DataFrame, source_epoch: int) -> dict:
+        pending = self.pending_refresh_epoch
+        if pending is not None and source_epoch != pending:
+            raise ValueError(
+                f"torn refresh detected: postings reached source epoch "
+                f"{pending} but forward did not — re-run "
+                f"refresh(changes({self.last_source_epoch}, {pending}), "
+                f"{pending}) first (idempotent), then continue"
+            )
+        payload = [c for c in changes_df.columns if c not in
+                   ("change_epoch", "batch_id", "op", "bucket")]
+        net = latest_per_key(
+            changes_df.select("op", "change_epoch", *payload),
+            key="doc_id",
+            order="change_epoch",
+        )
+        staged = net.select(
+            "doc_id",
+            "op",
+            F.when(
+                F.col("op") == "upsert", token_gram_hashes("tokens", self.k)
+            ).alias("_new"),
+            bucket_expr(F.col("doc_id"), self.forward.n_buckets).alias("bucket"),
+        ).localCheckpoint(eager=True)
+        fwd_touched = sorted(
+            r["bucket"] for r in staged.select("bucket").distinct().collect()
+        )
+        old_fwd = self.forward.read_state(buckets=fwd_touched).select(
+            "doc_id", F.col("grams").alias("_old")
+        )
+        trimmed = old_fwd.join(
+            F.broadcast(staged.select("doc_id")), "doc_id", "left_semi"
+        )
+        enriched = staged.join(
+            F.broadcast(trimmed), "doc_id", "left"
+        ).localCheckpoint(eager=True)
+
+        up = F.col("op") == "upsert"
+        post_dels = self._explode(
+            enriched.filter(F.col("_old").isNotNull()).select(
+                "doc_id", F.col("_old")
+            ),
+            "_old",
+        )
+        post_ups = self._explode(
+            enriched.filter(up).select("doc_id", F.col("_new")), "_new"
+        )
+        n_post = _cow_apply(
+            self.postings, self.postings_schema, post_ups, post_dels,
+            key_cols=["g", "doc_id", "s"],
+            bucket_of=lambda: bucket_expr(F.col("g"), self.postings.n_buckets),
+            source_epoch=source_epoch,
+        )
+        fwd_ups = enriched.filter(up).select("doc_id", F.col("_new").alias("grams"))
+        fwd_dels = enriched.filter(~up).select("doc_id")
+        n_fwd = _cow_apply(
+            self.forward, self.forward_schema, fwd_ups, fwd_dels,
+            key_cols=["doc_id"],
+            bucket_of=lambda: bucket_expr(F.col("doc_id"), self.forward.n_buckets),
+            source_epoch=source_epoch,
+            always_commit=True,
+        )
+        return {"forward_rows": n_fwd, "posting_rows": n_post}
+
+    # ------------------------------------------------------------------ query
+    def dup_grams(self, min_docs: int = 2) -> DataFrame:
+        """Grams appearing in at least ``min_docs`` distinct docs, with
+        occurrence counts and the lexicographically-first (doc, position)
+        occurrence key — the duplicated-span candidate table that feeds
+        span removal, from maintained postings instead of a corpus scan."""
+        p = self.postings.read_state()
+        first_key = F.concat(
+            F.col("doc_id"), F.lit("@"), F.lpad(F.col("s").cast("string"), 6, "0")
+        )
+        return (
+            p.groupBy("g")
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occ"),
+                F.min(first_key).alias("first_key"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+        )
+
+    def occurrences(self) -> DataFrame:
+        return self.postings.read_state().select("g", "doc_id", "s")

@@ -6209,3 +6209,43 @@ def q140(spark, sf_dir):
         F.col("day").cast("string").alias("day"),
         F.round("est", 4).alias("est_uniques"),
     )
+
+
+# ------------- q141: incremental inverted gram-index maintenance -----------
+# The CDC×dedup composition: the token-bigram postings behind exact-
+# substring dedup (q120/q133 recompute them per run) maintained epoch-by-
+# epoch from engine.changes() — gram hashes computed only for changed
+# docs, old postings reconstructed from the bucket-pruned forward table,
+# O(changed docs × grams/doc) per epoch. The oracle computes the same
+# duplicated-gram table from the FULL final replayed state: equality
+# proves incremental == batch recompute across 4 epochs of inserts,
+# updates and deletes.
+_Q141_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")},
+    g AS (
+      SELECT doc_id, i AS s,
+             (('0x' || substr(md5(array_to_string(
+                 tokens[i:i+1], ',')), 1, 15))::UBIGINT)::BIGINT AS g
+      FROM state, unnest(generate_series(1, len(tokens) - 1)) AS t(i)
+      WHERE len(tokens) >= 2)
+    SELECT g, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+           min(doc_id || '@' || lpad(s::VARCHAR, 6, '0')) AS first_key
+    FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@query("q141_incremental_gram_index", _Q141_SQL)
+def q141(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.operators.index_maintenance import TokenGramIndex
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("cdc_gramidx_q141", sf_dir)
+    eng = CdcEngine(spark, f"{root}/src", n_buckets=16)
+    eng.bootstrap(initial)
+    idx = TokenGramIndex(spark, f"{root}/idx", k=2, n_buckets=8)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+    for b in (0, 1, 2, 3):
+        m = eng.apply_batch(events.filter(F.col("batch_id") == b), b)
+        idx.refresh(eng.changes(idx.last_source_epoch, m["epoch"]), m["epoch"])
+    return idx.dup_grams(min_docs=2)

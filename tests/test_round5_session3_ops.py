@@ -269,3 +269,70 @@ class TestSlidingHllUniques:
         # sanity: estimates in HLL error range of truth
         assert 30 < out["2024-01-01"] < 50
         assert 60 < out["2024-01-05"] < 100
+
+
+class TestTokenGramIndex:
+    def _mk(self, spark, tmp_path):
+        from georef_ar_etl_spark.operators.index_maintenance import TokenGramIndex
+
+        return TokenGramIndex(spark, str(tmp_path / "idx"), k=2, n_buckets=4)
+
+    def _state(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "tokens"])
+
+    def _changes(self, spark, epoch, rows):
+        # (op, doc_id, tokens) shaped like engine.changes() output
+        return spark.createDataFrame(
+            [(epoch, 0, op, d, t, 0) for op, d, t in rows],
+            ["change_epoch", "batch_id", "op", "doc_id", "tokens", "bucket"],
+        )
+
+    def test_incremental_equals_recompute(self, spark, tmp_path):
+        idx = self._mk(spark, tmp_path)
+        idx.bootstrap(
+            self._state(
+                spark,
+                [("a", [1, 2, 3]), ("b", [2, 3, 4]), ("c", [9, 9])],
+            ),
+            source_epoch=0,
+        )
+        # epoch 1: update b (loses the shared 2-3 gram), delete c, insert d
+        idx.refresh(
+            self._changes(
+                spark,
+                1,
+                [
+                    ("upsert", "b", [7, 8]),
+                    ("delete", "c", None),
+                    ("upsert", "d", [1, 2, 3, 4]),
+                ],
+            ),
+            source_epoch=1,
+        )
+        got = sorted(
+            tuple(r) for r in idx.occurrences().collect()
+        )
+        fresh = self._mk(spark, tmp_path / "fresh")
+        fresh.bootstrap(
+            self._state(
+                spark,
+                [("a", [1, 2, 3]), ("b", [7, 8]), ("d", [1, 2, 3, 4])],
+            ),
+            source_epoch=0,
+        )
+        want = sorted(tuple(r) for r in fresh.occurrences().collect())
+        assert got == want
+        # a and d share grams (1,2) and (2,3); first occurrences are a's
+        dups = {r["g"]: r for r in idx.dup_grams().collect()}
+        assert len(dups) == 2
+        assert all(r["n_docs"] == 2 and r["first_key"].startswith("a@") for r in dups.values())
+
+    def test_short_arrays_and_epoch_tracking(self, spark, tmp_path):
+        idx = self._mk(spark, tmp_path)
+        idx.bootstrap(self._state(spark, [("a", [5])]), source_epoch=0)
+        assert idx.occurrences().count() == 0
+        idx.refresh(
+            self._changes(spark, 1, [("upsert", "a", [5, 6])]), source_epoch=1
+        )
+        assert idx.last_source_epoch == 1
+        assert idx.occurrences().count() == 1
