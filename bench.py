@@ -137,6 +137,11 @@ HEADLINE = [
 ]
 # q141_incremental_gram_index drives a full engine replay like q34 — the
 # CDC replay benchmark measures that path
+# q142_suffix_array / q143_repeated_spans are O(n log n) INDEX BUILDS
+# (prefix-doubling suffix array: ceil(log2(max_len)) global-rank rounds,
+# ~40 s / ~27 s at sf0.1) — like q36 they are deliberately not in the
+# headline; their per-round cost is driver round-trips that amortize at
+# cluster scale, not per-row work
 # q56_continuous_aggregate, q60_cdc_patch_replay_state, q63_mor_point_lookup
 # and q103_scd2_incremental drive a full engine replay like q24/q30/q34 —
 # the CDC replay benchmark below measures that path end-to-end

@@ -1429,3 +1429,175 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def suffix_array_ranks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generalized suffix array over the corpus's within-document word
+    suffixes by PREFIX DOUBLING (Manber–Myers) — the index structure
+    behind exact-substring dedup at its strongest (Lee et al. 2022 build
+    exactly this to find every duplicated substring, not just fixed-k
+    grams). Output: (id, s, sa_rank) where sa_rank is the DENSE global
+    rank of doc[s:] among ALL suffixes of ALL documents (identical
+    suffixes share a rank; suffixes never compare past their own doc —
+    a shorter suffix that is a prefix of another ranks first).
+
+    Distributed shape: round r refines ranks from prefix length 2^(r-1)
+    to 2^r as the dense rank of the pair (rank[s], rank[s+k]) — the
+    "rank at s+k" is ONE co-keyed self-join (missing → -1 sentinel:
+    shorter-is-smaller), and the dense rank of the DISTINCT pair set
+    rides the two-phase range-partitioned global rank (never a
+    single-task window). ceil(log2(max_doc_len)) rounds, each a
+    constant number of shuffles of (id, s, rank) triples — 8-byte-ish
+    rows regardless of document width; per-round localCheckpoint
+    truncates the lineage (the components discipline). Early exit when
+    a round splits no rank class (prefix doubling can then never split
+    one later).
+
+    The driver-side loop bound and the two metadata collects (max doc
+    length, distinct-rank count per round) are scalars, not data.
+    """
+    from georef_ar_etl_spark.operators.entity_match import with_global_rank
+
+    w = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 1)
+    pos = w.select(
+        F.col(id_col), F.posexplode("ws").alias("_p", "_w")
+    ).select(id_col, (F.col("_p") + 1).cast("int").alias("s"), "_w")
+    vocab = pos.select("_w").distinct()
+    vr = with_global_rank(vocab, ["_w"], rank_col="r")
+    pos = (
+        pos.join(vr, "_w")
+        .select(id_col, "s", F.col("r").cast("long").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    maxlen = int(w.agg(F.max(F.size("ws"))).collect()[0][0] or 1)
+    n_classes = vr.count()  # distinct words = current rank-class count
+    k = 1
+    while k < maxlen:
+        right = pos.select(
+            F.col(id_col),
+            (F.col("s") - F.lit(k)).cast("int").alias("s"),
+            F.col("r").alias("_r2"),
+        )
+        pairs = pos.join(right, [id_col, "s"], "left").select(
+            id_col, "s", "r", F.coalesce("_r2", F.lit(-1)).alias("r2")
+        )
+        dr = pairs.select("r", "r2").distinct()
+        # with_global_rank checkpoints its input, so this count is a cheap
+        # metadata-sized scan — and |ranked| IS the new class count (one
+        # row per distinct (r, r+k) pair), no extra distinct pass needed
+        ranked = with_global_rank(dr, ["r", "r2"], rank_col="_nr")
+        new_classes = ranked.count()
+        pos = (
+            pairs.join(ranked, ["r", "r2"])
+            .select(id_col, "s", F.col("_nr").cast("long").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        if new_classes == n_classes:
+            break  # no class split at 2k -> none will split at any 2^j·k
+        n_classes = new_classes
+        k *= 2
+    return pos.select(id_col, "s", F.col("r").alias("sa_rank"))
+
+
+def repeated_spans(
+    df: DataFrame,
+    min_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every duplicated word span of at least ``min_len`` words, as the
+    LCP report over the suffix array — the COMPLETE version of what fixed
+    k-gram candidates approximate (a length-9 duplicate shows up here
+    once with lcp=9, not as two 8-gram hits): adjacent suffixes in suffix
+    -array order that share a prefix >= min_len. Standard LCP-interval
+    fact: ANY repeated substring of length L makes some ADJACENT pair
+    share >= L (pairwise LCP = min of adjacent LCPs between them), so
+    nothing is missed.
+
+    Plan: ``suffix_array_ranks`` (prefix doubling), one two-phase global
+    row_number for the total SA order (ties broken by (id, s)), one
+    self-join for neighbors, then LCP per adjacent pair by folding a
+    zip_with equality over the two suffix slices (multiplicative
+    short-circuit — pure Catalyst). The slices bound row width by the
+    MAX DOCUMENT length, fine for normal corpora; for monster documents
+    the rank-table binary-lifting LCP (O(log len) joins of constant-width
+    rows) is the upgrade path — chunk such docs upstream.
+
+    Output: (doc_a, s_a, doc_b, s_b, lcp, span_fp) — span_fp is the md5
+    of the shared prefix (space-joined), so equal spans group by it.
+    """
+    from georef_ar_etl_spark.operators.entity_match import with_global_rank
+
+    w = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 1)
+    sa = suffix_array_ranks(df, text_col=text_col, id_col=id_col)
+    ordered = with_global_rank(sa, ["sa_rank", id_col, "s"], rank_col="rn")
+    a = ordered.select(
+        F.col(id_col).alias("doc_a"), F.col("s").alias("s_a"), "rn"
+    )
+    b = ordered.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("s").alias("s_b"),
+        (F.col("rn") - 1).alias("rn"),
+    )
+    pairs = (
+        a.join(b, "rn")
+        .join(
+            w.select(F.col(id_col).alias("doc_a"), F.col("ws").alias("_wa")),
+            "doc_a",
+        )
+        .join(
+            w.select(F.col(id_col).alias("doc_b"), F.col("ws").alias("_wb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "s_a",
+            "doc_b",
+            "s_b",
+            F.expr("slice(_wa, s_a, size(_wa) - s_a + 1)").alias("_sa"),
+            F.expr("slice(_wb, s_b, size(_wb) - s_b + 1)").alias("_sb"),
+        )
+    )
+    eqs = F.zip_with(
+        F.col("_sa"),
+        F.col("_sb"),
+        lambda x, y: F.when(
+            x.isNotNull() & y.isNotNull() & (x == y), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    lcp = F.aggregate(
+        eqs,
+        F.struct(F.lit(1).alias("go"), F.lit(0).alias("n")),
+        lambda acc, e: F.struct(
+            (acc["go"] * e).alias("go"), (acc["n"] + acc["go"] * e).alias("n")
+        ),
+        lambda acc: acc["n"],
+    )
+    return (
+        pairs.withColumn("lcp", lcp)
+        .filter(F.col("lcp") >= min_len)
+        .select(
+            "doc_a",
+            "s_a",
+            "doc_b",
+            "s_b",
+            F.col("lcp").cast("int").alias("lcp"),
+            F.md5(
+                F.array_join(F.slice(F.col("_sa"), F.lit(1), F.col("lcp")), " ")
+            ).alias("span_fp"),
+        )
+    )

@@ -367,3 +367,20 @@ def test_table_checksum_map_side_combined(spark):
     # per-bucket checksum partials combine before the exchange
     p = plan(QUERY_FNS["q138_replica_reconciliation"](spark, SF_DIR))
     assert "partial_sum" in p and "partial_count" in p
+
+
+def test_rrf_fusion_no_global_window(spark):
+    # per-list ranks ride with_global_rank: every row_number window in the
+    # plan is partitioned by _pid, never a single-task ORDER BY window
+    p = plan(QUERY_FNS["q91_rrf_fusion"](spark, SF_DIR))
+    for line in p.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, line
+
+
+def test_suffix_array_rounds_no_global_window(spark):
+    p = plan(QUERY_FNS["q142_suffix_array"](spark, SF_DIR))
+    for line in p.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, line
+    assert "CartesianProduct" not in p

@@ -336,3 +336,75 @@ class TestTokenGramIndex:
         )
         assert idx.last_source_epoch == 1
         assert idx.occurrences().count() == 1
+
+
+class TestSuffixArrayRanks:
+    def _ranks(self, spark, docs):
+        from georef_ar_etl_spark.operators.text import suffix_array_ranks
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        return {
+            (r["doc_id"], r["s"]): r["sa_rank"]
+            for r in suffix_array_ranks(df).collect()
+        }
+
+    def test_hand_computed_with_cross_doc_ties(self, spark):
+        got = self._ranks(spark, [(1, "b a"), (2, "a b a")])
+        # sorted suffixes: "a" (x2, tied), "a b a", "b a" (x2, tied)
+        assert got[(1, 2)] == 1 and got[(2, 3)] == 1
+        assert got[(2, 1)] == 2
+        assert got[(1, 1)] == 3 and got[(2, 2)] == 3
+
+    def test_repeated_token_doc_needs_multiple_rounds(self, spark):
+        # 'a'*9: suffix order is purely by length (prefix sorts first),
+        # resolved only at prefix length >= 8 -> 4 doubling rounds
+        got = self._ranks(spark, [(7, " ".join(["a"] * 9))])
+        assert got == {(7, s): 10 - s for s in range(1, 10)}
+
+    def test_matches_python_brute_force(self, spark):
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "on the mat the cat sat"),
+            (4, "sat sat sat the cat"),
+        ]
+        got = self._ranks(spark, docs)
+        sufs = []
+        for d, t in docs:
+            ws = t.split()
+            for s in range(1, len(ws) + 1):
+                sufs.append((ws[s - 1:], d, s))
+        order = sorted(set(tuple(x[0]) for x in sufs))
+        rank_of = {suf: i + 1 for i, suf in enumerate(order)}
+        want = {(d, s): rank_of[tuple(ws)] for ws, d, s in sufs}
+        assert got == want
+
+
+class TestRepeatedSpans:
+    def test_finds_shared_span_with_full_length(self, spark):
+        from georef_ar_etl_spark.operators.text import repeated_spans
+
+        df = spark.createDataFrame(
+            [
+                (1, "x x q w e r t y z z"),
+                (2, "p p q w e r t y k"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = repeated_spans(df, min_len=4).collect()
+        # the shared run 'q w e r t y' (6 words) appears as adjacent-pair
+        # LCPs 6,5,4 (suffixes starting inside the run)
+        lcps = sorted(r["lcp"] for r in out)
+        assert lcps == [4, 5, 6]
+        top = max(out, key=lambda r: r["lcp"])
+        assert {top["doc_a"], top["doc_b"]} == {1, 2}
+        assert top["lcp"] == 6
+
+    def test_no_spans_below_min_len(self, spark):
+        from georef_ar_etl_spark.operators.text import repeated_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "c d e f")], ["doc_id", "text"]
+        )
+        assert repeated_spans(df, min_len=4).count() == 0
+        assert repeated_spans(df, min_len=2).count() == 1
