@@ -134,6 +134,7 @@ HEADLINE = [
     "q138_replica_reconciliation",
     "q139_ngram_novelty",
     "q140_sliding_hll_uniques",
+    "q144_group_linreg",
 ]
 # q141_incremental_gram_index drives a full engine replay like q34 — the
 # CDC replay benchmark measures that path

@@ -478,3 +478,56 @@ def table_checksum(
             F.sum("_h").alias("checksum"),
         )
     )
+
+
+def group_linreg(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope, intercept, r²) as
+    ONE exact-decimal moment aggregate — the profiling companion to
+    ``corr_matrix`` for per-key drift/trend monitoring (is this user's
+    spend rising? is this source's doc length shrinking?).
+
+    Same determinism contract as corr_matrix: n, Σx, Σy, Σx², Σy², Σxy
+    accumulate as exact decimals (order-insensitive, map-side combinable,
+    one shuffle), the OLS closed form runs on the exact moments in IEEE
+    double. Groups with a degenerate x (all equal) yield NULL slope/
+    intercept/r². ``scale`` must cover the inputs' decimal scale.
+
+    Output: group_cols + (n, slope, intercept, r2), floats rounded 6dp.
+    """
+    def dec(c):
+        return F.col(c).cast(f"decimal(18,{scale})")
+
+    x, y = dec(x_col), dec(y_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n = d("n")
+    vx = n * d("sxx") - d("sx") * d("sx")
+    vy = n * d("syy") - d("sy") * d("sy")
+    cov = n * d("sxy") - d("sx") * d("sy")
+    slope = cov / vx
+    intercept = (d("sy") - slope * d("sx")) / n
+    r2 = (cov * cov) / (vx * vy)
+    ok = vx > 0
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round(intercept, 6)).alias("intercept"),
+        F.when(ok & (vy > 0), F.round(r2, 6)).alias("r2"),
+    )

@@ -6331,3 +6331,48 @@ _Q143_SQL = r"""
 @query("q143_repeated_spans", _Q143_SQL)
 def q143(spark, sf_dir):
     return text.repeated_spans(_t(spark, sf_dir, "documents"), min_len=4)
+
+
+# ------------- q144: per-group OLS trend (exact-moment linear regression) --
+# Per-user spend trend over time: one exact-decimal moment aggregate
+# (order-insensitive — q134's discipline, never streaming-double
+# regr_slope), OLS closed form on the exact moments in IEEE double.
+# x = days since 2024-01-01 (integer-exact), y = value at 2dp.
+_Q144_SQL = """
+    WITH b AS (
+      SELECT user_id,
+             (ts::DATE - DATE '2024-01-01')::DECIMAL(18,2) AS x,
+             value::DECIMAL(18,2) AS y
+      FROM events),
+    m AS (SELECT user_id, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+          FROM b GROUP BY 1),
+    t AS (SELECT user_id, n,
+                 n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+                 n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy,
+                 n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov,
+                 sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+          FROM m)
+    SELECT user_id, n,
+           CASE WHEN vx > 0 THEN round(cov / vx, 6) END::DOUBLE AS slope,
+           CASE WHEN vx > 0
+                THEN round((syd - (cov / vx) * sxd) / n, 6) END::DOUBLE
+             AS intercept,
+           CASE WHEN vx > 0 AND vy > 0
+                THEN round((cov * cov) / (vx * vy), 6) END::DOUBLE AS r2
+    FROM t
+"""
+
+
+@query("q144_group_linreg", _Q144_SQL)
+def q144(spark, sf_dir):
+    from georef_ar_etl_spark.operators.validate import group_linreg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+        F.col("value").alias("y"),
+    )
+    return group_linreg(ev, ["user_id"], "x", "y")

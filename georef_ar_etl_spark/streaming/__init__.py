@@ -1,3 +1,6 @@
 """Structured Streaming front-end for the CDC engine."""
 
-from georef_ar_etl_spark.streaming.apply import stream_apply  # noqa: F401
+from georef_ar_etl_spark.streaming.apply import (  # noqa: F401
+    stream_apply,
+    stream_apply_envelopes,
+)

@@ -103,3 +103,87 @@ def stream_apply(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_apply_envelopes(
+    spark: SparkSession,
+    engine: CdcEngine,
+    wire_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    consumers=(),
+    malformed_dir: str | None = None,
+    extra_cols=None,
+):
+    """``stream_apply`` for a Debezium-envelope NDJSON wire directory —
+    the streaming twin of ``sources.cdc_envelope.parse_debezium``: tail
+    ``wire_dir``, decode each segment, apply it, keep consumers fresh.
+
+    Segment naming contract: one logical change batch per file, the
+    batch_id as the file name's LAST integer run before the extension
+    (``epoch-7.ndjson`` → 7) — the layout ``to_debezium`` exports and any
+    per-transaction/per-epoch WAL shipper naturally produces. Splitting
+    one batch across trigger boundaries would break replay order, same
+    rule as stream_apply.
+
+    Malformed lines land in ``malformed_dir`` as parquet (raw + reason +
+    batch_id, appended per trigger) instead of failing the stream — the
+    dead-letter discipline; with no dir configured they still fail loudly
+    (a silently-dropping wire tail is how replicas diverge).
+
+    Exactly-once layering is unchanged: streaming checkpoints give
+    at-least-once file delivery, the engine's content digest turns
+    re-decoded redeliveries into verified no-ops.
+    """
+    from georef_ar_etl_spark.sources.cdc_envelope import parse_debezium
+
+    _refresh_consumers(engine, consumers)
+
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.text(wire_dir).select(
+        F.col("value"),
+        F.regexp_extract(F.input_file_name(), r"(\d+)\.[A-Za-z]+$", 1)
+        .cast("long")
+        .alias("_wire_batch"),
+    )
+
+    def handle(df: DataFrame, _epoch_id: int) -> None:
+        batch_ids = [
+            r["_wire_batch"]
+            for r in df.select("_wire_batch").distinct().orderBy("_wire_batch").collect()
+        ]
+        if any(b is None for b in batch_ids):
+            raise ValueError(
+                f"wire file in {wire_dir} has no trailing integer batch id "
+                f"in its name — the segment naming contract requires one"
+            )
+        for b in batch_ids:
+            raw = df.filter(F.col("_wire_batch") == b).select("value")
+            events, malformed = parse_debezium(
+                raw, batch_id=int(b), extra_cols=extra_cols
+            )
+            if malformed_dir is not None:
+                malformed.withColumn(
+                    "batch_id", F.lit(int(b)).cast("long")
+                ).write.mode("append").parquet(malformed_dir)
+            else:
+                n_bad = malformed.count()
+                if n_bad:
+                    raise ValueError(
+                        f"{n_bad} malformed wire lines in batch {b} and no "
+                        f"malformed_dir configured — refusing to drop them"
+                    )
+            engine.apply_batch(events, int(b))
+        _refresh_consumers(engine, consumers)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -408,3 +408,19 @@ class TestRepeatedSpans:
         )
         assert repeated_spans(df, min_len=4).count() == 0
         assert repeated_spans(df, min_len=2).count() == 1
+
+
+class TestGroupLinreg:
+    def test_perfect_line_and_degenerate_x(self, spark):
+        from georef_ar_etl_spark.operators.validate import group_linreg
+
+        rows = [("a", float(x), 3.0 * x + 2.0) for x in range(10)] + [
+            ("b", 5.0, float(v)) for v in (1, 2, 3)
+        ]
+        df = spark.createDataFrame(rows, ["g", "x", "y"])
+        out = {r["g"]: r for r in group_linreg(df, ["g"], "x", "y").collect()}
+        assert out["a"]["slope"] == pytest.approx(3.0)
+        assert out["a"]["intercept"] == pytest.approx(2.0)
+        assert out["a"]["r2"] == pytest.approx(1.0)
+        # all-equal x: no defined trend
+        assert out["b"]["slope"] is None and out["b"]["r2"] is None

@@ -3,6 +3,8 @@ resume after new files arrive, and stay exactly-once under redelivery."""
 
 import os
 
+import pytest
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -370,3 +372,81 @@ def test_stream_apply_keeps_change_feed_export_fresh(spark, tmp_path):
     )
     kinds = [e["kind"] for e in read_export_ledger(str(tmp_path / "feed"))]
     assert kinds[0] == "snapshot" and all(k == "changes" for k in kinds[1:])
+
+
+def test_stream_apply_envelopes_wire_tail(spark, tmp_path):
+    """NDJSON wire segments -> parse_debezium -> engine, via the streaming
+    path: state equals a directly-applied twin, garbled lines land in the
+    dead-letter dir, and re-draining a fresh checkpoint is a no-op."""
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.sources.cdc_envelope import to_debezium
+    from georef_ar_etl_spark.streaming import stream_apply_envelopes
+
+    rows = datagen.gen_initial_state(120, seed=77)
+    events = datagen.gen_events([r["doc_id"] for r in rows], 400, 3, seed=77)
+    ev = datagen.events_to_df(spark, events)
+
+    # source engine produces the wire via its changelog
+    src = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4)
+    src.bootstrap(datagen.state_to_df(spark, rows))
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    for b in range(3):
+        src.apply_batch(ev.filter(f"batch_id = {b}"), b)
+        env = to_debezium(src.changes(b, b + 1))
+        lines = [r["value"] for r in env.collect()]
+        if b == 1:
+            lines.append('{"garbled": tru')  # dead-letter, not fatal
+        (wire / f"epoch-{b + 1}.ndjson").write_text("\n".join(lines) + "\n")
+
+    dst = CdcEngine(spark, str(tmp_path / "dst"), n_buckets=4)
+    dst.bootstrap(src.state(epoch=0))
+    dlq = str(tmp_path / "dlq")
+    stream_apply_envelopes(
+        spark, dst, str(wire), str(tmp_path / "ckpt"), malformed_dir=dlq
+    )
+
+    want = sorted(
+        tuple(r) for r in src.state().select("doc_id", "n_tok").collect()
+    )
+    got = sorted(
+        tuple(r) for r in dst.state().select("doc_id", "n_tok").collect()
+    )
+    assert got == want
+
+    bad = spark.read.parquet(dlq).collect()
+    assert len(bad) == 1 and bad[0]["reason"] == "bad_json"
+    assert bad[0]["batch_id"] == 2
+
+    # full wire redelivery through a FRESH checkpoint: engine digests make
+    # every re-decoded batch a verified no-op
+    n_epochs = dst.snapshots().count()
+    stream_apply_envelopes(
+        spark, dst, str(wire), str(tmp_path / "ckpt2"), malformed_dir=dlq
+    )
+    assert dst.snapshots().count() == n_epochs
+    got2 = sorted(
+        tuple(r) for r in dst.state().select("doc_id", "n_tok").collect()
+    )
+    assert got2 == want
+
+
+def test_stream_apply_envelopes_rejects_unnamed_segments(spark, tmp_path):
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.streaming import stream_apply_envelopes
+    from pyspark.sql.utils import StreamingQueryException
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(
+        datagen.state_to_df(spark, datagen.gen_initial_state(10, seed=5))
+    )
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    (wire / "segment.ndjson").write_text('{"op": "u"}\n')
+    with pytest.raises((ValueError, StreamingQueryException)):
+        stream_apply_envelopes(
+            spark, eng, str(wire), str(tmp_path / "ck"),
+            malformed_dir=str(tmp_path / "dlq"),
+        )
