@@ -135,6 +135,7 @@ HEADLINE = [
     "q139_ngram_novelty",
     "q140_sliding_hll_uniques",
     "q144_group_linreg",
+    "q145_cdc_envelope_partial_images",
 ]
 # q141_incremental_gram_index drives a full engine replay like q34 — the
 # CDC replay benchmark measures that path

@@ -6376,3 +6376,110 @@ def q144(spark, sf_dir):
         F.col("value").alias("y"),
     )
     return group_linreg(ev, ["user_id"], "x", "y")
+
+
+# ------------- q145: partial-image envelope decode (updates-as-patch) ------
+# Producers without full after-images (REPLICA IDENTITY minimal, Mongo
+# update descriptions): every 7th update ships only (doc_id, source);
+# with updates_as_patch the decoder maps op u -> the engine's 'patch'
+# (null payload column = keep), so partial images survive decode instead
+# of being quarantined by full-update validation. Nullable outputs ride
+# as sentinels (the q132 dtype rule).
+def _q145_feed(spark, sf_dir):
+    from georef_ar_etl_spark.sources.cdc_envelope import parse_debezium
+
+    m = F.pmod(F.col("event_id"), F.lit(7))
+    tokens = F.expr(
+        "transform(sequence(0, cast(event_id % 5 as int)), x -> cast(x as int))"
+    )
+    full_img = F.struct(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+    )
+    partial_img = F.struct(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_type").alias("source"),
+    )
+    # the partial-image after has a NARROWER struct type than the full one,
+    # so one F.when over image structs cannot type-unify — build each
+    # envelope variant whole and pick between the JSON strings
+    raw = _t(spark, sf_dir, "events").select(
+        F.when(
+            m == 1,
+            F.to_json(
+                F.struct(
+                    F.lit("d").alias("op"),
+                    full_img.alias("before"),
+                    F.struct(
+                        F.col("event_id").cast("long").alias("lsn"),
+                        F.col("event_id").cast("long").alias("ts_ms"),
+                        F.lit("events").alias("table"),
+                    ).alias("source"),
+                ),
+                {"ignoreNullFields": "true"},
+            ),
+        )
+        .when(
+            m == 0,
+            F.to_json(
+                F.struct(
+                    F.lit("u").alias("op"),
+                    partial_img.alias("after"),
+                    F.struct(
+                        F.col("event_id").cast("long").alias("lsn"),
+                        F.col("event_id").cast("long").alias("ts_ms"),
+                        F.lit("events").alias("table"),
+                    ).alias("source"),
+                ),
+                {"ignoreNullFields": "true"},
+            ),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.lit("u").alias("op"),
+                    full_img.alias("after"),
+                    F.struct(
+                        F.col("event_id").cast("long").alias("lsn"),
+                        F.col("event_id").cast("long").alias("ts_ms"),
+                        F.lit("events").alias("table"),
+                    ).alias("source"),
+                ),
+                {"ignoreNullFields": "true"},
+            )
+        )
+        .alias("value")
+    ).localCheckpoint(eager=True)
+    return parse_debezium(raw, batch_id=3, updates_as_patch=True)
+
+
+_Q145_SQL = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, event_id % 7 AS m FROM events)
+    SELECT event_id AS seq,
+           CASE WHEN m = 1 THEN 'delete' ELSE 'patch' END AS op,
+           'u' || user_id::VARCHAR AS doc_id,
+           CASE WHEN m = 0 THEN ''
+                ELSE md5(array_to_string(
+                    generate_series(0, (event_id % 5)::INT), ',')) END
+             AS tokens_fp,
+           CASE WHEN m = 0 THEN -1
+                ELSE (event_id % 5 + 1) END::INT AS n_tok,
+           event_type AS source
+    FROM e
+"""
+
+
+@query("q145_cdc_envelope_partial_images", _Q145_SQL)
+def q145(spark, sf_dir):
+    events, malformed = _q145_feed(spark, sf_dir)
+    return events.select(
+        "seq",
+        "op",
+        "doc_id",
+        F.coalesce(_arr_fp(F.col("tokens")), F.lit("")).alias("tokens_fp"),
+        F.coalesce(F.col("n_tok"), F.lit(-1)).cast("int").alias("n_tok"),
+        "source",
+    )

@@ -90,6 +90,7 @@ def parse_debezium(
     value_col: str = "value",
     extra_cols: dict[str, T.DataType] | None = None,
     payload_wrapper: bool = False,
+    updates_as_patch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Decode raw envelope strings into ``(events, malformed)``.
 
@@ -101,6 +102,16 @@ def parse_debezium(
     counted malformed with reason ``tombstone`` rather than silently
     dropped: the engine's deletes are explicit ``op=d`` envelopes, so a
     tombstone reaching this decoder means a misconfigured producer.
+
+    ``updates_as_patch=True`` maps op ``u`` to the engine's ``patch``
+    (partial-column update: null payload column = keep current value) —
+    for producers that ship PARTIAL after-images (Mongo/DMS update
+    descriptions, Postgres without REPLICA IDENTITY FULL). Without the
+    flag, an update whose after-image omits ``tokens`` would reach the
+    engine as a full update and be quarantined by validation (tokens
+    required) — correct for a full-image feed, wrong for a partial one.
+    ``n_tok`` stays derived-only either way (recomputed from tokens when
+    tokens ride along; untouched by a patch that omits them).
     """
     js = F.col(value_col)
     if payload_wrapper:
@@ -121,8 +132,9 @@ def parse_debezium(
     )
 
     op_raw = F.col("_env.op")
+    op_map = dict(_OP_MAP, u="patch") if updates_as_patch else _OP_MAP
     canon_op = F.coalesce(
-        *[F.when(op_raw == k, F.lit(v)) for k, v in _OP_MAP.items()]
+        *[F.when(op_raw == k, F.lit(v)) for k, v in op_map.items()]
     )
     image = F.when(op_raw == "d", F.col("_env.before")).otherwise(
         F.col("_env.after")

@@ -215,3 +215,49 @@ def test_to_debezium_delete_is_key_only_before_image(spark, tmp_path):
     assert env["source"]["lsn"] == env["source"]["ts_ms"]
     key = json.loads(rows[0]["key"])
     assert key == {"doc_id": victim}
+
+
+def test_partial_image_updates_as_patch(spark, tmp_path):
+    """Producers without full after-images (REPLICA IDENTITY minimal /
+    Mongo update descriptions): op 'u' maps to the engine's 'patch' —
+    omitted payload columns keep their current value instead of nulling
+    the row out (which full-image validation would quarantine)."""
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(
+        datagen.state_to_df(
+            spark,
+            [
+                {"doc_id": "0000000000001", "tokens": [1, 2, 3], "n_tok": 3, "source": "a"},
+                {"doc_id": "0000000000002", "tokens": [9, 9], "n_tok": 2, "source": "a"},
+            ],
+        )
+    )
+    env = json.dumps(
+        {
+            "op": "u",
+            "before": None,
+            "after": {"doc_id": "0000000000001", "source": "b"},  # tokens OMITTED
+            "source": {"lsn": 10, "ts_ms": 1, "table": "docs"},
+        }
+    )
+    events, malformed = parse_debezium(
+        _raw_df(spark, [env]), batch_id=0, updates_as_patch=True
+    )
+    assert malformed.count() == 0
+    (row,) = events.collect()
+    assert row["op"] == "patch" and row["tokens"] is None
+    eng.apply_batch(events, 0)
+    got = _rows(eng.state())
+    # d1 keeps its tokens, source updated; d2 untouched
+    assert got == [
+        ("0000000000001", (1, 2, 3), 3, "b"),
+        ("0000000000002", (9, 9), 2, "a"),
+    ]
+
+    # the SAME envelope without the flag is a full update missing tokens:
+    # quarantined by engine validation, never silently nulling the row
+    ev2, _ = parse_debezium(_raw_df(spark, [env]), batch_id=1)
+    (r2,) = ev2.collect()
+    assert r2["op"] == "update"
+    m = eng.apply_batch(ev2, 1)
+    assert _rows(eng.state()) == got  # state unchanged
