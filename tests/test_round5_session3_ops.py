@@ -2,8 +2,6 @@
 span removal, one-pass correlation matrix, lexical diversity, and the
 Debezium-envelope catalog feed's quarantine classes."""
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 
