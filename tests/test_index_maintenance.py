@@ -770,3 +770,74 @@ def test_scd2_index_torn_refresh_idempotent(spark, tmp_path, monkeypatch):
     idx.refresh(eng.changes(idx.last_source_epoch, m1["epoch"]), m1["epoch"])
     assert idx.pending_refresh_epoch is None
     assert _hist_rows(idx.history()) == _hist_rows(_scd2_batch_rebuild(eng))
+
+
+def test_token_gram_index_across_maintenance(spark, tmp_path):
+    """TokenGramIndex (multi-valued postings) == batch recompute at every
+    head, across delta epochs, a compaction, a source rescale, and a
+    multi-epoch refresh range — the FingerprintIndex crossing test for
+    the gram index."""
+    from georef_ar_etl_spark.operators.index_maintenance import (
+        TokenGramIndex,
+        token_gram_hashes,
+    )
+
+    initial = datagen.gen_initial_state(200, seed=111, max_len=10)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=240, n_batches=4, seed=112,
+        max_len=10,
+    )
+    evdf = datagen.events_to_df(spark, events)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=4, mor_max_deltas=2)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    idx = TokenGramIndex(spark, str(tmp_path / "idx"), k=2, n_buckets=4)
+    idx.bootstrap(eng.state(epoch=0), source_epoch=0)
+
+    def batch_occurrences(state):
+        return sorted(
+            tuple(r)
+            for r in state.select(
+                "doc_id", token_gram_hashes("tokens", 2).alias("gs")
+            )
+            .select("doc_id", F.posexplode("gs").alias("p", "g"))
+            .select("g", "doc_id", (F.col("p") + 1).cast("int").alias("s"))
+            .collect()
+        )
+
+    def check(tag):
+        got = sorted(tuple(r) for r in idx.occurrences().collect())
+        assert got == batch_occurrences(eng.state()), tag
+
+    check("bootstrap")
+    for b in range(2):
+        m = eng.apply_batch(evdf.filter(F.col("batch_id") == b), b)
+        idx.refresh(eng.changes(idx.last_source_epoch, m["epoch"]), m["epoch"])
+        check(f"batch {b}")
+
+    cm = eng.compact()
+    if cm is not None:
+        idx.refresh(eng.changes(idx.last_source_epoch, cm["epoch"]), cm["epoch"])
+    rm = eng.rescale(8)
+    idx.refresh(eng.changes(idx.last_source_epoch, rm["epoch"]), rm["epoch"])
+    check("after compact+rescale")
+
+    # multi-epoch range refresh (latest-change-per-doc collapse)
+    eng.apply_batch(evdf.filter(F.col("batch_id") == 2), 2)
+    m4 = eng.apply_batch(evdf.filter(F.col("batch_id") == 3), 3)
+    assert m4["epoch"] - idx.last_source_epoch == 2
+    idx.refresh(eng.changes(idx.last_source_epoch, m4["epoch"]), m4["epoch"])
+    check("multi-epoch range")
+
+    # incremental, not rebuild: a ONE-doc change touches exactly that
+    # doc's forward bucket (a ~9-gram doc can legitimately hash into all
+    # 4 posting buckets, so the forward table is the locality witness)
+    mini = [{"batch_id": 4, "seq": 50_001, "op": "update",
+             "doc_id": initial[0]["doc_id"], "tokens": [4, 5, 6],
+             "n_tok": 3, "source": "wal"}]
+    m5 = eng.apply_batch(datagen.events_to_df(spark, mini), 4)
+    idx.refresh(eng.changes(idx.last_source_epoch, m5["epoch"]), m5["epoch"])
+    check("single-doc mini batch")
+    last_fwd = idx.forward.latest_manifest()
+    assert last_fwd["metrics"]["kind"] == "refresh"
+    assert len(last_fwd["touched_buckets"]) == 1
