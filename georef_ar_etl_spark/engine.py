@@ -179,9 +179,20 @@ class CdcEngine:
         )
 
     # ------------------------------------------------------------------ state
-    def state(self, epoch: int | None = None) -> DataFrame:
-        """Current state, or a time-travel read of a retained epoch."""
-        return self.table.read_state(epoch=epoch).drop("bucket")
+    def state(
+        self,
+        epoch: int | None = None,
+        where: list | None = None,
+        stats: dict | None = None,
+    ) -> DataFrame:
+        """Current state, or a time-travel read of a retained epoch.
+
+        ``where`` — conjunction of ``(col, op, literal)`` — plans the scan
+        against zone-map sidecars so dirs whose bounds can't match never
+        launch a task (sinks/zonemap.py), then filters exactly."""
+        return self.table.read_state(epoch=epoch, where=where, stats=stats).drop(
+            "bucket"
+        )
 
     def vacuum(self, keep_last: int = 2) -> dict:
         """Expire old snapshots + remove unreferenced files (Iceberg

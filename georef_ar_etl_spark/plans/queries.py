@@ -6483,3 +6483,45 @@ def q145(spark, sf_dir):
         F.coalesce(F.col("n_tok"), F.lit(-1)).cast("int").alias("n_tok"),
         "source",
     )
+
+
+# -------------------- q146: ZONE-MAP PRUNED STATE SCAN (data skipping) -----
+# The q24 replay builds real physical state (COW bases + MOR deltas, each
+# dir carrying a _zonemap.json column-bounds sidecar, sinks/zonemap.py);
+# the Spark side then reads it through read_state(where=...), which plans
+# the scan against the sidecars — dirs whose min/max bounds prove no row
+# can match never enter the job (Iceberg manifest-stats skipping) — and
+# applies the exact predicate to whatever survives. The oracle computes the
+# same filtered aggregate over the algebraic replay state, so a wrong skip
+# (a pruned dir that actually held matching rows, or a stale superseded row
+# resurrected by a dropped newer delta) breaks the value hash. Pruning
+# effectiveness (dirs actually skipped) is asserted in tests/test_zonemap.py;
+# here the driver proves pruning never changes answers.
+_Q146_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_n_tok,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM state
+    WHERE n_tok >= 3 AND doc_id >= '0000000000100'
+    GROUP BY source
+"""
+
+
+@query("q146_zonemap_pruned_scan", _Q146_SQL)
+def q146(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("zonemap_q146", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events, batch_ids=[0, 1, 2, 3])
+    st = eng.state(
+        where=[("n_tok", ">=", 3), ("doc_id", ">=", "0000000000100")]
+    )
+    return st.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_n_tok"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

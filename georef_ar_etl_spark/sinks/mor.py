@@ -31,6 +31,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from georef_ar_etl_spark.sinks.zonemap import write_zonemap, zonemap_from_pandas
+
 OP_COL = "op"
 OP_UPSERT = "upsert"
 OP_DELETE = "delete"
@@ -199,4 +201,8 @@ def write_delta(
     # inside the (orphan-until-manifest) delta dir so it shares the delta
     # file's atomicity and vacuum lifecycle
     write_bloom_sidecar(os.path.dirname(path), full[key].astype(str))
+    # column zone-map sidecar for value-predicate scan planning — same
+    # lifecycle; computed over the full frame (tombstones' null payload
+    # lands in nulls_only, so an all-tombstone delta still excludes)
+    write_zonemap(os.path.dirname(path), zonemap_from_pandas(full))
     return len(full)

@@ -60,6 +60,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from georef_ar_etl_spark.sinks.zonemap import (
+    read_zonemap,
+    residual_filter,
+    validate_where,
+    write_zonemap,
+    zone_excludes,
+    zonemap_from_footers,
+)
+
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
 QUARANTINE_DIR = "quarantine"
@@ -723,6 +732,8 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         manifest: dict | None = None,
         epoch: int | None = None,
+        where: list | None = None,
+        stats: dict | None = None,
     ) -> DataFrame:
         """State as a DataFrame (payload columns + ``bucket``).
 
@@ -733,6 +744,18 @@ class SnapshotTable:
         immutable and carry the full bucket map, so any retained epoch reads
         exactly as it committed).
 
+        ``where`` — a conjunction of ``(col, op, literal)`` value predicates
+        (sinks/zonemap.py) — plans the scan against each dir's zone-map
+        sidecar: dirs whose column bounds prove no row can match are dropped
+        BEFORE the job launches (Iceberg manifest-stats skipping), and the
+        exact predicate is applied as a ``.filter`` on the result, so the
+        answer is identical with or without pruning. On a merge-on-read
+        chain the whole bucket skips only when base and EVERY delta exclude
+        (dropping a single newer link could resurrect a superseded row — see
+        the zonemap module doc). ``stats`` (optional dict) receives
+        ``zonemap_dirs_skipped`` / ``zonemap_dirs_kept`` for tests and
+        observability.
+
         Buckets with pending merge-on-read deltas resolve base + delta chain
         in one task per bucket (sinks/mor.py) — the MOR read path; clean
         buckets stay on the native vectorized parquet scan with full
@@ -740,6 +763,11 @@ class SnapshotTable:
         """
         if epoch is not None and manifest is None:
             manifest = self.manifest_for_epoch(epoch)
+        if where:
+            validate_where(where)
+        if stats is None:
+            stats = {}
+        stats.update(zonemap_dirs_skipped=0, zonemap_dirs_kept=0)
         m = manifest or self.latest_manifest()
         schema = T.StructType.fromJson(m["schema"])
         deltas_map = m.get("bucket_deltas") or {}
@@ -750,10 +778,25 @@ class SnapshotTable:
                 continue
             dl = deltas_map.get(b_str) or []
             if dl:
+                if where:
+                    links = ([d] if d else []) + list(dl)
+                    zms = [
+                        read_zonemap(os.path.join(self.root, rel)) for rel in links
+                    ]
+                    if all(zone_excludes(z, where) for z in zms):
+                        stats["zonemap_dirs_skipped"] += len(links)
+                        continue
+                    stats["zonemap_dirs_kept"] += len(links)
                 base = self._dir_files(d) if d else []
                 dfiles = [f for dd in dl for f in self._dir_files(dd)]
                 mor_specs.append((int(b_str), base, dfiles))
             elif d is not None:
+                if where:
+                    zm = read_zonemap(os.path.join(self.root, d))
+                    if zone_excludes(zm, where):
+                        stats["zonemap_dirs_skipped"] += 1
+                        continue
+                    stats["zonemap_dirs_kept"] += 1
                 dirs.append(os.path.join(self.root, d))
         parts = []
         if dirs:
@@ -777,6 +820,10 @@ class SnapshotTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if where:
+            # exact semantics regardless of what pruned; on clean buckets
+            # Catalyst additionally pushes this into the parquet scan
+            df = df.filter(residual_filter(where))
         return df
 
     def _dir_files(self, rel_dir: str) -> list[str]:
@@ -1190,6 +1237,11 @@ class SnapshotTable:
                 if name.startswith("bucket="):
                     b = int(name.split("=", 1)[1])
                     out[b] = os.path.join(DATA_DIR, f"epoch={epoch}", name)
+                    # zone-map sidecar from the freshly written footers —
+                    # kilobytes of metadata per file, no data pages; the
+                    # same harvest Iceberg's add_files does at commit time
+                    full = os.path.join(epoch_dir, name)
+                    write_zonemap(full, zonemap_from_footers(full))
         return out
 
     def write_quarantine(self, df: DataFrame, epoch: int) -> str | None:
