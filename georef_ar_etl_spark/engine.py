@@ -50,6 +50,10 @@ from georef_ar_etl_spark.sinks.snapshot_table import (
 )
 
 
+class PurgeError(RuntimeError):
+    """Hard-purge verification found surviving occurrences of purged keys."""
+
+
 class OutOfOrderBatchError(RuntimeError):
     """A lower batch_id arrived after a higher one was committed."""
 
@@ -207,6 +211,88 @@ class CdcEngine:
         unchanged, delta chains cleared; run with ``vacuum`` as the table's
         maintenance pair."""
         return self.table.compact(min_deltas=min_deltas, buckets=buckets)
+
+    def purge_keys(self, keys: list, batch_id: int) -> dict:
+        """HARD right-to-be-forgotten erasure — Delta Lake's documented GDPR
+        recipe (DELETE + VACUUM) on this table, in one maintenance call:
+
+        1. **delete batch** (``batch_id``, normal apply path): changelog
+           consumers receive the deletes like any other change and propagate
+           the erasure to their derived state;
+        2. **compact** the dirty buckets: a MOR tombstone alone leaves the
+           payload rows sitting in the base files — compaction resolves the
+           chain and physically rewrites the bases without the keys;
+        3. **vacuum(keep_last=1)**: expire every pre-purge snapshot so no
+           retained data file, manifest or quarantine dir holds the keys.
+           Exactly-once redelivery survives via the expired-batch digest
+           ledger (digests only — no payload, no ids);
+        4. **redact** the ids from the ``metrics.jsonl`` lineage lists
+           (md5 placeholders keep counts auditable);
+        5. **verify**: a distributed sweep of every remaining parquet file
+           under the table root (key column only) — raises ``PurgeError``
+           if any occurrence survives.
+
+        Contract notes. ``keep_last=1`` is REQUIRED, not zeal: the delete
+        epoch's manifest still references the pre-purge base dirs (delta
+        mode leaves bases untouched), so retaining it would retain the
+        payload — only the post-compaction head may survive. Consequently
+        the per-key delete instructions do NOT survive in the changelog:
+        consumers whose cursor predates the purge hit the existing
+        expired-range guard and re-bootstrap from the post-purge state,
+        which no longer contains the keys — erasure propagates through the
+        rebuild. A caller that needs to push surgical deletes downstream
+        exports the key list BEFORE purging. Time travel to pre-purge
+        epochs is destroyed — that is what erasure means. Upstream WAL/wire
+        segments and already-exported change feeds are the neighbouring
+        systems' files, not this table's — erase them there.
+
+        Malformed ids (wrong length) are dropped from the delete batch
+        rather than applied: they can never have validated into state, so
+        their only residence is expired quarantine dirs — routing them
+        through apply would QUARANTINE the synthetic delete and thereby
+        re-materialize the id in a retained side-output.
+
+        Reference analogue: the reference's hard-delete path drops and
+        fully re-derives tables (georef_ar_etl/transformers.py:67-151);
+        here erasure is surgical per key but equally physical."""
+        from georef_ar_etl_spark.schemas import DOC_ID_LEN, EVENT_SCHEMA
+
+        keys = [str(k) for k in dict.fromkeys(keys)]
+        valid = [k for k in keys if len(k) == DOC_ID_LEN]
+        report: dict = {
+            "keys_requested": len(keys),
+            "keys_malformed_skipped": len(keys) - len(valid),
+            "batch_id": batch_id,
+        }
+        if valid:
+            ev = self.spark.createDataFrame(
+                [
+                    (batch_id, i, "delete", k, None, None, None)
+                    for i, k in enumerate(valid)
+                ],
+                EVENT_SCHEMA,
+            )
+            m = self.apply_batch(ev, batch_id=batch_id)
+            acts = m["metrics"].get("actions") or {}
+            report["deleted_live"] = int(acts.get("delete", 0) or 0)
+        else:
+            report["deleted_live"] = 0
+        c = self.compact(min_deltas=1)
+        report["compacted"] = bool(c)
+        v = self.vacuum(keep_last=1)
+        report["vacuum"] = {
+            "removed_manifests": len(v.get("removed_manifests") or []),
+            "removed_dirs": len(v.get("removed_dirs") or []),
+        }
+        report["metrics_ids_redacted"] = self.table.redact_metrics_ids(keys)
+        residual = self.table.scan_files_for_keys(keys)
+        report["residual_occurrences"] = residual
+        if residual:
+            raise PurgeError(
+                f"purge verification found {residual} surviving occurrence(s) "
+                f"of purged keys under {self.table.root}"
+            )
+        return report
 
     def table_stats(self) -> dict | None:
         """Zero-job operational snapshot (rows, skew, MOR chain health,

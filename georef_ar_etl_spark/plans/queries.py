@@ -6525,3 +6525,41 @@ def q146(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ------------------- q147: HARD KEY PURGE (right-to-be-forgotten) ----------
+# The q24 replay builds real physical state; the Spark side then runs
+# engine.purge_keys — Delta's documented GDPR recipe (synthetic delete
+# batch → compact → vacuum(keep_last=1) → metrics redaction → distributed
+# verification sweep that raises if any key survives in ANY remaining
+# parquet file). The purged set is deterministic (numeric doc id % 41 = 0),
+# so the oracle is the q24 replay state minus exactly those keys: a purge
+# that under-deletes (survivor), over-deletes (collateral) or perturbs any
+# non-purged row breaks the value hash. Physical erasure (raw bytes gone
+# from every file under the root, history expired) is asserted in
+# tests/test_purge.py.
+_Q147_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state
+    WHERE doc_id::BIGINT % 41 <> 0
+"""
+
+
+@query("q147_purge_keys", _Q147_SQL)
+def q147(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("purge_q147", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events, batch_ids=[0, 1, 2, 3])
+    purged = [f"{i:013d}" for i in range(0, 600, 41)]
+    eng.purge_keys(purged, batch_id=4)
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

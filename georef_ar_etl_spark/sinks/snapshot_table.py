@@ -554,6 +554,99 @@ class SnapshotTable:
             rescale_to=new_n_buckets,
         )
 
+    # ----------------------------------------------------------------- purge
+    def redact_metrics_ids(self, keys) -> int:
+        """Redact purged doc ids from the ``metrics.jsonl`` observability log
+        (the per-commit lineage lists carry changed IDS — after a hard purge
+        those lines would be the last place the identifiers survive). Each
+        occurrence is replaced by ``md5:<digest12>`` so per-commit COUNTS and
+        the shape of the lineage stay auditable while the identifier is gone.
+        Atomic rewrite (tmp + fsync + replace), idempotent. Returns the
+        number of ids redacted."""
+        import hashlib
+
+        path = os.path.join(self.root, METRICS_LOG)
+        if not os.path.exists(path):
+            return 0
+        kset = {str(k) for k in keys}
+
+        def red(v):
+            return "md5:" + hashlib.md5(str(v).encode()).hexdigest()[:12]
+
+        n = 0
+        out_lines = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                lineage = obj.get("bucket_lineage") or {}
+                for _b, cats in lineage.items():
+                    if not isinstance(cats, dict):
+                        continue
+                    for cat, ids in cats.items():
+                        if isinstance(ids, list):
+                            new_ids = [
+                                red(i) if str(i) in kset else i for i in ids
+                            ]
+                            n += sum(
+                                1 for a, b in zip(ids, new_ids) if a != b
+                            )
+                            cats[cat] = new_ids
+                out_lines.append(json.dumps(obj))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(out_lines) + ("\n" if out_lines else ""))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return n
+
+    def scan_files_for_keys(self, keys, key_col: str = "doc_id") -> int:
+        """Count occurrences of ``keys`` in ANY remaining parquet file under
+        the table root (data bases, MOR deltas, quarantine side-outputs) —
+        the post-purge verification sweep. Distributed: one task per group
+        of files, each reading ONLY the key column (a single column chunk
+        per file, not the payload). Files without the column are skipped."""
+        files = []
+        for sub in (DATA_DIR, QUARANTINE_DIR):
+            top = os.path.join(self.root, sub)
+            for dirpath, _dn, names in os.walk(top):
+                files.extend(
+                    os.path.join(dirpath, n)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+        if not files:
+            return 0
+        kset = {str(k) for k in keys}
+
+        def count_hits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow.parquet as _pq
+
+            total = 0
+            for pdf in batches:
+                for p in pdf["path"]:
+                    pf = _pq.ParquetFile(p)
+                    if key_col not in pf.schema_arrow.names:
+                        continue
+                    col = pf.read(columns=[key_col]).column(key_col)
+                    total += sum(
+                        1 for v in col.to_pylist() if str(v) in kset
+                    )
+            yield pd.DataFrame({"hits": [total]})
+
+        fdf = self.spark.createDataFrame(
+            [(p,) for p in files], T.StructType([T.StructField("path", T.StringType())])
+        ).repartition(min(len(files), 32))
+        res = fdf.mapInPandas(
+            count_hits, T.StructType([T.StructField("hits", T.LongType())])
+        )
+        return int(
+            res.agg(F.sum("hits").alias("s")).collect()[0]["s"] or 0
+        )
+
     def table_stats(self) -> dict | None:
         """Zero-Spark-job operational snapshot from the manifests + file
         metadata: what an operator checks before deciding to compact,
