@@ -238,3 +238,110 @@ def to_debezium(
         F.to_json(F.struct(F.col(key_col).alias(key_col))).alias("key"),
         F.to_json(env, {"ignoreNullFields": "true"}).alias("value"),
     )
+
+
+# ------------------------------------------------------- schema changes (DDL)
+# Debezium publishes upstream DDL as schema-change envelopes (the schema
+# history topic): {"source": {...}, "ddl": "ALTER TABLE ...", "tableChanges":
+# [{"type": "ALTER", "table": {"columns": [{"name", "typeName",
+# "optional"}, ...]}}]}. tableChanges carries the table's FULL column list
+# AFTER the change — structured, so no SQL parsing. The streaming tail
+# (streaming/apply.py) consumes these to widen its decode schema, and the
+# engine's additive-evolution contract does the rest; a consumer that
+# ignored them would silently NULL every value of a newly added column.
+#
+# Contract (fail-loud where it matters, tolerant where it's safe):
+# * ADD COLUMN of a supported type → decoded from the next envelope on;
+# * type CHANGE of a known column → ValueError (not additive; the engine's
+#   parquet-level widening path handles deliberate re-types);
+# * DROP COLUMN → tolerated: the engine keeps the column, later envelopes
+#   simply carry NULLs (additive semantics — history is not rewritten);
+# * unknown typeName / change type → ValueError, never a silent guess.
+
+_DDL_TYPE_MAP: dict[str, T.DataType] = {
+    "VARCHAR": T.StringType(), "TEXT": T.StringType(),
+    "CHAR": T.StringType(), "BPCHAR": T.StringType(),
+    "STRING": T.StringType(), "JSON": T.StringType(), "JSONB": T.StringType(),
+    "INT2": T.IntegerType(), "SMALLINT": T.IntegerType(),
+    "INT4": T.IntegerType(), "INT": T.IntegerType(),
+    "INTEGER": T.IntegerType(), "SERIAL": T.IntegerType(),
+    "INT8": T.LongType(), "BIGINT": T.LongType(), "BIGSERIAL": T.LongType(),
+    "FLOAT4": T.FloatType(), "REAL": T.FloatType(),
+    "FLOAT8": T.DoubleType(), "DOUBLE": T.DoubleType(),
+    "DOUBLE PRECISION": T.DoubleType(),
+    "BOOL": T.BooleanType(), "BOOLEAN": T.BooleanType(),
+    # postgres array types arrive underscore-prefixed
+    "_INT4": T.ArrayType(T.IntegerType()),
+    "_INT8": T.ArrayType(T.LongType()),
+    "_TEXT": T.ArrayType(T.StringType()),
+    "_VARCHAR": T.ArrayType(T.StringType()),
+}
+
+
+def schema_change_filter(value_col: str = "value"):
+    """Column predicate: is this wire line a schema-change envelope?"""
+    return F.get_json_object(F.col(value_col), "$.tableChanges").isNotNull()
+
+
+def columns_from_schema_changes(lines: list[str]) -> dict[str, T.DataType]:
+    """Decode schema-change envelope strings (driver-side: DDL is rare and
+    metadata-sized — a handful of lines per migration, never per row) into
+    the table's full ``column -> Spark type`` mapping after the LAST change
+    in ``source.lsn`` order. Raises on unsupported change kinds or types."""
+    import json as _json
+
+    parsed: list[tuple[int, dict[str, T.DataType]]] = []
+    for ln in lines:
+        obj = _json.loads(ln)
+        lsn = int(((obj.get("source") or {}).get("lsn")) or 0)
+        for tc in obj.get("tableChanges") or []:
+            kind = tc.get("type")
+            if kind not in ("ALTER", "CREATE"):
+                raise ValueError(
+                    f"unsupported schema change type {kind!r} (handle table "
+                    f"drops/renames manually — they are not additive)"
+                )
+            cols: dict[str, T.DataType] = {}
+            for c in (tc.get("table") or {}).get("columns") or []:
+                name = c.get("name")
+                tn = str(c.get("typeName", "")).upper()
+                if not name or tn not in _DDL_TYPE_MAP:
+                    raise ValueError(
+                        f"schema change column {name!r} has unsupported "
+                        f"typeName {tn!r} — extend _DDL_TYPE_MAP deliberately"
+                    )
+                cols[name] = _DDL_TYPE_MAP[tn]
+            parsed.append((lsn, cols))
+    parsed.sort(key=lambda x: x[0])
+    return parsed[-1][1] if parsed else {}
+
+
+def schema_change_envelope(
+    columns: dict[str, T.DataType], lsn: int, table: str = "docs"
+) -> str:
+    """EMIT side: one schema-change wire line announcing the table's full
+    column list (the shape ``columns_from_schema_changes`` decodes) — lets
+    the replication loop propagate additive evolution ahead of the data
+    envelopes that use the new columns."""
+    import json as _json
+
+    rev = {
+        T.StringType(): "VARCHAR", T.IntegerType(): "INT4",
+        T.LongType(): "INT8", T.FloatType(): "FLOAT4",
+        T.DoubleType(): "FLOAT8", T.BooleanType(): "BOOL",
+        T.ArrayType(T.IntegerType()): "_INT4",
+        T.ArrayType(T.LongType()): "_INT8",
+        T.ArrayType(T.StringType()): "_TEXT",
+    }
+    cols = []
+    for name, typ in columns.items():
+        if typ not in rev:
+            raise ValueError(f"no wire typeName for column {name!r}: {typ}")
+        cols.append({"name": name, "typeName": rev[typ], "optional": True})
+    return _json.dumps(
+        {
+            "source": {"lsn": int(lsn), "table": table},
+            "ddl": f"ALTER TABLE {table}",
+            "tableChanges": [{"type": "ALTER", "table": {"columns": cols}}],
+        }
+    )

@@ -135,10 +135,36 @@ def stream_apply_envelopes(
     Exactly-once layering is unchanged: streaming checkpoints give
     at-least-once file delivery, the engine's content digest turns
     re-decoded redeliveries into verified no-ops.
+
+    Schema-change envelopes (Debezium schema-history lines carrying
+    ``tableChanges``) are consumed, not quarantined: an ADD COLUMN widens
+    the decode schema for that batch and every later one, and the engine's
+    additive evolution widens the table on the next data batch — without
+    this a new upstream column would decode as NULL forever. Restart-safe
+    WITHOUT a side ledger: at stream start the decode schema is seeded from
+    the engine's manifest-authoritative table schema (any payload column
+    beyond the base contract was once discovered or configured). Type
+    changes on known columns raise; drops are tolerated (the column stays,
+    later envelopes carry NULLs — history is never rewritten).
     """
-    from georef_ar_etl_spark.sources.cdc_envelope import parse_debezium
+    from georef_ar_etl_spark.schemas import STATE_SCHEMA
+    from georef_ar_etl_spark.sources.cdc_envelope import (
+        columns_from_schema_changes,
+        parse_debezium,
+        schema_change_filter,
+    )
 
     _refresh_consumers(engine, consumers)
+
+    base_types = {f.name: f.dataType for f in STATE_SCHEMA.fields}
+    known: dict = dict(extra_cols or {})
+    m = engine.table.latest_manifest()
+    if m is not None:
+        from pyspark.sql import types as T
+
+        for f in T.StructType.fromJson(m["schema"]).fields:
+            if f.name not in base_types:
+                known.setdefault(f.name, f.dataType)
 
     reader = spark.readStream
     if max_files_per_trigger:
@@ -161,9 +187,36 @@ def stream_apply_envelopes(
                 f"in its name — the segment naming contract requires one"
             )
         for b in batch_ids:
-            raw = df.filter(F.col("_wire_batch") == b).select("value")
+            seg = df.filter(F.col("_wire_batch") == b)
+            ddl_lines = [
+                r["value"]
+                for r in seg.filter(schema_change_filter()).select("value").collect()
+            ]
+            if ddl_lines:
+                full = columns_from_schema_changes(ddl_lines)
+                for name, typ in full.items():
+                    have = base_types.get(name) or known.get(name)
+                    # simpleString: compare value shape, not containsNull /
+                    # nullable flags (the wire can't express those anyway)
+                    if have is not None and have.simpleString() != typ.simpleString():
+                        raise ValueError(
+                            f"wire schema change re-types column {name!r} "
+                            f"from {have} to {typ} — not additive; widen "
+                            f"deliberately via the engine's schema path"
+                        )
+                    if name not in base_types:
+                        known[name] = typ
+            # coalesce: NOT NULL is NULL — a null/garbled value must stay on
+            # the data path (where it quarantines), not vanish in the filter
+            raw = seg.filter(
+                ~F.coalesce(schema_change_filter(), F.lit(False))
+            ).select("value")
+            if ddl_lines and raw.isEmpty():
+                # pure-DDL segment (a migration with no data): nothing to
+                # apply — the widened decode schema is the whole effect
+                continue
             events, malformed = parse_debezium(
-                raw, batch_id=int(b), extra_cols=extra_cols
+                raw, batch_id=int(b), extra_cols=known
             )
             if malformed_dir is not None:
                 malformed.withColumn(

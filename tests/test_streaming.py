@@ -450,3 +450,83 @@ def test_stream_apply_envelopes_rejects_unnamed_segments(spark, tmp_path):
             spark, eng, str(wire), str(tmp_path / "ck"),
             malformed_dir=str(tmp_path / "dlq"),
         )
+
+
+def test_stream_apply_envelopes_wire_schema_evolution(spark, tmp_path):
+    """Upstream adds a column mid-stream: a Debezium schema-change envelope
+    (tableChanges) precedes the data that uses it. The tail must widen its
+    decode schema from the DDL line — without it the new column would decode
+    NULL forever — and the engine evolves additively. Also covers: pure-DDL
+    segment (no data), restart-safety (a FRESH tail seeds its decode schema
+    from the evolved table, no ledger), and the fail-loud re-type guard."""
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.sources.cdc_envelope import schema_change_envelope
+    from georef_ar_etl_spark.streaming import stream_apply_envelopes
+
+    rows = datagen.gen_initial_state(60, seed=96, max_len=8)
+    wire = tmp_path / "wire"
+    wire.mkdir()
+
+    def env(lsn, doc_id, tokens, source, **extra):
+        after = {"doc_id": doc_id, "tokens": tokens, "source": source, **extra}
+        return json.dumps(
+            {"op": "u", "after": after, "source": {"lsn": lsn, "table": "docs"}}
+        )
+
+    ids = sorted(r["doc_id"] for r in rows)
+    # batch 1: plain data, base schema
+    (wire / "epoch-1.ndjson").write_text(
+        env(10, ids[0], [1, 2], "wal") + "\n"
+    )
+    # batch 2: PURE DDL — upstream adds src_meta (no data rows)
+    ddl = schema_change_envelope(
+        {
+            "doc_id": T.StringType(),
+            "tokens": T.ArrayType(T.IntegerType()),
+            "n_tok": T.IntegerType(),
+            "source": T.StringType(),
+            "src_meta": T.StringType(),
+        },
+        lsn=20,
+    )
+    (wire / "epoch-2.ndjson").write_text(ddl + "\n")
+    # batch 3: data USING the new column
+    (wire / "epoch-3.ndjson").write_text(
+        env(30, ids[1], [3, 4], "wal", src_meta="m-1") + "\n"
+        + env(31, ids[2], [5], "wal", src_meta="m-2") + "\n"
+    )
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=2)
+    eng.bootstrap(datagen.state_to_df(spark, rows))
+    stream_apply_envelopes(spark, eng, str(wire), str(tmp_path / "ckpt"))
+
+    st = {r["doc_id"]: r.asDict() for r in eng.state().collect()}
+    assert "src_meta" in eng.state().columns  # table evolved additively
+    assert st[ids[1]]["src_meta"] == "m-1" and st[ids[2]]["src_meta"] == "m-2"
+    assert st[ids[0]]["src_meta"] is None  # pre-DDL rows backfill NULL
+    # pure-DDL segment committed no epoch (nothing to apply)
+    committed = set(eng.table.committed_batches())
+    assert 1 in committed and 3 in committed and 2 not in committed
+
+    # restart-safety: a FRESH tail (new checkpoint) re-decodes batch 3 with
+    # src_meta even though its DDL line was consumed in the previous run —
+    # the decode schema seeds from the table's evolved manifest schema
+    before = sorted(map(tuple, eng.state().collect()))
+    stream_apply_envelopes(spark, eng, str(wire), str(tmp_path / "ckpt2"))
+    assert sorted(map(tuple, eng.state().collect())) == before
+
+    # fail-loud: a DDL that re-types a known column is rejected
+    bad = schema_change_envelope(
+        {"doc_id": T.StringType(), "tokens": T.ArrayType(T.IntegerType()),
+         "n_tok": T.LongType(), "source": T.StringType()},
+        lsn=40,
+    )
+    (wire / "epoch-4.ndjson").write_text(bad + "\n")
+    with pytest.raises(Exception, match="re-types"):
+        stream_apply_envelopes(spark, eng, str(wire), str(tmp_path / "ckpt3"))
