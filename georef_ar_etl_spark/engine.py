@@ -205,12 +205,24 @@ class CdcEngine:
         ledger (see SnapshotTable.vacuum)."""
         return self.table.vacuum(keep_last)
 
-    def compact(self, min_deltas: int = 1, buckets: list[int] | None = None) -> dict | None:
+    def compact(
+        self,
+        min_deltas: int = 1,
+        buckets: list[int] | None = None,
+        cluster_by: list[str] | None = None,
+        rows_per_file: int | None = None,
+    ) -> dict | None:
         """Rewrite buckets carrying pending merge-on-read deltas into fresh
         base files (Iceberg rewrite_data_files analogue) — visible state
         unchanged, delta chains cleared; run with ``vacuum`` as the table's
-        maintenance pair."""
-        return self.table.compact(min_deltas=min_deltas, buckets=buckets)
+        maintenance pair. ``cluster_by`` + ``rows_per_file`` = OPTIMIZE
+        clustering: value-ordered multi-file buckets whose per-file zone
+        maps make ``state(where=...)`` prune files, not just dirs; with
+        ``min_deltas=0`` it re-clusters clean buckets too."""
+        return self.table.compact(
+            min_deltas=min_deltas, buckets=buckets,
+            cluster_by=cluster_by, rows_per_file=rows_per_file,
+        )
 
     def purge_keys(self, keys: list, batch_id: int) -> dict:
         """HARD right-to-be-forgotten erasure — Delta Lake's documented GDPR

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from georef_ar_etl_spark.functions.tokens import normalize_series
 from georef_ar_etl_spark.sinks.mor import live_keys, resolve_live, write_delta
-from georef_ar_etl_spark.sinks.zonemap import write_zonemap, zonemap_from_pandas
+from georef_ar_etl_spark.sinks.zonemap import write_zonemap, zonemap_from_footers
 
 RESULT_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
@@ -324,7 +324,10 @@ def merge_copartitioned(
                     preserve_index=False,
                 )
                 pq.write_table(table, path, compression="lz4", row_group_size=65536)
-                write_zonemap(bdir, zonemap_from_pandas(merged))
+                # footer-derived map carries the per-file section the reader
+                # uses for file-level pruning (one file here, so it mirrors
+                # the dir rollup — cheap: one footer just written, in cache)
+                write_zonemap(bdir, zonemap_from_footers(bdir))
                 rows_after = len(merged)
                 mode = "rewrite"
             out.append((

@@ -460,12 +460,27 @@ class SnapshotTable:
         }
 
     # --------------------------------------------------------------- compact
-    def compact(self, min_deltas: int = 1, buckets: list[int] | None = None) -> dict | None:
+    def compact(
+        self,
+        min_deltas: int = 1,
+        buckets: list[int] | None = None,
+        cluster_by: list[str] | None = None,
+        rows_per_file: int | None = None,
+    ) -> dict | None:
         """Rewrite every bucket carrying >= ``min_deltas`` pending
         merge-on-read deltas into fresh base files and commit the result as a
         new epoch — Iceberg's ``rewrite_data_files`` for MOR tables, and the
         natural companion to ``vacuum`` (compaction un-references old delta
         dirs; vacuum then reclaims them once their manifests expire).
+
+        ``cluster_by`` (+ ``rows_per_file``) is the OPTIMIZE-clustering
+        variant: rewritten buckets sort by those columns and split into
+        value-contiguous files, giving the per-file zone maps disjoint
+        bounds so ``read_state(where=...)`` prunes FILES inside kept
+        buckets, not just whole dirs (compose with ``functions.layout.
+        zorder_key`` for multi-column locality: cluster_by=["zkey"]).
+        With cluster_by set, min_deltas=0 additionally rewrites CLEAN
+        buckets — re-clustering is useful work even without pending deltas.
 
         The rewrite reads through the MOR-resolving ``read_state`` so the
         visible state is unchanged by construction. Returns the committed
@@ -477,17 +492,30 @@ class SnapshotTable:
         if m is None:
             return None
         deltas_map = m.get("bucket_deltas") or {}
-        dirty = sorted(
-            int(b)
-            for b, chain in deltas_map.items()
-            if len(chain) >= min_deltas and (buckets is None or int(b) in set(buckets))
-        )
+        if cluster_by and min_deltas == 0:
+            dirty = sorted(
+                int(b)
+                for b in m["buckets"]
+                if buckets is None or int(b) in set(buckets)
+            )
+        else:
+            dirty = sorted(
+                int(b)
+                for b, chain in deltas_map.items()
+                if len(chain) >= max(min_deltas, 1)
+                and (buckets is None or int(b) in set(buckets))
+            )
         if not dirty:
             return None
         schema = T.StructType.fromJson(m["schema"])
         epoch = m["epoch"] + 1
         t0 = time.time()
-        written = self.write_data(epoch, self.read_state(buckets=dirty, manifest=m))
+        written = self.write_data(
+            epoch,
+            self.read_state(buckets=dirty, manifest=m),
+            cluster_by=cluster_by,
+            rows_per_file=rows_per_file,
+        )
         return self.write_manifest(
             epoch=epoch,
             schema=schema,
@@ -860,27 +888,54 @@ class SnapshotTable:
             validate_where(where)
         if stats is None:
             stats = {}
-        stats.update(zonemap_dirs_skipped=0, zonemap_dirs_kept=0)
+        stats.update(
+            zonemap_dirs_skipped=0, zonemap_dirs_kept=0,
+            zonemap_files_skipped=0,
+        )
         m = manifest or self.latest_manifest()
         schema = T.StructType.fromJson(m["schema"])
         deltas_map = m.get("bucket_deltas") or {}
         bset = set(buckets) if buckets is not None else None
         dirs, mor_specs = [], []
+
+        def prune_files(rel_dir: str, zm: dict | None) -> list[str]:
+            """Per-FILE pruning inside a kept dir (Iceberg data-file stats).
+            Safe under MOR for BASE files: base rows never supersede delta
+            rows, so dropping a base file whose bounds can't match removes
+            only rows that either wouldn't satisfy the predicate or are
+            overridden by a kept delta row anyway."""
+            files = self._dir_files(rel_dir)
+            fmaps = (zm or {}).get("files") or {}
+            if not where or not fmaps:
+                return files
+            kept = []
+            for f in files:
+                fzm = fmaps.get(os.path.basename(f))
+                if fzm is not None and zone_excludes(fzm, where):
+                    stats["zonemap_files_skipped"] += 1
+                else:
+                    kept.append(f)
+            return kept
+
         for b_str, d in m["buckets"].items():
             if bset is not None and int(b_str) not in bset:
                 continue
             dl = deltas_map.get(b_str) or []
             if dl:
+                base_zm = (
+                    read_zonemap(os.path.join(self.root, d)) if d and where else None
+                )
                 if where:
                     links = ([d] if d else []) + list(dl)
-                    zms = [
-                        read_zonemap(os.path.join(self.root, rel)) for rel in links
+                    zms = [base_zm] if d else []
+                    zms += [
+                        read_zonemap(os.path.join(self.root, dd)) for dd in dl
                     ]
                     if all(zone_excludes(z, where) for z in zms):
                         stats["zonemap_dirs_skipped"] += len(links)
                         continue
                     stats["zonemap_dirs_kept"] += len(links)
-                base = self._dir_files(d) if d else []
+                base = prune_files(d, base_zm) if d else []
                 dfiles = [f for dd in dl for f in self._dir_files(dd)]
                 mor_specs.append((int(b_str), base, dfiles))
             elif d is not None:
@@ -890,7 +945,12 @@ class SnapshotTable:
                         stats["zonemap_dirs_skipped"] += 1
                         continue
                     stats["zonemap_dirs_kept"] += 1
-                dirs.append(os.path.join(self.root, d))
+                    kept_files = prune_files(d, zm)
+                    if not kept_files:
+                        continue
+                    dirs.extend(kept_files)
+                else:
+                    dirs.append(os.path.join(self.root, d))
         parts = []
         if dirs:
             parts.append(
@@ -1308,22 +1368,38 @@ class SnapshotTable:
 
     # ----------------------------------------------------------------- write
     def _write_buckets(
-        self, df: DataFrame, epoch: int, n_buckets: int | None = None
+        self,
+        df: DataFrame,
+        epoch: int,
+        n_buckets: int | None = None,
+        cluster_by: list[str] | None = None,
+        rows_per_file: int | None = None,
     ) -> dict[int, str]:
         """Write (payload + bucket) rows under data/epoch=K, one directory per
         bucket, deterministically sorted within files by the payload columns
         in schema order (key-first by the payload-key contract — tables
         keyed by doc_id sort by doc_id first; group-keyed derived tables
-        such as ContinuousAggregate's rollup sort by their group key)."""
+        such as ContinuousAggregate's rollup sort by their group key).
+
+        ``cluster_by`` + ``rows_per_file`` is the Iceberg/Delta OPTIMIZE
+        clustering move: rows sort by the cluster columns FIRST (payload
+        order as tie-break, so bytes stay deterministic) and each bucket
+        splits into value-contiguous files of ``rows_per_file`` rows —
+        which is what gives the per-file zone maps narrow, disjoint bounds
+        a predicate on the cluster column can actually prune against.
+        Hash-bucketed single-file bases span the full value range, so
+        without clustering only deltas and whole-range misses skip."""
         epoch_dir = os.path.join(self.root, DATA_DIR, f"epoch={epoch}")
         payload_order = [c for c in df.columns if c != "bucket"]
-        (
+        sort_cols = list(dict.fromkeys((cluster_by or []) + payload_order))
+        writer = (
             df.repartition(n_buckets or self.n_buckets, F.col("bucket"))
-            .sortWithinPartitions("bucket", *payload_order)
+            .sortWithinPartitions("bucket", *sort_cols)
             .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(epoch_dir)
         )
+        if rows_per_file:
+            writer = writer.option("maxRecordsPerFile", int(rows_per_file))
+        writer.partitionBy("bucket").parquet(epoch_dir)
         out: dict[int, str] = {}
         if os.path.isdir(epoch_dir):
             for name in os.listdir(epoch_dir):
@@ -1355,13 +1431,21 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- commit
     def write_data(
-        self, epoch: int, new_buckets_df: DataFrame | None, n_buckets: int | None = None
+        self,
+        epoch: int,
+        new_buckets_df: DataFrame | None,
+        n_buckets: int | None = None,
+        cluster_by: list[str] | None = None,
+        rows_per_file: int | None = None,
     ) -> dict[int, str]:
         """Write the epoch's touched-bucket data files (NOT yet committed —
         an orphan epoch dir without a manifest is invisible and harmless)."""
         if new_buckets_df is None:
             return {}
-        return self._write_buckets(new_buckets_df, epoch, n_buckets)
+        return self._write_buckets(
+            new_buckets_df, epoch, n_buckets,
+            cluster_by=cluster_by, rows_per_file=rows_per_file,
+        )
 
     def write_manifest(
         self,

@@ -111,44 +111,40 @@ def zonemap_from_pandas(pdf, cols=None) -> dict:
     return out
 
 
-def zonemap_from_footers(dir_path: str) -> dict:
-    """Zone map of every parquet file in ``dir_path``, from footer statistics
-    only (no data pages). Columns lacking stats in ANY row group of ANY file
-    are dropped — a partial bound could exclude wrongly."""
-    rows = 0
+def _zonemap_from_one_footer(path: str) -> dict:
+    """Zone map of a single parquet file from its footer statistics only (no
+    data pages). Columns lacking stats in any row group are dropped — a
+    partial bound could exclude wrongly."""
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
     dropped: set = set()
-    for name in sorted(os.listdir(dir_path)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(dir_path, name)).metadata
-        rows += md.num_rows
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(g.num_columns):
-                col = g.column(ci)
-                c = col.path_in_schema
-                if "." in c or c in dropped:  # nested leaves: unsupported
-                    dropped.add(c)
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            c = col.path_in_schema
+            if "." in c or c in dropped:  # nested leaves: unsupported
+                dropped.add(c)
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # all-null groups legitimately have no bounds; only the
+                # null count must still be complete for the column
+                if st is not None and st.null_count == col.num_values:
+                    nulls[c] = nulls.get(c, 0) + int(st.null_count)
                     continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    # all-null groups legitimately have no bounds; only the
-                    # null count must still be complete for the column
-                    if st is not None and st.null_count == col.num_values:
-                        nulls[c] = nulls.get(c, 0) + int(st.null_count)
-                        continue
-                    dropped.add(c)
-                    continue
-                lo, hi = _json_safe(st.min), _json_safe(st.max)
-                if lo is None or hi is None:
-                    dropped.add(c)
-                    continue
-                mins[c] = lo if c not in mins else min(mins[c], lo)
-                maxs[c] = hi if c not in maxs else max(maxs[c], hi)
-                nulls[c] = nulls.get(c, 0) + int(st.null_count or 0)
+                dropped.add(c)
+                continue
+            lo, hi = _json_safe(st.min), _json_safe(st.max)
+            if lo is None or hi is None:
+                dropped.add(c)
+                continue
+            mins[c] = lo if c not in mins else min(mins[c], lo)
+            maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+            nulls[c] = nulls.get(c, 0) + int(st.null_count or 0)
     cols = {
         c: {"min": mins[c], "max": maxs[c], "nulls": nulls.get(c, 0)}
         for c in mins
@@ -160,6 +156,49 @@ def zonemap_from_footers(dir_path: str) -> dict:
         if c not in mins and c not in dropped and n >= rows > 0
     }
     return {"rows": rows, "cols": cols, "nulls_only": nulls_only}
+
+
+def _merge_zonemaps(maps: list[dict]) -> dict:
+    """Dir-level rollup of per-file maps: bounds union, a column kept only
+    when EVERY member file bounds it (a missing bound could exclude
+    wrongly); nulls_only only when all-null in every file."""
+    rows = sum(m.get("rows", 0) for m in maps)
+    out: dict = {"rows": rows, "cols": {}, "nulls_only": {}}
+    if not maps:
+        return out
+    shared = set(maps[0].get("cols") or {})
+    for m in maps[1:]:
+        shared &= set(m.get("cols") or {})
+    for c in shared:
+        sts = [m["cols"][c] for m in maps]
+        out["cols"][c] = {
+            "min": min(s["min"] for s in sts),
+            "max": max(s["max"] for s in sts),
+            "nulls": sum(int(s.get("nulls", 0)) for s in sts),
+        }
+    no_shared = set(maps[0].get("nulls_only") or {})
+    for m in maps[1:]:
+        no_shared &= set(m.get("nulls_only") or {})
+    for c in no_shared:
+        out["nulls_only"][c] = sum(int(m["nulls_only"][c]) for m in maps)
+    return out
+
+
+def zonemap_from_footers(dir_path: str) -> dict:
+    """Zone map of a data dir from parquet footer statistics only: the
+    dir-level rollup PLUS a per-file ``files`` section, so the reader can
+    prune individual files inside a kept dir (the Iceberg per-data-file
+    stats granularity — what makes skipping bite after a clustered
+    compaction splits a bucket into value-ordered files)."""
+    per_file: dict = {}
+    for name in sorted(os.listdir(dir_path)):
+        if name.endswith(".parquet"):
+            per_file[name] = _zonemap_from_one_footer(
+                os.path.join(dir_path, name)
+            )
+    rolled = _merge_zonemaps(list(per_file.values()))
+    rolled["files"] = per_file
+    return rolled
 
 
 def write_zonemap(dir_path: str, zm: dict) -> None:

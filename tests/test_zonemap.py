@@ -214,3 +214,51 @@ def test_delta_dirs_carry_narrow_maps_that_skip(spark, tmp_path):
     probe = "09" + "3".rjust(11, "0")
     got = _rows(eng.state(where=[("doc_id", "=", probe)], stats=stats))
     assert got == [(probe, [2, 2], 2, "web")]
+
+
+def test_clustered_compaction_enables_file_pruning(spark, tmp_path):
+    """compact(cluster_by=..., rows_per_file=...) splits each bucket into
+    value-contiguous files; per-file zone maps then prune FILES inside kept
+    buckets. Equality with the unpruned read holds before and after more
+    MOR batches land on the clustered bases (base-file pruning is safe under
+    MOR: base rows never supersede delta rows)."""
+    initial = datagen.gen_initial_state(400, seed=75, max_len=16)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=60, n_batches=6, seed=76, max_len=16
+    )
+    eng = CdcEngine(spark, str(tmp_path / "zc"), n_buckets=4, mor_max_deltas=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    half = [e for e in events if e["batch_id"] < 3]
+    rest = [e for e in events if e["batch_id"] >= 3]
+    eng.replay(datagen.events_to_df(spark, half))
+
+    m = eng.compact(min_deltas=0, cluster_by=["n_tok"], rows_per_file=40)
+    assert m is not None and not m.get("bucket_deltas")
+    # clustering actually split buckets into multiple files
+    edir = os.path.join(eng.table.root, "data", f"epoch={m['epoch']}")
+    some_bucket = sorted(
+        n for n in os.listdir(edir) if n.startswith("bucket=")
+    )[0]
+    n_files = len(
+        [n for n in os.listdir(os.path.join(edir, some_bucket)) if n.endswith(".parquet")]
+    )
+    assert n_files > 1
+
+    for where, pred in [
+        ([("n_tok", ">=", 12)], "n_tok >= 12"),
+        ([("n_tok", "<", 3)], "n_tok < 3"),
+        ([("n_tok", ">=", 5), ("n_tok", "<=", 7)], "n_tok between 5 and 7"),
+    ]:
+        stats = {}
+        got = _rows(eng.state(where=where, stats=stats))
+        assert got == _rows(eng.state().filter(pred)), where
+        assert stats["zonemap_files_skipped"] > 0, (where, stats)
+
+    # more batches land as deltas ON the clustered bases: base-file pruning
+    # coexists with MOR resolution, answers stay exact
+    eng.replay(datagen.events_to_df(spark, rest))
+    assert eng.table.latest_manifest().get("bucket_deltas")
+    stats = {}
+    got = _rows(eng.state(where=[("n_tok", ">=", 12)], stats=stats))
+    assert got == _rows(eng.state().filter("n_tok >= 12"))
+    assert stats["zonemap_files_skipped"] > 0
