@@ -110,6 +110,30 @@ def main() -> None:
             best_b, stats_b = tb, sb
     assert stats_a["rows"] == stats_b["rows"], (stats_a, stats_b)
 
+    # phase 2: CLUSTERED bases (OPTIMIZE move) — value-ordered multi-file
+    # buckets make per-file pruning bite on range probes over the cluster
+    # column; same probes, A keeps sidecars, B stripped again post-compact
+    range_probes = [
+        [("n_tok", ">=", 60)],
+        [("n_tok", "<", 4)],
+        [("n_tok", ">=", 20), ("n_tok", "<", 24)],
+        [("n_tok", ">=", 40), ("n_tok", "<", 44)],
+    ]
+    rpf = max(n_rows // 32 // 16, 256)  # ~16 files per bucket
+    eng_a.compact(min_deltas=0, cluster_by=["n_tok"], rows_per_file=rpf)
+    eng_b.compact(min_deltas=0, cluster_by=["n_tok"], rows_per_file=rpf)
+    stripped2 = strip_sidecars(root_b)
+    best_ca, best_cb = float("inf"), float("inf")
+    stats_ca = stats_cb = {}
+    for _ in range(trials):
+        ta, sa = run_queries(eng_a, range_probes)
+        tb, sb = run_queries(eng_b, range_probes)
+        if ta < best_ca:
+            best_ca, stats_ca = ta, sa
+        if tb < best_cb:
+            best_cb, stats_cb = tb, sb
+    assert stats_ca["rows"] == stats_cb["rows"], (stats_ca, stats_cb)
+
     print(
         json.dumps(
             {
@@ -123,6 +147,15 @@ def main() -> None:
                 "dirs_skipped_with": stats_a.get("zonemap_dirs_skipped"),
                 "dirs_kept_with": stats_a.get("zonemap_dirs_kept"),
                 "rows_matched_both": stats_a["rows"],
+                "clustered": {
+                    "sidecars_stripped_in_B": stripped2,
+                    "with_sec": round(best_ca, 3),
+                    "without_sec": round(best_cb, 3),
+                    "speedup": round(best_cb / best_ca, 3) if best_ca else None,
+                    "files_skipped_with": stats_ca.get("zonemap_files_skipped"),
+                    "dirs_skipped_with": stats_ca.get("zonemap_dirs_skipped"),
+                    "rows_matched_both": stats_ca["rows"],
+                },
             }
         )
     )
