@@ -6563,3 +6563,132 @@ def q147(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# ----------- q148: INCREMENTALLY-MAINTAINED JOIN VIEW (fact x dim CDC) -----
+# The materialized-view side of CDC: V = fact LEFT JOIN dim, maintained
+# from BOTH changelogs via the affected-keys recompute
+# (operators/view_maintenance.py — keys touched by dfact plus fact rows
+# whose join value points at a changed dim key, recomputed from current
+# state: convergent under any interleaving, O(affected) per refresh, never
+# O(|fact|)). The Spark side replays the q24 fact in two halves with a dim
+# update+insert epoch in between — the view is never recomputed whole after
+# bootstrap — while the oracle joins the FINAL states directly: any stale
+# view row, missed dim fan-out, or phantom breaks the value hash.
+_Q148_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")},
+    dim0 AS (SELECT DISTINCT source AS s FROM documents),
+    dimf AS (
+      SELECT s, upper(s) AS region,
+             (length(s) + CASE WHEN s LIKE 's%' THEN 1 ELSE 0 END)::INT
+               AS weight
+      FROM dim0
+      UNION ALL
+      SELECT DISTINCT event_type, upper(event_type), 100::INT FROM events
+      WHERE event_type NOT IN (SELECT s FROM dim0))
+    SELECT st.doc_id, md5(array_to_string(st.tokens, ',')) AS tokens_fp,
+           st.n_tok, st.source, d.region, d.weight
+    FROM state st LEFT JOIN dimf d ON st.source = d.s
+"""
+
+
+@query("q148_incremental_join_view", _Q148_SQL)
+def q148(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.operators.view_maintenance import JoinView
+    from georef_ar_etl_spark.schemas import STATE_SCHEMA
+    from georef_ar_etl_spark.sinks.snapshot_table import (
+        SnapshotTable,
+        bucket_expr,
+    )
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType(), False),
+            T.StructField("region", T.StringType(), True),
+            T.StructField("weight", T.IntegerType(), True),
+        ]
+    )
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("join_view_q148", sf_dir)
+    fact = CdcEngine(spark, f"{root}/fact", n_buckets=16)
+    fact.bootstrap(initial)
+
+    dim = SnapshotTable(spark, f"{root}/dim", n_buckets=4)
+    doc_sources = _t(spark, sf_dir, "documents").select("source").distinct()
+
+    def commit_dim(df, epoch):
+        dim.commit(
+            epoch=epoch,
+            schema=dim_schema,
+            new_buckets_df=df.withColumn(
+                "bucket", bucket_expr(F.col("source"), dim.n_buckets)
+            ),
+            touched_buckets=list(range(dim.n_buckets)),
+            batch_id=epoch,
+            batch_digest=f"dim:{epoch}",
+            metrics={"kind": "apply"},
+        )
+
+    # dim epoch 0: document sources, pre-update weights
+    commit_dim(
+        doc_sources.select(
+            "source",
+            F.upper("source").alias("region"),
+            F.length("source").cast("int").alias("weight"),
+        ),
+        0,
+    )
+    view = JoinView(
+        spark, f"{root}/view", STATE_SCHEMA, dim_schema, "source", n_buckets=16
+    )
+    view.bootstrap(fact.state(), dim.read_state().drop("bucket"), 0, 0)
+
+    # first half of the fact replay
+    fact.replay(events.filter("batch_id < 2"), batch_ids=[0, 1])
+    a1 = fact.table.latest_manifest()["epoch"]
+    view.refresh(fact.table, dim, fact.changes(0, a1), a1, None, 0)
+
+    # dim epoch 1: bump 's%' weights (update fan-out) + add the event_type
+    # sources the fact's inserted rows reference (insert fan-out)
+    ev_sources = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("source"))
+        .distinct()
+        .join(doc_sources, "source", "left_anti")
+    )
+    commit_dim(
+        doc_sources.select(
+            "source",
+            F.upper("source").alias("region"),
+            (
+                F.length("source")
+                + F.when(F.col("source").startswith("s"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("weight"),
+        ).unionByName(
+            ev_sources.select(
+                "source",
+                F.upper("source").alias("region"),
+                F.lit(100).cast("int").alias("weight"),
+            )
+        ),
+        1,
+    )
+    # second half of the fact replay, then one refresh consuming BOTH ranges
+    fact.replay(events.filter("batch_id >= 2"), batch_ids=[2, 3])
+    a2 = fact.table.latest_manifest()["epoch"]
+    view.refresh(
+        fact.table, dim, fact.changes(a1, a2), a2, dim.read_changes(0, 1), 1
+    )
+    return view.view().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+        "region",
+        "weight",
+    )
