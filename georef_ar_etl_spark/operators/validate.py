@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from georef_ar_etl_spark.schemas import DOC_ID_LEN, GROUP_PREFIX_LEN, OPS
 
@@ -476,6 +477,104 @@ def table_checksum(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("_h").alias("checksum"),
+        )
+    )
+
+
+def repair_plan(
+    source: DataFrame,
+    replica: DataFrame,
+    key: str,
+    cols: list[str],
+    bucket_col: Column | str,
+    n_buckets: int = 32,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Minimal CDC repair batch that converges ``replica`` to ``source`` —
+    the acting half of replica reconciliation (pt-table-sync to
+    ``table_checksum``'s pt-table-checksum):
+
+    * phase 1 — both sides run the ``table_checksum`` aggregate; only
+      buckets whose ``(n, checksum)`` pairs differ continue (the compare is
+      a 2·n_buckets-row collect — metadata-sized). Matching buckets are
+      PROVEN convergent and never read again.
+    * phase 2 — the mismatched buckets' rows full-outer join on ``key``:
+      rows missing or value-different in the replica become ``upsert``
+      (carrying the source payload), rows extinct in the source become
+      ``delete`` (key only, null payload) — exactly the engine's event
+      shape, ready for ``apply_batch`` on the replica.
+
+    100 TB posture: phase 1 is one aggregate scan per side with map-side
+    combine (n_buckets·tasks partial rows shuffle, never data rows);
+    phase 2 reads and shuffles ONLY the mismatched buckets. A healthy
+    replica costs two scans and zero data movement; a diverged one costs
+    its divergence. Value comparison is null-safe per column (a NULL ≠
+    non-NULL difference must repair, NULL == NULL must not).
+
+    ``stats`` (optional) receives ``buckets_mismatched`` /
+    ``buckets_checked``. Reference analogue: the reference re-derives whole
+    tables to converge them (georef_ar_etl/transformers.py:67-151); this
+    ships only the diff.
+    """
+    b = bucket_col if isinstance(bucket_col, Column) else F.col(bucket_col)
+    cs_s = {
+        int(r["bucket"]): (int(r["n"]), int(r["checksum"]))
+        for r in table_checksum(source, b, cols, n_buckets).collect()
+    }
+    cs_r = {
+        int(r["bucket"]): (int(r["n"]), int(r["checksum"]))
+        for r in table_checksum(replica, b, cols, n_buckets).collect()
+    }
+    mismatched = sorted(
+        bk
+        for bk in set(cs_s) | set(cs_r)
+        if cs_s.get(bk) != cs_r.get(bk)
+    )
+    if stats is not None:
+        stats.update(
+            buckets_checked=n_buckets, buckets_mismatched=len(mismatched)
+        )
+    key_t = source.schema[key].dataType
+    if not mismatched:
+        return source.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField("op", T.StringType(), False)]
+                + [T.StructField(key, key_t, False)]
+                + [
+                    T.StructField(f.name, f.dataType, True)
+                    for f in source.schema.fields
+                    if f.name in cols and f.name != key
+                ]
+            ),
+        )
+    in_mm = F.pmod(b, F.lit(n_buckets)).cast("int").isin(mismatched)
+    payload = [c for c in cols if c != key]
+    s = source.filter(in_mm).select(
+        F.col(key).alias("_sk"), *[F.col(c).alias(f"_s_{c}") for c in payload]
+    )
+    r = replica.filter(in_mm).select(
+        F.col(key).alias("_rk"), *[F.col(c).alias(f"_r_{c}") for c in payload]
+    )
+    j = s.join(r, s["_sk"] == r["_rk"], "full_outer")
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(f"_s_{c}").eqNullSafe(F.col(f"_r_{c}"))
+    return (
+        j.withColumn(
+            "op",
+            F.when(F.col("_sk").isNull(), "delete").when(
+                F.col("_rk").isNull() | ~same, "upsert"
+            ),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            F.coalesce(F.col("_sk"), F.col("_rk")).alias(key),
+            *[
+                F.when(F.col("op") == "upsert", F.col(f"_s_{c}")).alias(c)
+                for c in payload
+            ],
         )
     )
 

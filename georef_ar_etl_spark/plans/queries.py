@@ -6692,3 +6692,73 @@ def q148(spark, sf_dir):
         "region",
         "weight",
     )
+
+
+# --------------- q149: REPLICA REPAIR PLAN (pt-table-sync) -----------------
+# The acting half of q138's checksum reconciliation: a replica of the q24
+# replay state is deterministically diverged (rows dropped, values
+# corrupted, phantoms added) and repair_plan emits the MINIMAL CDC batch
+# that converges it — checksum-mismatched buckets only are read and
+# diffed (operators/validate.py:repair_plan). The oracle derives the same
+# plan directly from the divergence spec: a row missed (stale replica row
+# not repaired), over-repaired (matching row shipped), or a phantom not
+# deleted breaks the hash.
+_Q149_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT 'upsert' AS op, doc_id,
+           md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state WHERE doc_id::BIGINT % 13 IN (5, 7)
+    UNION ALL
+    SELECT 'delete', lpad((900000 + i)::varchar, 13, '0'),
+           NULL, NULL::INT, NULL
+    FROM range(10) t(i)
+"""
+
+
+@query("q149_replica_repair_plan", _Q149_SQL)
+def q149(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+    from georef_ar_etl_spark.operators.validate import repair_plan
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("repair_q149", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events, batch_ids=[0, 1, 2, 3])
+    src = eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )
+    mod = F.col("doc_id").cast("long") % 13
+    replica = (
+        src.filter(mod != 5)  # dropped rows → the plan must re-upsert them
+        .withColumn(  # corrupted rows → the plan must repair them
+            "n_tok",
+            F.when(mod == 7, F.col("n_tok") + 1).otherwise(F.col("n_tok")),
+        )
+        .unionByName(  # phantoms → the plan must delete them
+            spark.range(10).select(
+                F.lpad((F.col("id") + 900000).cast("string"), 13, "0").alias(
+                    "doc_id"
+                ),
+                F.lit("phantom").alias("tokens_fp"),
+                F.lit(1).cast("int").alias("n_tok"),
+                F.lit("ghost").alias("source"),
+            )
+        )
+    )
+    stats = {}
+    plan = repair_plan(
+        src,
+        replica,
+        key="doc_id",
+        cols=["doc_id", "tokens_fp", "n_tok", "source"],
+        bucket_col=F.xxhash64("doc_id"),
+        n_buckets=16,
+        stats=stats,
+    )
+    return plan.select(
+        "op", "doc_id", "tokens_fp", F.col("n_tok").cast("int").alias("n_tok"), "source"
+    )

@@ -422,3 +422,52 @@ class TestGroupLinreg:
         assert out["a"]["r2"] == pytest.approx(1.0)
         # all-equal x: no defined trend
         assert out["b"]["slope"] is None and out["b"]["r2"] is None
+
+
+def test_repair_plan_converges_replica_and_prunes_buckets(spark):
+    """pt-table-sync: the plan contains exactly the divergence (upserts for
+    missing/different, deletes for phantoms), a healthy replica yields an
+    EMPTY plan with zero mismatched buckets, NULL==NULL does not repair,
+    NULL!=value does, and applying the plan converges the replica."""
+    from pyspark.sql import functions as F
+
+    from georef_ar_etl_spark.operators.validate import repair_plan
+
+    rows = [(f"k{i:02d}", f"v{i}" if i % 5 else None, i) for i in range(40)]
+    src = spark.createDataFrame(rows, "k string, v string, n int")
+
+    # healthy replica: empty plan, no bucket read in phase 2
+    stats = {}
+    plan = repair_plan(src, src, "k", ["k", "v", "n"], F.xxhash64("k"), 8, stats)
+    assert plan.count() == 0 and stats["buckets_mismatched"] == 0
+
+    # diverged replica: drop k03, corrupt k07's n, null-out k11's v (NULL vs
+    # value must repair; src NULLs at multiples of 5 stay equal-null and
+    # never enter the plan), phantom kZZ
+    rep = (
+        src.filter("k <> 'k03'")
+        .withColumn("n", F.when(F.col("k") == "k07", 99).otherwise(F.col("n")))
+        .withColumn(
+            "v", F.when(F.col("k") == "k11", F.lit(None)).otherwise(F.col("v"))
+        )
+        .unionByName(
+            spark.createDataFrame([("kZZ", "ghost", -1)], "k string, v string, n int")
+        )
+    )
+    stats = {}
+    plan = repair_plan(src, rep, "k", ["k", "v", "n"], F.xxhash64("k"), 8, stats)
+    got = {(r["op"], r["k"], r["v"], r["n"]) for r in plan.collect()}
+    assert got == {
+        ("upsert", "k03", "v3", 3),
+        ("upsert", "k07", "v7", 7),
+        ("upsert", "k11", "v11", 11),  # NULL-vs-value difference repairs
+        ("delete", "kZZ", None, None),
+    }
+    assert 0 < stats["buckets_mismatched"] <= stats["buckets_checked"]
+
+    # applying the plan converges the replica exactly
+    ups = plan.filter("op = 'upsert'").select("k", "v", "n")
+    dels = {r["k"] for r in plan.filter("op = 'delete'").select("k").collect()}
+    del_keys = {r["k"] for r in ups.collect()} | dels
+    healed = rep.filter(~F.col("k").isin(list(del_keys))).unionByName(ups)
+    assert sorted(map(tuple, healed.collect())) == sorted(map(tuple, src.collect()))
