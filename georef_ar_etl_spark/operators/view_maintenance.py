@@ -265,3 +265,34 @@ class JoinView:
     # ------------------------------------------------------------------ query
     def view(self) -> DataFrame:
         return self.table.read_state().drop("bucket")
+
+    # -------------------------------------------------------------- streaming
+    def as_stream_consumer(
+        self, fact_table: SnapshotTable, dim_table: SnapshotTable
+    ) -> "_FactStreamConsumer":
+        """Adapter implementing stream_apply's changelog-consumer protocol
+        (``last_source_epoch`` + ``refresh(changes, epoch)``): the FACT side
+        advances per streaming trigger; the dim side stays at its recorded
+        epoch (dimensions move rarely — apply dim ranges out-of-band via
+        ``JoinView.refresh`` between triggers). The view commits once per
+        refresh, so there is no torn two-table state to heal
+        (``pending_refresh_epoch`` intentionally absent)."""
+        return _FactStreamConsumer(self, fact_table, dim_table)
+
+
+class _FactStreamConsumer:
+    def __init__(self, view: JoinView, fact_table, dim_table):
+        self._v = view
+        self._fact = fact_table
+        self._dim = dim_table
+
+    @property
+    def last_source_epoch(self) -> int | None:
+        eps = self._v.last_source_epochs
+        return None if eps is None else eps[0]
+
+    def refresh(self, changes_df: DataFrame, source_epoch: int) -> dict:
+        _a, b = self._v.last_source_epochs
+        return self._v.refresh(
+            self._fact, self._dim, changes_df, source_epoch, None, b
+        )

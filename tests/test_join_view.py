@@ -138,3 +138,66 @@ def test_join_view_empty_refresh_advances_epochs(spark, tmp_path):
     before = _got(view)
     view.refresh(fact.table, dim, None, 0, None, 0)
     assert _got(view) == before and view.last_source_epochs == (0, 0)
+
+
+def test_join_view_rides_stream_apply_as_consumer(spark, tmp_path):
+    """The JoinView stream adapter keeps the view fresh per trigger via
+    stream_apply's consumer protocol; a dim change applied OUT-OF-BAND
+    between triggers composes with the streamed fact side."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georef_ar_etl_spark.streaming import stream_apply
+
+    initial = datagen.gen_initial_state(120, seed=64, max_len=8)
+    events = datagen.gen_events(
+        [r["doc_id"] for r in initial], n_events=60, n_batches=4, seed=65, max_len=8
+    )
+
+    def write_segment(b):
+        rows = [e for e in events if e["batch_id"] == b]
+        cols = {k: [e[k] for e in rows]
+                for k in ("batch_id", "seq", "op", "doc_id", "tokens", "n_tok", "source")}
+        schema = pa.schema([
+            ("batch_id", pa.int64()), ("seq", pa.int64()), ("op", pa.string()),
+            ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()), ("source", pa.string()),
+        ])
+        pq.write_table(pa.Table.from_pydict(cols, schema=schema),
+                       os.path.join(str(landing), f"batch-{b:05d}.parquet"))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    fact = CdcEngine(spark, str(tmp_path / "f3"), n_buckets=4)
+    fact.bootstrap(datagen.state_to_df(spark, initial))
+    dim = SnapshotTable(spark, str(tmp_path / "d3"), n_buckets=2)
+    sources = sorted({r["source"] for r in initial})
+    _commit_dim(dim, [(s, s.upper(), len(s)) for s in sources], 0)
+    view = JoinView(
+        spark, str(tmp_path / "v3"), STATE_SCHEMA, DIM_SCHEMA, "source",
+        n_buckets=4,
+    )
+    view.bootstrap(fact.state(), dim.read_state().drop("bucket"), 0, 0)
+    consumer = view.as_stream_consumer(fact.table, dim)
+
+    write_segment(0)
+    write_segment(1)
+    stream_apply(spark, fact, str(landing), str(tmp_path / "ck"),
+                 consumers=[consumer])
+    assert _got(view) == _expected(fact, dim)
+
+    # dim moves between triggers — applied out-of-band through the view
+    _commit_dim(dim, [(s, s.upper() + "_X", len(s)) for s in sources], 1)
+    a, b0 = view.last_source_epochs
+    view.refresh(fact.table, dim, None, a, dim.read_changes(b0, 1), 1)
+    assert _got(view) == _expected(fact, dim)
+
+    # more fact segments stream on top of the new dim epoch
+    write_segment(2)
+    write_segment(3)
+    stream_apply(spark, fact, str(landing), str(tmp_path / "ck"),
+                 consumers=[consumer])
+    assert _got(view) == _expected(fact, dim)
+    assert view.last_source_epochs[1] == 1
