@@ -150,6 +150,10 @@ HEADLINE = [
 # deliberately NOT in the headline: q36_ngram_jaccard_pairs is the exact
 # blocked-quadratic baseline (its O(block²) cost is the point — ~90 s at
 # sf0.1; the LSH families above are the scale path it calibrates)
+# q146_zonemap_pruned_scan, q147_purge_keys, q148_incremental_join_view and
+# q149_replica_repair_plan drive full engine replays like q24 — the CDC
+# replay benchmark measures that path; their own deltas are A/B'd in
+# BENCH/zonemap_ab.py and the maintenance-op pytest suites
 
 
 def run_cdc_replay(
