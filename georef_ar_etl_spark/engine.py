@@ -58,6 +58,12 @@ class OutOfOrderBatchError(RuntimeError):
     """A lower batch_id arrived after a higher one was committed."""
 
 
+class StagedCommitPending(RuntimeError):
+    """A staged (write-audit-publish) snapshot is awaiting its audit verdict;
+    applying further batches on top of it would fork the epoch chain.
+    Resolve with ``publish_staged()`` or ``abandon_staged()``."""
+
+
 class BucketSizeError(RuntimeError):
     """A bucket outgrew the bucket-fits-in-one-task byte contract
     (operators/copart_merge.py:18-23). The message carries the rescale
@@ -558,7 +564,11 @@ class CdcEngine:
 
     # ------------------------------------------------------------ apply batch
     def apply_batch(
-        self, events: DataFrame, batch_id: int, allow_out_of_order: bool = False
+        self,
+        events: DataFrame,
+        batch_id: int,
+        allow_out_of_order: bool = False,
+        stage: bool = False,
     ) -> dict:
         t0 = time.time()
         latest = self.table.latest_manifest()
@@ -697,6 +707,23 @@ class CdcEngine:
                         f"batch {batch_id} re-delivered with different content"
                     )
                 return committed[batch_id]
+            # write-audit-publish gate: a staged snapshot blocks further
+            # applies (the epoch chain must not fork past an un-audited
+            # commit). Re-delivery of the SAME staged batch is idempotent.
+            for s in self.table.staged_manifests():
+                if s["batch_id"] == batch_id and s["batch_digest"] == digest:
+                    if stage:
+                        return s  # idempotent re-stage
+                    raise StagedCommitPending(
+                        f"batch {batch_id} is already staged at epoch "
+                        f"{s['epoch']} — publish_staged() or "
+                        f"abandon_staged() it"
+                    )
+                raise StagedCommitPending(
+                    f"staged epoch {s['epoch']} (batch {s['batch_id']}) is "
+                    f"awaiting audit — publish_staged() or abandon_staged() "
+                    f"before applying batch {batch_id}"
+                )
             q_rows = sum(q_counts.values())
             touched = sorted(bucket_events)
             valid_rows = events_in - q_rows
@@ -857,7 +884,7 @@ class CdcEngine:
             }
             wall = time.time() - t0
             metrics = {
-                "kind": "apply",
+                "kind": "stage" if stage else "apply",
                 "events_in": events_in,
                 "quarantined": q_counts,
                 "actions": action_counts,
@@ -899,11 +926,89 @@ class CdcEngine:
                 quarantine_rows=q_rows,
                 written_counts=written_counts,
                 written_deltas=written_deltas,
+                staged=stage,
             )
             return manifest
         finally:
             if self.cache_batch:
                 tagged.unpersist()
+
+    # --------------------------------------------------- write-audit-publish
+    def stage_batch(
+        self, events: DataFrame, batch_id: int, allow_out_of_order: bool = False
+    ) -> dict:
+        """Apply a change batch into an INVISIBLE staged snapshot — identical
+        merge, data files and metrics to ``apply_batch``, but the manifest
+        lands in the staging directory, so no reader or changelog consumer
+        can observe it until ``publish_staged``. This is the Iceberg
+        write-audit-publish (WAP) pattern; the reference's analogue is the
+        per-run report a human inspects before trusting a load
+        (georef_ar_etl/process.py:250-257 + the mail report)."""
+        return self.apply_batch(
+            events, batch_id, allow_out_of_order=allow_out_of_order, stage=True
+        )
+
+    def staged_state(self, epoch: int | None = None) -> DataFrame:
+        """The table AS IF the staged snapshot were published — what the
+        audit runs against."""
+        return self.table.read_state(
+            manifest=self.table.staged_manifest(epoch)
+        ).drop("bucket")
+
+    def audit_staged(
+        self,
+        expectations: list[tuple[str, str | None, dict]],
+        epoch: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Run declarative expectations (operators/validate.expect_report)
+        over the staged state. ``buckets`` narrows the audited read to the
+        staged snapshot's touched buckets (pass
+        ``manifest["touched_buckets"]``) — at corpus scale the audit should
+        scan what the batch changed, not the whole table."""
+        from georef_ar_etl_spark.operators.validate import expect_report
+
+        s = self.table.staged_manifest(epoch)
+        df = self.table.read_state(manifest=s, buckets=buckets)
+        return expect_report(df, expectations)
+
+    def publish_staged(self, epoch: int | None = None) -> dict:
+        return self.table.publish_staged(epoch)
+
+    def abandon_staged(self, epoch: int | None = None) -> dict:
+        return self.table.abandon_staged(epoch)
+
+    def apply_audited(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        expectations: list[tuple[str, str | None, dict]],
+        allow_out_of_order: bool = False,
+        audit_touched_only: bool = False,
+    ) -> dict:
+        """One-call WAP: stage → audit → publish (all expectations pass) or
+        abandon (any fails). Returns ``{"published": bool, "manifest":
+        dict | None, "report": [expectation rows]}``. Idempotent re-delivery
+        of an already-published batch short-circuits with an empty report."""
+        staged = self.stage_batch(events, batch_id, allow_out_of_order)
+        if not staged.get("staged"):
+            # already committed live in a previous delivery — nothing to audit
+            return {"published": True, "manifest": staged, "report": []}
+        buckets = staged["touched_buckets"] if audit_touched_only else None
+        report = [
+            r.asDict()
+            for r in self.audit_staged(
+                expectations, staged["epoch"], buckets=buckets
+            ).collect()
+        ]
+        if all(r["passed"] for r in report):
+            return {
+                "published": True,
+                "manifest": self.publish_staged(staged["epoch"]),
+                "report": report,
+            }
+        self.abandon_staged(staged["epoch"])
+        return {"published": False, "manifest": None, "report": report}
 
     # ---------------------------------------------------------------- replay
     def replay(self, events: DataFrame, batch_ids: list[int] | None = None) -> list[dict]:

@@ -6,6 +6,7 @@ Layout::
     <root>/data/epoch=K/delta=B/delta-*.parquet   # merge-on-read delta files
     <root>/quarantine/epoch=K/*.parquet           # invalid-event side-output
     <root>/manifests/epoch-000000042.json         # THE commit point
+    <root>/staged-manifests/epoch-0000000043.json # WAP: staged, pre-audit
     <root>/metrics.jsonl                          # per-commit lineage/metrics
 
 Physical write modes (chosen per bucket per batch by the merge,
@@ -70,6 +71,7 @@ from georef_ar_etl_spark.sinks.zonemap import (
 )
 
 MANIFEST_DIR = "manifests"
+STAGED_DIR = "staged-manifests"  # write-audit-publish: invisible until published
 DATA_DIR = "data"
 QUARANTINE_DIR = "quarantine"
 METRICS_LOG = "metrics.jsonl"
@@ -1447,6 +1449,168 @@ class SnapshotTable:
             cluster_by=cluster_by, rows_per_file=rows_per_file,
         )
 
+    @staticmethod
+    def _link_manifest(path: str, manifest: dict) -> dict | None:
+        """Atomically materialize ``manifest`` at ``path``; returns None on
+        success or the ALREADY-PRESENT manifest if another writer won.
+
+        Per-writer tmp name: two racing writers sharing one tmp path would
+        truncate each other's in-flight file and the link below could
+        publish a torn inode — the pid suffix isolates them (and the name
+        does not end in ".json", so listings never see it). The ``link``
+        (not ``replace``) IS the commit point: it FAILS when the target
+        exists, so two writers racing one epoch resolve to
+        first-commit-wins, never a silent clobber of the winner's manifest.
+        Readers always see a complete file (fully written + fsync'd before
+        the link)."""
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.unlink(tmp)
+            with open(path) as f:
+                return json.load(f)
+        except OSError:
+            # filesystem without hard-link support (exFAT, some NFS/SMB,
+            # FUSE object-store mounts): fall back to the atomic rename —
+            # commit still atomic, but concurrent-duplicate-writer detection
+            # degrades to the caller's advisory exists-check
+            os.replace(tmp, path)
+        else:
+            os.unlink(tmp)
+        return None
+
+    def _log_commit_metrics(self, manifest: dict) -> None:
+        with open(os.path.join(self.root, METRICS_LOG), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "epoch": manifest["epoch"],
+                        "batch_id": manifest["batch_id"],
+                        "total_rows": manifest["total_rows"],
+                        "quarantine_rows": manifest.get("quarantine_rows", 0),
+                        **(manifest.get("metrics") or {}),
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+
+    # --------------------------------------------------- write-audit-publish
+    def _staged_path(self, epoch: int) -> str:
+        sdir = os.path.join(self.root, STAGED_DIR)
+        os.makedirs(sdir, exist_ok=True)
+        return os.path.join(sdir, f"epoch-{epoch:010d}.json")
+
+    def staged_manifests(self) -> list[dict]:
+        """Pending (staged, unpublished) manifests, oldest first. Not cached:
+        the staging dir is tiny (single-digit entries) and mutable."""
+        sdir = os.path.join(self.root, STAGED_DIR)
+        out = []
+        if os.path.isdir(sdir):
+            for name in sorted(os.listdir(sdir)):
+                if name.startswith("epoch-") and name.endswith(".json"):
+                    try:
+                        with open(os.path.join(sdir, name)) as f:
+                            out.append(json.load(f))
+                    except FileNotFoundError:
+                        continue  # resolved by another process mid-listing
+        return out
+
+    def staged_manifest(self, epoch: int | None = None) -> dict:
+        """The staged manifest at ``epoch`` (or THE pending one when the
+        epoch is omitted and exactly one is pending)."""
+        staged = self.staged_manifests()
+        if epoch is not None:
+            for s in staged:
+                if s["epoch"] == epoch:
+                    return s
+            raise KeyError(f"no staged manifest for epoch {epoch}")
+        if len(staged) != 1:
+            raise KeyError(
+                f"{len(staged)} staged manifests pending — pass the epoch"
+            )
+        return staged[0]
+
+    def publish_staged(self, epoch: int | None = None) -> dict:
+        """Atomically promote a staged manifest to the live commit head —
+        the audit passed. The WAP publish step (Iceberg's fast-forward of
+        ``main`` onto the audit branch).
+
+        The staged snapshot was built against its recorded ``parent``; if
+        the live head moved past that parent (another writer committed),
+        the staged merge result is stale and publishing it would silently
+        drop the interleaved commit — that is a ConflictError, resolved by
+        abandoning and re-staging on the new head."""
+        s = self.staged_manifest(epoch)
+        head = self.latest_manifest()
+        head_epoch = head["epoch"] if head else None
+        if s.get("parent") != head_epoch:
+            raise ConflictError(
+                f"staged epoch {s['epoch']} was built on parent "
+                f"{s.get('parent')} but the live head is now {head_epoch} — "
+                f"abandon_staged() and re-stage on the current head"
+            )
+        manifest = {k: v for k, v in s.items() if k != "staged"}
+        manifest["committed_unix"] = time.time()
+        if (manifest.get("metrics") or {}).get("kind") == "stage":
+            # a published WAP commit is an apply to every downstream reader;
+            # the flag keeps the audit provenance visible in snapshots_df
+            manifest["metrics"] = {
+                **manifest["metrics"], "kind": "apply", "wap_published": True,
+            }
+        path = self._manifest_path(manifest["epoch"])
+        existing = self._link_manifest(path, manifest)
+        if existing is not None:
+            if existing.get("batch_digest") == manifest["batch_digest"]:
+                os.unlink(self._staged_path(s["epoch"]))
+                return existing  # duplicate publisher — idempotent
+            raise ConflictError(
+                f"epoch {s['epoch']} was committed concurrently with a "
+                f"different digest — abandon_staged() the stale snapshot"
+            )
+        self._manifest_cache[os.path.basename(path)] = manifest
+        self._latest_cache = manifest
+        self._latest_token = None
+        os.unlink(self._staged_path(s["epoch"]))
+        self._log_commit_metrics(manifest)
+        return manifest
+
+    def abandon_staged(self, epoch: int | None = None) -> dict:
+        """Drop a staged snapshot — the audit failed. Removes the staged
+        manifest AND the epoch's (otherwise-orphaned) data + quarantine
+        directories, so an abandoned batch leaves zero bytes behind and the
+        epoch number is free for the corrected batch.
+
+        Data dirs are only deleted when no LIVE manifest exists at the
+        epoch (a concurrent winner's commit owns ``data/epoch=K`` then —
+        its files must survive; ours are indistinguishable inside, so the
+        dir is left for ``vacuum``-style GC of unreferenced files)."""
+        import shutil
+
+        s = self.staged_manifest(epoch)
+        e = s["epoch"]
+        removed = []
+        if not os.path.exists(self._manifest_path(e)):
+            for rel in (
+                os.path.join(DATA_DIR, f"epoch={e}"),
+                os.path.join(QUARANTINE_DIR, f"epoch={e}"),
+            ):
+                full = os.path.join(self.root, rel)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                    removed.append(rel)
+        os.unlink(self._staged_path(e))
+        return {
+            "epoch": e,
+            "batch_id": s["batch_id"],
+            "removed_dirs": removed,
+        }
+
     def write_manifest(
         self,
         epoch: int,
@@ -1461,6 +1625,7 @@ class SnapshotTable:
         written_counts: dict[int, int] | None = None,
         written_deltas: dict[int, list[str]] | None = None,
         rescale_to: int | None = None,
+        staged: bool = False,
     ) -> dict:
         """Atomically publish the manifest — THE commit point. Idempotent:
         same epoch + same digest returns the existing manifest.
@@ -1472,7 +1637,15 @@ class SnapshotTable:
         ``written_deltas``: for merge-on-read commits, touched bucket → its
         FULL delta-dir list after this epoch (relative paths, resolution
         order). A touched bucket absent from the map had its base rewritten,
-        which clears any pending chain."""
+        which clears any pending chain.
+
+        ``staged=True`` is the write-audit-publish (WAP) staging half: the
+        manifest is written — with the same atomicity — into the staging
+        directory instead of the live one, so NO reader (``latest_manifest``,
+        ``read_state``, ``read_changes``, downstream changelog consumers)
+        can observe the epoch until ``publish_staged`` promotes it. The
+        Iceberg analogue is committing to an audit branch under
+        ``write.wap.enabled`` and fast-forwarding ``main`` after validation."""
         path = self._manifest_path(epoch)
         if os.path.exists(path):
             with open(path) as f:
@@ -1482,6 +1655,17 @@ class SnapshotTable:
             raise ConflictError(
                 f"epoch {epoch} already committed with a different digest"
             )
+        if staged:
+            spath = self._staged_path(epoch)
+            if os.path.exists(spath):
+                with open(spath) as f:
+                    existing = json.load(f)
+                if existing.get("batch_digest") == batch_digest:
+                    return existing  # already staged — no-op re-stage
+                raise ConflictError(
+                    f"epoch {epoch} already staged with a different digest — "
+                    f"publish_staged() or abandon_staged() it first"
+                )
 
         parent = self.latest_manifest()
         if rescale_to is not None or parent is None:
@@ -1524,27 +1708,20 @@ class SnapshotTable:
             "metrics": metrics,
             "committed_unix": time.time(),
         }
-        # per-writer tmp name: two racing writers sharing one tmp path
-        # would truncate each other's in-flight file and the link below
-        # could publish a torn inode — the pid suffix isolates them (and
-        # the name does not end in ".json", so listings never see it)
-        tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        # ← the commit point: ``link`` (not ``replace``) because it FAILS
-        # when the target exists — the exists-check above is advisory
-        # (TOCTOU); two writers racing the same epoch must resolve to
-        # first-commit-wins + ConflictError, never a silent clobber of the
-        # winner's manifest. Readers always see a complete file (the tmp
-        # was fully written + fsync'd before the link).
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
-            os.unlink(tmp)
-            with open(path) as f:
-                existing = json.load(f)
+        if staged:
+            manifest["staged"] = True
+            existing = self._link_manifest(self._staged_path(epoch), manifest)
+            if existing is not None:
+                if existing.get("batch_digest") == batch_digest:
+                    return existing  # duplicate writer staged the same batch
+                raise ConflictError(
+                    f"epoch {epoch} was staged concurrently with a different "
+                    f"digest — two writers are staging different batches"
+                )
+            return manifest
+
+        existing = self._link_manifest(path, manifest)
+        if existing is not None:
             if existing.get("batch_digest") == batch_digest:
                 return existing  # duplicate writer committed the same batch
             raise ConflictError(
@@ -1552,35 +1729,13 @@ class SnapshotTable:
                 f"digest — two writers are applying different batches to one "
                 f"table (the single-writer contract is violated)"
             )
-        except OSError:
-            # filesystem without hard-link support (exFAT, some NFS/SMB,
-            # FUSE object-store mounts): fall back to the atomic rename —
-            # commit still atomic, but concurrent-duplicate-writer detection
-            # degrades to the advisory exists-check (single-writer contract)
-            os.replace(tmp, path)
-        else:
-            os.unlink(tmp)
         self._manifest_cache[os.path.basename(path)] = manifest
         # our commit is the new head; token None forces one cheap
         # validation listing on the next read (a concurrent commit landing
         # right after ours must not be masked by our own freshness token)
         self._latest_cache = manifest
         self._latest_token = None
-
-        with open(os.path.join(self.root, METRICS_LOG), "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "epoch": epoch,
-                        "batch_id": batch_id,
-                        "total_rows": manifest["total_rows"],
-                        "quarantine_rows": quarantine_rows,
-                        **metrics,
-                    },
-                    sort_keys=True,
-                )
-                + "\n"
-            )
+        self._log_commit_metrics(manifest)
         return manifest
 
     def commit(
