@@ -6762,3 +6762,59 @@ def q149(spark, sf_dir):
     return plan.select(
         "op", "doc_id", "tokens_fp", F.col("n_tok").cast("int").alias("n_tok"), "source"
     )
+
+
+# --------------- q150: WRITE-AUDIT-PUBLISH GATED REPLAY ---------------------
+# The q24 replay run through the WAP gate (engine.apply_audited: stage →
+# expectation audit → publish/abandon). Batch 2 is deterministically
+# poisoned — its token arrays are repeated 20×, so every valid upsert it
+# carries normalizes to n_tok ≥ 40 — and the audit's range(n_tok ≤ 30)
+# expectation must ABANDON it while batches 0/1/3 publish. The repetition
+# preserves every ingest-validation verdict (empty stays empty, null
+# elements stay null, all-nonpositive stays all-nonpositive), so the gate
+# catches a batch that ingest validation provably cannot. The oracle is
+# the q24 fold over the PUBLISHED batches only (batch_id <> 2): if the
+# gate ever lets the poisoned batch through — or wrongly drops a clean
+# one — the state hash breaks.
+_Q150_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "batch_id <> 2")}
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state
+"""
+
+
+@query("q150_wap_audited_replay", _Q150_SQL)
+def q150(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    events = events.withColumn(
+        "tokens",
+        F.when(
+            F.col("batch_id") == 2,
+            F.flatten(F.array_repeat(F.col("tokens"), 20)),
+        ).otherwise(F.col("tokens")),
+    )
+    root = _ephemeral_table_root("wap_replay_q150", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    exps = [
+        ("not_null", "doc_id", {}),
+        ("unique", "doc_id", {}),
+        ("range", "n_tok", {"min": 0, "max": 30}),
+    ]
+    published = [
+        eng.apply_audited(
+            events.filter(F.col("batch_id") == b), b, exps,
+            audit_touched_only=True,
+        )["published"]
+        for b in range(4)
+    ]
+    if published != [True, True, False, True]:
+        raise RuntimeError(f"WAP gate verdicts wrong: {published}")
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )
