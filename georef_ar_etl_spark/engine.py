@@ -230,6 +230,20 @@ class CdcEngine:
             cluster_by=cluster_by, rows_per_file=rows_per_file,
         )
 
+    def delete_keys_dv(self, keys: list, batch_id: int) -> dict:
+        """Delete-only maintenance commit via positional **deletion
+        vectors** (Iceberg v3 / Delta DVs): deleted rows are masked by
+        (file, position) so subsequent reads of the touched buckets stay on
+        the native vectorized scan (broadcast anti-join) instead of the
+        per-bucket MOR resolve — the right path for erasure lists,
+        moderation take-downs and retention sweeps that arrive without
+        upserts. Logical delete only: bytes remain on disk until
+        compact+vacuum (use ``purge_keys`` for hard GDPR erasure).
+        Exactly-once via ``batch_id`` + keys digest; changelog consumers
+        receive the effective deletes like any other change. See
+        SnapshotTable.delete_keys_dv for routing and cost model."""
+        return self.table.delete_keys_dv(keys, batch_id)
+
     def purge_keys(self, keys: list, batch_id: int) -> dict:
         """HARD right-to-be-forgotten erasure — Delta Lake's documented GDPR
         recipe (DELETE + VACUUM) on this table, in one maintenance call:
@@ -773,6 +787,7 @@ class CdcEngine:
                 )
                 bucket_files = self.table.bucket_file_paths(touched, manifest=latest)
                 bucket_delta_files = self.table.bucket_delta_paths(touched, manifest=latest)
+                bucket_dv_dirs = self.table.bucket_dv_paths(touched, manifest=latest)
                 bucket_live = {
                     b: int(latest["bucket_counts"].get(str(b), 0)) for b in touched
                 }
@@ -787,6 +802,7 @@ class CdcEngine:
                     bucket_live=bucket_live,
                     mor_max_deltas=self.mor_max_deltas,
                     mor_rewrite_ratio=self.mor_rewrite_ratio,
+                    bucket_dvs=bucket_dv_dirs,
                 ).collect()
                 parent_bases = latest["buckets"]
                 parent_deltas = latest.get("bucket_deltas") or {}

@@ -139,6 +139,7 @@ def merge_copartitioned(
     bucket_live: dict[int, int] | None = None,
     mor_max_deltas: int = 4,
     mor_rewrite_ratio: float = 0.5,
+    bucket_dvs: dict[int, str] | None = None,
 ) -> DataFrame:
     """``batch``: validated change rows with ``op``, ``bucket`` and (when
     ``dedup_order``) the event-order column. ``bucket_files``: bucket →
@@ -177,6 +178,7 @@ def merge_copartitioned(
     )
     bucket_deltas = bucket_deltas or {}
     bucket_live = bucket_live or {}
+    bucket_dvs = bucket_dvs or {}
     # the file map now covers ALL buckets (bucket pruning happens in-task:
     # a task opens a bucket's files only if it holds events for it), so ship
     # it once per executor as a broadcast instead of once per task closure
@@ -184,6 +186,11 @@ def merge_copartitioned(
     bf_bc = sc.broadcast(bucket_files)
     bd_bc = sc.broadcast(bucket_deltas)
     bl_bc = sc.broadcast(bucket_live)
+    # bucket → deletion-vector dir (sinks/deletion_vectors.py): the task
+    # masks the base's DV'd positions before classifying/resolving, so a
+    # DV-deleted key re-inserts (not updates) and a rewrite never
+    # resurrects it
+    dv_bc = sc.broadcast(bucket_dvs)
 
     patchable = [c for c in payload_cols if c not in (key, "n_tok")]
 
@@ -206,6 +213,12 @@ def merge_copartitioned(
             files = bf_bc.value.get(bucket, [])
             dfiles = bd_bc.value.get(bucket, [])
             live = int(bl_bc.value.get(bucket, 0))
+            dv_dir = dv_bc.value.get(bucket)
+            dv_map = None
+            if dv_dir:
+                from georef_ar_etl_spark.sinks.deletion_vectors import read_dv_map
+
+                dv_map = read_dv_map(dv_dir)
 
             # last-writer-wins already applied upstream → unique keys per side
             dels = grp.loc[grp["op"] == "delete", key]
@@ -224,13 +237,13 @@ def merge_copartitioned(
             if use_delta and not needs_state:
                 # keys-only read of base + delta chain: classify actions
                 # without touching the payload columns at all
-                state_keys = live_keys(files, dfiles, key)
+                state_keys = live_keys(files, dfiles, key, dv_map=dv_map)
                 state = None
             else:
                 # full resolve (base + pending deltas) — the COW/inline-
                 # compaction path (also the patch read path; writing a new
                 # base clears the chain, a patch delta leaves it)
-                state = resolve_live(files, dfiles, payload_cols, key)
+                state = resolve_live(files, dfiles, payload_cols, key, dv_map=dv_map)
                 state_keys = pd.Index(state[key])
             del_mask = state_keys.isin(dels)
             deleted = int(del_mask.sum())

@@ -97,13 +97,55 @@ def read_bloom_sidecar(delta_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _frames_keys(base_files: list[str], delta_files: list[str], key: str):
+def _read_base_file(
+    path: str,
+    dv_map: dict | None,
+    columns: list[str] | None = None,
+    filters=None,
+) -> pd.DataFrame:
+    """Read ONE base file honoring its deletion-vector positions
+    (sinks/deletion_vectors.py). Files without a DV entry keep the pushed
+    ``filters``; files WITH one must read unfiltered first (a pushed filter
+    renumbers rows, breaking the positional mask), mask, then filter in
+    pandas — the cost of positional deletes, paid only on masked files."""
+    pos = None if not dv_map else dv_map.get(os.path.basename(path))
+    if pos is None or not len(pos):
+        return pq.read_table([path], columns=columns, filters=filters).to_pandas()
+    from georef_ar_etl_spark.sinks.deletion_vectors import mask_positions
+
+    pdf = pq.read_table([path], columns=columns).to_pandas()
+    pdf = pdf[mask_positions(len(pdf), pos)]
+    if filters:
+        # only ever [(key, "in", values)] — see resolve_live
+        col, _op, vals = filters[0]
+        pdf = pdf[pdf[col].isin(set(vals))]
+    return pdf.reset_index(drop=True)
+
+
+def _base_frames(
+    base_files: list[str],
+    dv_map: dict | None,
+    columns: list[str] | None = None,
+    filters=None,
+) -> list[pd.DataFrame]:
+    if not base_files:
+        return []
+    if not dv_map:
+        return [pq.read_table(base_files, columns=columns, filters=filters).to_pandas()]
+    return [_read_base_file(f, dv_map, columns, filters) for f in base_files]
+
+
+def _frames_keys(
+    base_files: list[str],
+    delta_files: list[str],
+    key: str,
+    dv_map: dict | None = None,
+):
     """(key, op) frames in resolution order: base first, deltas by epoch."""
-    frames = []
-    if base_files:
-        frames.append(
-            pq.read_table(base_files, columns=[key]).to_pandas().assign(_op=OP_UPSERT)
-        )
+    frames = [
+        b.assign(_op=OP_UPSERT)
+        for b in _base_frames(base_files, dv_map, columns=[key])
+    ]
     for f in delta_files:
         frames.append(
             pq.read_table(f, columns=[key, OP_COL])
@@ -113,11 +155,18 @@ def _frames_keys(base_files: list[str], delta_files: list[str], key: str):
     return frames
 
 
-def live_keys(base_files: list[str], delta_files: list[str], key: str = "doc_id") -> pd.Index:
+def live_keys(
+    base_files: list[str],
+    delta_files: list[str],
+    key: str = "doc_id",
+    dv_map: dict | None = None,
+) -> pd.Index:
     """Resolved live key set — reads ONLY the key (+op) columns, which is the
     cheap read that lets a delta-mode merge classify insert/update/delete
-    without touching the (much wider) payload."""
-    frames = _frames_keys(base_files, delta_files, key)
+    without touching the (much wider) payload. ``dv_map`` masks the base
+    files' deletion-vector positions (a DV-deleted key must classify as an
+    INSERT when it comes back, and its delete as a no-op)."""
+    frames = _frames_keys(base_files, delta_files, key, dv_map)
     if not frames:
         return pd.Index([], dtype=object)
     allf = pd.concat(frames, ignore_index=True).drop_duplicates(key, keep="last")
@@ -140,6 +189,7 @@ def resolve_live(
     payload_cols: list[str],
     key: str = "doc_id",
     keys: list | None = None,
+    dv_map: dict | None = None,
 ) -> pd.DataFrame:
     """Full-payload resolution: base rows + delta chain, latest version per
     key wins, tombstoned keys removed. Missing columns (pre-evolution base
@@ -149,7 +199,11 @@ def resolve_live(
     predicate is pushed into the parquet reads, where the files' sort-by-key
     layout turns it into row-group min/max pruning. Filtering by key
     commutes with per-key last-writer-wins, so the restricted resolve equals
-    the full resolve filtered."""
+    the full resolve filtered.
+
+    ``dv_map`` (basename → positions, sinks/deletion_vectors.py) masks the
+    base files' positional deletes BEFORE the chain applies — the DV belongs
+    to the base, so resolution order is (base − DV) then deltas LWW."""
     frames = []
     flt = None if keys is None else [(key, "in", list(keys))]
 
@@ -158,10 +212,8 @@ def resolve_live(
         pdf["_op"] = op_series
         return pdf
 
-    if base_files:
-        frames.append(
-            aligned(pq.read_table(base_files, filters=flt).to_pandas(), OP_UPSERT)
-        )
+    for b in _base_frames(base_files, dv_map, filters=flt):
+        frames.append(aligned(b, OP_UPSERT))
     for f in delta_files:
         d = pq.read_table(f, filters=flt).to_pandas()
         frames.append(aligned(d, d[OP_COL].to_numpy()))

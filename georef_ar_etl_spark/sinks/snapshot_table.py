@@ -56,6 +56,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -288,6 +289,10 @@ class SnapshotTable:
                 int(b): dl
                 for b, dl in (target.get("bucket_deltas") or {}).items()
             },
+            written_dvs={
+                int(b): rel
+                for b, rel in (target.get("bucket_dvs") or {}).items()
+            },
             rescale_to=int(target["n_buckets"]),
         )
         # n_buckets is a manifest-authoritative property — the new head
@@ -413,6 +418,16 @@ class SnapshotTable:
         referenced |= {
             m["quarantine_path"] for m in retained if m.get("quarantine_path")
         }
+        # deletion-vector dirs + per-epoch dv-change artifacts share the
+        # data-dir lifecycle (sinks/deletion_vectors.py)
+        referenced |= {
+            d
+            for m in retained
+            for d in (m.get("bucket_dvs") or {}).values()
+        }
+        referenced |= {
+            m["dv_changes"] for m in retained if m.get("dv_changes")
+        }
         max_retained_epoch = retained[-1]["epoch"]
         removed_dirs, freed = [], 0
         data_root = os.path.join(self.root, DATA_DIR)
@@ -432,7 +447,9 @@ class SnapshotTable:
                 full = os.path.join(self.root, rel)
                 # skip writer marker files (_SUCCESS) and anything that isn't
                 # a bucket base or delta dir
-                if not os.path.isdir(full) or not bdir.startswith(("bucket=", "delta=")):
+                if not os.path.isdir(full) or not bdir.startswith(
+                    ("bucket=", "delta=", "dv=", "dv_changes")
+                ):
                     continue
                 if rel not in referenced:
                     freed += sum(
@@ -494,6 +511,7 @@ class SnapshotTable:
         if m is None:
             return None
         deltas_map = m.get("bucket_deltas") or {}
+        dvs_map = m.get("bucket_dvs") or {}
         if cluster_by and min_deltas == 0:
             dirty = sorted(
                 int(b)
@@ -501,11 +519,19 @@ class SnapshotTable:
                 if buckets is None or int(b) in set(buckets)
             )
         else:
+            # a deletion vector counts as one pending chain link: compaction
+            # is what retires it (the rewrite materializes live rows only,
+            # and write_manifest drops the spent DV)
             dirty = sorted(
-                int(b)
-                for b, chain in deltas_map.items()
-                if len(chain) >= max(min_deltas, 1)
-                and (buckets is None or int(b) in set(buckets))
+                b
+                for b in {
+                    *(int(k) for k in deltas_map),
+                    *(int(k) for k in dvs_map),
+                }
+                if len(deltas_map.get(str(b)) or [])
+                + (1 if dvs_map.get(str(b)) else 0)
+                >= max(min_deltas, 1)
+                and (buckets is None or b in set(buckets))
             )
         if not dirty:
             return None
@@ -583,6 +609,332 @@ class SnapshotTable:
             },
             rescale_to=new_n_buckets,
         )
+
+    # ------------------------------------------------------ deletion vectors
+    def delete_keys_dv(self, keys: list, batch_id: int) -> dict:
+        """Delete-only maintenance commit via **positional deletion vectors**
+        (sinks/deletion_vectors.py) — the Iceberg-v3 / Delta DV move for
+        erasure lists, moderation take-downs and retention sweeps: instead
+        of equality tombstones that push every later read of the bucket
+        onto the per-bucket pandas resolve, record the deleted rows'
+        (file, position) and let readers mask them on the NATIVE vectorized
+        scan (broadcast anti-join — ``_read_dv_masked``).
+
+        Key routing (per bucket, decided driver-side from bloom sidecars):
+
+        * buckets whose pending delta chain provably does NOT mention any of
+          the bucket's delete keys (or that have no chain) take the DV path —
+          the key's live version, if any, is in the base, so a positional
+          mask is exact;
+        * buckets where any key MIGHT live in the chain fall back to one
+          equality-tombstone delta link (correct under any chain content) —
+          mixing both paths in one bucket is deliberately avoided so the
+          changelog emits each deleted key exactly once (dvdel artifact vs
+          delta link).
+
+        Deleting an absent (or already-deleted) key is a counted no-op.
+        Exactly-once: ``batch_id`` + a keys digest, same redelivery contract
+        as ``apply_batch``. The commit runs ONE position-scan job over the
+        touched buckets' bases reading only the key column (plus the
+        metadata columns), one DV write, and one tiny tombstone task per
+        fallback bucket. Cost is O(touched buckets' key columns), never
+        O(table).
+
+        The reference has no surgical delete — it drops and re-derives whole
+        tables per run (georef_ar_etl/transformers.py:67-151)."""
+        import hashlib
+
+        from georef_ar_etl_spark.sinks.mor import (
+            read_bloom_sidecar,
+            sidecar_might_contain,
+        )
+
+        m = self.latest_manifest()
+        if m is None:
+            raise RuntimeError("bootstrap the table before deleting keys")
+        keys = list(dict.fromkeys(keys))
+        digest = (
+            "dvdel:"
+            + hashlib.md5(
+                "\x00".join(sorted(str(k) for k in keys)).encode()
+            ).hexdigest()
+            + f":{len(keys)}"
+        )
+        committed = self.committed_batches()
+        if batch_id in committed:
+            if committed[batch_id]["batch_digest"] != digest:
+                raise ConflictError(
+                    f"batch {batch_id} re-delivered with different content"
+                )
+            return committed[batch_id]
+        schema = T.StructType.fromJson(m["schema"])
+        key_col = schema.fields[0].name
+        key_type = schema.fields[0].dataType
+        nb = int(m["n_buckets"])
+        t0 = time.time()
+        if not keys:
+            return self.write_manifest(
+                epoch=m["epoch"] + 1, schema=schema, written={},
+                touched_buckets=[], batch_id=batch_id, batch_digest=digest,
+                metrics={"kind": "dv_delete", "deleted": 0, "delete_noop": 0},
+            )
+
+        # key → bucket (one metadata-sized job: the bucket hash is Spark's
+        # xxhash64, no driver-side Python twin — same move as lookup_keys)
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys],
+            T.StructType([T.StructField("k", key_type, False)]),
+        )
+        by_bucket: dict[int, list] = {}
+        for r in kdf.select("k", bucket_expr(F.col("k"), nb).alias("b")).collect():
+            by_bucket.setdefault(int(r["b"]), []).append(r["k"])
+
+        deltas_map = m.get("bucket_deltas") or {}
+        dvs_map = m.get("bucket_dvs") or {}
+        dv_buckets: dict[int, list] = {}
+        tomb_buckets: dict[int, list] = {}
+        for b, bkeys in sorted(by_bucket.items()):
+            if m["buckets"].get(str(b)) is None and not deltas_map.get(str(b)):
+                # empty bucket: every key is a no-op — no artifact at all
+                dv_buckets[b] = bkeys  # flows through as zero position hits
+                continue
+            risk = False
+            for dd in deltas_map.get(str(b)) or []:
+                sc = read_bloom_sidecar(os.path.join(self.root, dd))
+                if sc is None or any(
+                    sidecar_might_contain(sc, str(k)) for k in bkeys
+                ):
+                    risk = True
+                    break
+            (tomb_buckets if risk else dv_buckets)[b] = bkeys
+
+        epoch = m["epoch"] + 1
+        epoch_dir = self.epoch_dir(epoch)
+        written_dvs: dict[int, str] = {}
+        dv_changes_rel: str | None = None
+        eff_deleted: dict[int, int] = {}
+
+        # ---- DV path: one position scan over the dv buckets' bases
+        dv_keys_flat = [k for ks in dv_buckets.values() for k in ks]
+        dv_base_files = [
+            f
+            for b in dv_buckets
+            if m["buckets"].get(str(b))
+            for f in self._dir_files(m["buckets"][str(b)])
+        ]
+        n_new_positions = 0
+        if dv_base_files and dv_keys_flat:
+            scan = (
+                self.spark.read.option(
+                    "basePath", os.path.join(self.root, DATA_DIR)
+                )
+                .schema(
+                    T.StructType([schema.fields[0]])
+                    .add("epoch", T.IntegerType())
+                    .add("bucket", T.IntegerType())
+                )
+                .parquet(*dv_base_files)
+                .filter(F.col(key_col).isin(dv_keys_flat))
+                .select(
+                    "bucket",
+                    F.col("_metadata.file_name").alias("file"),
+                    F.col("_metadata.row_index").alias("pos"),
+                    F.col(key_col),
+                )
+            )
+            old_dv_dirs = [
+                os.path.join(self.root, dvs_map[str(b)])
+                for b in dv_buckets
+                if dvs_map.get(str(b))
+            ]
+            if old_dv_dirs:
+                old_dv = (
+                    self.spark.read.schema("bucket int, file string, pos long")
+                    .parquet(*old_dv_dirs)
+                    .select("bucket", "file", "pos")
+                )
+                # re-deleting an already-masked key is a no-op, not a
+                # duplicate DV row
+                hits = scan.join(
+                    F.broadcast(old_dv), ["bucket", "file", "pos"], "left_anti"
+                )
+            else:
+                old_dv = None
+                hits = scan
+            hits = hits.persist()
+            try:
+                per_bucket = {
+                    int(r["bucket"]): int(r["n"])
+                    for r in hits.groupBy("bucket").agg(
+                        F.count(F.lit(1)).alias("n")
+                    ).collect()
+                }
+                n_new_positions = sum(per_bucket.values())
+                if n_new_positions:
+                    changed = sorted(per_bucket)
+                    merged = hits.select("bucket", "file", "pos")
+                    if old_dv is not None:
+                        merged = merged.unionByName(
+                            old_dv.filter(F.col("bucket").isin(changed))
+                        )
+                    (
+                        merged.withColumn("dv", F.col("bucket"))
+                        .repartition(len(changed), "dv")
+                        .sortWithinPartitions("dv", "file", "pos")
+                        .write.mode("append")
+                        .partitionBy("dv")
+                        .parquet(epoch_dir)
+                    )
+                    for b in changed:
+                        written_dvs[b] = os.path.join(
+                            DATA_DIR, f"epoch={epoch}", f"dv={b}"
+                        )
+                        eff_deleted[b] = per_bucket[b]
+                    # changelog artifact: the effective DV-deleted keys
+                    dvc = os.path.join(epoch_dir, "dv_changes")
+                    hits.select("bucket", key_col).write.mode(
+                        "overwrite"
+                    ).parquet(dvc)
+                    dv_changes_rel = os.path.join(
+                        DATA_DIR, f"epoch={epoch}", "dv_changes"
+                    )
+            finally:
+                hits.unpersist()
+
+        # ---- fallback path: one equality-tombstone delta link per bucket
+        # whose chain might mention a delete key
+        written_deltas: dict[int, list[str]] = {}
+        tomb_deleted: dict[int, int] = {}
+        if tomb_buckets:
+            tomb_deleted = self._write_tombstone_links(
+                tomb_buckets, m, schema, epoch, written_deltas
+            )
+            eff_deleted.update(tomb_deleted)
+
+        # carry every touched bucket's base and (unchanged) chain; a DV
+        # commit never rewrites a base
+        touched = sorted(set(dv_buckets) | set(tomb_buckets))
+        written = {
+            b: m["buckets"].get(str(b))
+            for b in touched
+        }
+        for b in touched:
+            if b not in written_deltas and deltas_map.get(str(b)):
+                written_deltas[b] = list(deltas_map[str(b)])
+        written_counts = {
+            b: int(m["bucket_counts"].get(str(b), 0)) - eff_deleted.get(b, 0)
+            for b in touched
+        }
+        deleted_total = sum(eff_deleted.values())
+        return self.write_manifest(
+            epoch=epoch,
+            schema=schema,
+            written=written,
+            touched_buckets=touched,
+            batch_id=batch_id,
+            batch_digest=digest,
+            metrics={
+                "kind": "dv_delete",
+                "keys_in": len(keys),
+                "deleted": deleted_total,
+                "delete_noop": len(keys) - deleted_total,
+                "dv_positions_added": n_new_positions,
+                "dv_buckets": sorted(written_dvs),
+                "tombstone_buckets": sorted(tomb_buckets),
+                "wall_sec": round(time.time() - t0, 3),
+            },
+            written_counts=written_counts,
+            written_deltas=written_deltas,
+            written_dvs=written_dvs,
+            dv_changes=dv_changes_rel,
+        )
+
+    def _write_tombstone_links(
+        self,
+        tomb_buckets: dict[int, list],
+        m: dict,
+        schema: T.StructType,
+        epoch: int,
+        written_deltas: dict[int, list[str]],
+    ) -> dict[int, int]:
+        """One tiny task per fallback bucket: resolve the bucket's LIVE key
+        set (keys-only read, DV-masked), tombstone the requested keys that
+        are actually live, and write one delta link. Buckets where nothing
+        is live write nothing (pure no-op)."""
+        from georef_ar_etl_spark.operators.copart_merge import _to_arrow
+        from georef_ar_etl_spark.sinks.deletion_vectors import read_dv_map
+        from georef_ar_etl_spark.sinks.mor import live_keys, write_delta
+
+        deltas_map = m.get("bucket_deltas") or {}
+        dvs_map = m.get("bucket_dvs") or {}
+        key_col = schema.fields[0].name
+        payload_cols = [f.name for f in schema.fields]
+        arrow_schema = pa.schema(
+            [pa.field(f.name, _to_arrow(f.dataType)) for f in schema.fields]
+        )
+        epoch_dir = self.epoch_dir(epoch)
+        specs = [
+            (
+                b,
+                self._dir_files(m["buckets"][str(b)])
+                if m["buckets"].get(str(b))
+                else [],
+                [
+                    f
+                    for dd in (deltas_map.get(str(b)) or [])
+                    for f in self._dir_files(dd)
+                ],
+                os.path.join(self.root, dvs_map[str(b)])
+                if dvs_map.get(str(b))
+                else None,
+                [str(k) for k in ks],
+            )
+            for b, ks in sorted(tomb_buckets.items())
+        ]
+        spec_df = self.spark.createDataFrame(
+            specs,
+            "bucket int, base_files array<string>, delta_files array<string>, "
+            "dv_dir string, del_keys array<string>",
+        ).repartition(len(specs))
+
+        def tomb(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    dvm = read_dv_map(r.dv_dir) if r.dv_dir else None
+                    live = live_keys(
+                        list(r.base_files), list(r.delta_files), key_col,
+                        dv_map=dvm,
+                    )
+                    dels = [k for k in r.del_keys if k in set(live)]
+                    path = None
+                    if dels:
+                        ddir = os.path.join(epoch_dir, f"delta={int(r.bucket)}")
+                        os.makedirs(ddir, exist_ok=True)
+                        path = os.path.join(ddir, "delta-00000.parquet")
+                        write_delta(
+                            path, pd.DataFrame(columns=payload_cols),
+                            dels, payload_cols, arrow_schema, key=key_col,
+                        )
+                    yield pd.DataFrame(
+                        {
+                            "bucket": [int(r.bucket)],
+                            "deleted": [len(dels)],
+                            "path": [path],
+                        }
+                    )
+
+        out: dict[int, int] = {}
+        for r in spec_df.mapInPandas(
+            tomb, "bucket int, deleted long, path string"
+        ).collect():
+            b = int(r["bucket"])
+            if r["path"]:
+                rel = os.path.relpath(os.path.dirname(r["path"]), self.root)
+                written_deltas[b] = list(deltas_map.get(str(b)) or []) + [rel]
+                out[b] = int(r["deleted"])
+        return out
 
     # ----------------------------------------------------------------- purge
     def redact_metrics_ids(self, keys) -> int:
@@ -757,8 +1109,9 @@ class SnapshotTable:
         if m is None:
             return {}
         deltas = m.get("bucket_deltas") or {}
+        dvs = m.get("bucket_dvs") or {}
         return {
-            int(b): self.rel_dir_bytes([d, *(deltas.get(b) or [])])
+            int(b): self.rel_dir_bytes([d, *(deltas.get(b) or []), dvs.get(b)])
             for b, d in m["buckets"].items()
         }
 
@@ -897,8 +1250,9 @@ class SnapshotTable:
         m = manifest or self.latest_manifest()
         schema = T.StructType.fromJson(m["schema"])
         deltas_map = m.get("bucket_deltas") or {}
+        dvs_map = m.get("bucket_dvs") or {}
         bset = set(buckets) if buckets is not None else None
-        dirs, mor_specs = [], []
+        dirs, mor_specs, dv_native = [], [], []
 
         def prune_files(rel_dir: str, zm: dict | None) -> list[str]:
             """Per-FILE pruning inside a kept dir (Iceberg data-file stats).
@@ -939,8 +1293,13 @@ class SnapshotTable:
                     stats["zonemap_dirs_kept"] += len(links)
                 base = prune_files(d, base_zm) if d else []
                 dfiles = [f for dd in dl for f in self._dir_files(dd)]
-                mor_specs.append((int(b_str), base, dfiles))
+                dvd = dvs_map.get(b_str)
+                mor_specs.append((
+                    int(b_str), base, dfiles,
+                    os.path.join(self.root, dvd) if dvd else None,
+                ))
             elif d is not None:
+                kept_files = None
                 if where:
                     zm = read_zonemap(os.path.join(self.root, d))
                     if zone_excludes(zm, where):
@@ -950,6 +1309,17 @@ class SnapshotTable:
                     kept_files = prune_files(d, zm)
                     if not kept_files:
                         continue
+                dvd = dvs_map.get(b_str)
+                if dvd:
+                    # chain-free bucket with a deletion vector: stays on the
+                    # native vectorized scan; masked positions drop via a
+                    # broadcast anti-join below (sinks/deletion_vectors.py)
+                    dv_native.append((
+                        int(b_str),
+                        kept_files if kept_files is not None else self._dir_files(d),
+                        os.path.join(self.root, dvd),
+                    ))
+                elif kept_files is not None:
                     dirs.extend(kept_files)
                 else:
                     dirs.append(os.path.join(self.root, d))
@@ -967,6 +1337,8 @@ class SnapshotTable:
                 .parquet(*dirs)
                 .drop("epoch")
             )
+        if dv_native:
+            parts.append(self._read_dv_masked(dv_native, schema))
         if mor_specs:
             parts.append(self._read_mor(mor_specs, schema))
         if not parts:
@@ -987,9 +1359,47 @@ class SnapshotTable:
             os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
         )
 
+    def _read_dv_masked(
+        self, specs: list[tuple[int, list[str], str]], schema: T.StructType
+    ) -> DataFrame:
+        """Native vectorized scan of chain-free buckets that carry a
+        deletion vector: masked positions drop via a **broadcast anti-join**
+        on ``(bucket, file, pos)`` against the tiny DV relation, keyed by
+        the parquet scan's ``_metadata.file_name`` / ``_metadata.row_index``
+        columns — the Iceberg-v3 positional-delete read, with the base scan
+        staying whole-stage-codegen'd (no Python, full pushdown of residual
+        predicates). DV size is bounded by compaction cadence (≪ base), so
+        broadcasting is the right plan at any table size."""
+        files = [f for _b, fs, _dv in specs for f in fs]
+        scan = (
+            self.spark.read.option("basePath", os.path.join(self.root, DATA_DIR))
+            .schema(
+                T.StructType(list(schema.fields))
+                .add("epoch", T.IntegerType())
+                .add("bucket", T.IntegerType())
+            )
+            .parquet(*files)
+            .drop("epoch")
+            .withColumn("_dv_file", F.col("_metadata.file_name"))
+            .withColumn("_dv_pos", F.col("_metadata.row_index"))
+        )
+        dv = (
+            self.spark.read.schema("bucket int, file string, pos long")
+            .parquet(*[dvd for _b, _fs, dvd in specs])
+            .select("bucket", "file", "pos")
+        )
+        cond = (
+            (scan["bucket"] == dv["bucket"])
+            & (scan["_dv_file"] == dv["file"])
+            & (scan["_dv_pos"] == dv["pos"])
+        )
+        return scan.join(F.broadcast(dv), cond, "left_anti").drop(
+            "_dv_file", "_dv_pos"
+        )
+
     def _read_mor(
         self,
-        specs: list[tuple[int, list[str], list[str]]],
+        specs: list[tuple[int, list[str], list[str], str | None]],
         schema: T.StructType,
         bucket_keys: dict[int, list] | None = None,
     ) -> DataFrame:
@@ -1002,13 +1412,15 @@ class SnapshotTable:
         ``bucket_keys`` (point lookup): bucket → key values to resolve; the
         task pushes the key predicate into its parquet reads (row-group
         pruning on the sort-by-key layout)."""
+        from georef_ar_etl_spark.sinks.deletion_vectors import read_dv_map
         from georef_ar_etl_spark.sinks.mor import resolve_live
 
         payload_cols = [f.name for f in schema.fields]
         out_schema = T.StructType(list(schema.fields)).add("bucket", T.IntegerType())
         spec_df = self.spark.createDataFrame(
-            [(b, base, dfiles) for b, base, dfiles in specs],
-            "bucket int, base_files array<string>, delta_files array<string>",
+            [(b, base, dfiles, dvd) for b, base, dfiles, dvd in specs],
+            "bucket int, base_files array<string>, delta_files array<string>, "
+            "dv_dir string",
         ).repartition(len(specs))
         key_col = payload_cols[0]
 
@@ -1020,6 +1432,7 @@ class SnapshotTable:
                         key=key_col,
                         keys=None if bucket_keys is None
                         else bucket_keys.get(int(r.bucket), []),
+                        dv_map=read_dv_map(r.dv_dir) if r.dv_dir else None,
                     )
                     live["bucket"] = int(r.bucket)
                     yield live
@@ -1093,11 +1506,13 @@ class SnapshotTable:
             by_bucket.setdefault(int(r["b"]), []).append(r["k"])
 
         deltas_map = m.get("bucket_deltas") or {}
+        dvs_map = m.get("bucket_dvs") or {}
         dirs, mor_specs, mor_keys = [], [], {}
         for b, bkeys in sorted(by_bucket.items()):
             d = m["buckets"].get(str(b))
             dl = deltas_map.get(str(b)) or []
-            if not dl:
+            dvd = dvs_map.get(str(b))
+            if not dl and not dvd:
                 if d is not None:
                     dirs.append(os.path.join(self.root, d))
                     stats["clean_buckets"] += 1
@@ -1115,7 +1530,10 @@ class SnapshotTable:
                     stats["delta_dirs_skipped"] += 1
             base = self._dir_files(d) if d else []
             dfiles = [f for dd in kept for f in self._dir_files(dd)]
-            mor_specs.append((b, base, dfiles))
+            mor_specs.append((
+                b, base, dfiles,
+                os.path.join(self.root, dvd) if dvd else None,
+            ))
             mor_keys[b] = bkeys
         stats["buckets_read"] = stats["clean_buckets"] + stats["mor_buckets"]
 
@@ -1234,22 +1652,36 @@ class SnapshotTable:
                 continue
             new_deltas = m.get("bucket_deltas") or {}
             old_deltas = prev.get("bucket_deltas") or {}
+            new_dvs = m.get("bucket_dvs") or {}
+            old_dvs = prev.get("bucket_dvs") or {}
+            if m.get("dv_changes"):
+                # deletion-vector epoch (delete_keys_dv): the commit records
+                # its effective deleted keys as a changelog artifact — the
+                # stream costs exactly the keys that changed, like the
+                # delta fast path (bucket -1: the artifact carries per-row
+                # buckets itself)
+                specs.append((
+                    e, m["batch_id"], -1, "dvdel",
+                    self._dir_files(m["dv_changes"]), [], [], [], None, None,
+                ))
             for b in m["touched_buckets"]:
                 bs = str(b)
                 nchain = new_deltas.get(bs) or []
                 ochain = old_deltas.get(bs) or []
                 same_base = m["buckets"].get(bs) == prev["buckets"].get(bs)
+                same_dv = new_dvs.get(bs) == old_dvs.get(bs)
                 if same_base and nchain == ochain:
-                    continue  # no-op bucket: nothing changed
+                    continue  # no-op bucket (a DV change emits via dvdel)
                 if (
                     not value_diff
                     and same_base
+                    and same_dv
                     and nchain[:-1] == ochain
                     and len(nchain) == len(ochain) + 1
                 ):
                     specs.append((
                         e, m["batch_id"], b, "delta",
-                        self._dir_files(nchain[-1]), [], [], [],
+                        self._dir_files(nchain[-1]), [], [], [], None, None,
                     ))
                 else:
                     nb = self._dir_files(m["buckets"][bs]) if m["buckets"].get(bs) else []
@@ -1258,6 +1690,8 @@ class SnapshotTable:
                         e, m["batch_id"], b, "diff",
                         nb, [f for d in nchain for f in self._dir_files(d)],
                         ob, [f for d in ochain for f in self._dir_files(d)],
+                        os.path.join(self.root, new_dvs[bs]) if new_dvs.get(bs) else None,
+                        os.path.join(self.root, old_dvs[bs]) if old_dvs.get(bs) else None,
                     ))
             prev = m
 
@@ -1273,6 +1707,7 @@ class SnapshotTable:
         if not specs:
             return self.spark.createDataFrame([], out_schema)
 
+        from georef_ar_etl_spark.sinks.deletion_vectors import read_dv_map
         from georef_ar_etl_spark.sinks.mor import (
             OP_COL,
             OP_DELETE,
@@ -1299,9 +1734,29 @@ class SnapshotTable:
                         chg["op"] = np.where(
                             d[OP_COL].to_numpy() == OP_DELETE, "delete", "upsert"
                         )
+                    elif r.kind == "dvdel":
+                        # deletion-vector epoch: the dv_changes artifact IS
+                        # the effective delete set — (bucket, key) rows
+                        d = pq.read_table(list(r.nb)).to_pandas()
+                        chg = pd.DataFrame(
+                            {c: [None] * len(d) for c in payload_cols}
+                        )
+                        chg[key] = d[key].to_numpy()
+                        chg["op"] = "delete"
+                        chg["change_epoch"] = int(r.epoch)
+                        chg["batch_id"] = int(r.batch_id)
+                        chg["bucket"] = d["bucket"].astype("int32").to_numpy()
+                        yield chg.sort_values(key)[out_cols]
+                        continue
                     else:
-                        new = resolve_live(list(r.nb), list(r.nc), payload_cols, key)
-                        old = resolve_live(list(r.ob), list(r.oc), payload_cols, key)
+                        new = resolve_live(
+                            list(r.nb), list(r.nc), payload_cols, key,
+                            dv_map=read_dv_map(r.ndv) if r.ndv else None,
+                        )
+                        old = resolve_live(
+                            list(r.ob), list(r.oc), payload_cols, key,
+                            dv_map=read_dv_map(r.odv) if r.odv else None,
+                        )
                         ni, oi = new.set_index(key), old.set_index(key)
                         dels = oi.index[~oi.index.isin(ni.index)]
                         ins_mask = ~ni.index.isin(oi.index)
@@ -1334,7 +1789,8 @@ class SnapshotTable:
         spec_df = self.spark.createDataFrame(
             specs,
             "epoch int, batch_id long, bucket int, kind string, "
-            "nb array<string>, nc array<string>, ob array<string>, oc array<string>",
+            "nb array<string>, nc array<string>, ob array<string>, "
+            "oc array<string>, ndv string, odv string",
         ).repartition(len(specs))
         return spec_df.mapInPandas(emit, out_schema)
 
@@ -1361,6 +1817,20 @@ class SnapshotTable:
         return {
             b: [f for dd in (deltas_map.get(str(b)) or []) for f in self._dir_files(dd)]
             for b in buckets
+        }
+
+    def bucket_dv_paths(
+        self, buckets: list[int], manifest: dict | None = None
+    ) -> dict[int, str]:
+        """bucket → absolute deletion-vector dir (only buckets that have
+        one) — what the merge threads into its tasks (operators/
+        copart_merge.py ``bucket_dvs``)."""
+        m = manifest or self.latest_manifest()
+        dvs_map = m.get("bucket_dvs") or {}
+        return {
+            b: os.path.join(self.root, dvs_map[str(b)])
+            for b in buckets
+            if dvs_map.get(str(b))
         }
 
     def epoch_dir(self, epoch: int) -> str:
@@ -1626,6 +2096,8 @@ class SnapshotTable:
         written_deltas: dict[int, list[str]] | None = None,
         rescale_to: int | None = None,
         staged: bool = False,
+        written_dvs: dict[int, str] | None = None,
+        dv_changes: str | None = None,
     ) -> dict:
         """Atomically publish the manifest — THE commit point. Idempotent:
         same epoch + same digest returns the existing manifest.
@@ -1638,6 +2110,13 @@ class SnapshotTable:
         FULL delta-dir list after this epoch (relative paths, resolution
         order). A touched bucket absent from the map had its base rewritten,
         which clears any pending chain.
+
+        ``written_dvs``: bucket → its (merged) deletion-vector dir after
+        this epoch (relative path, sinks/deletion_vectors.py). Buckets NOT
+        in the map inherit the parent's DV — unless this epoch rewrote
+        their base (a rewrite materializes live rows only, so the mask is
+        spent). ``dv_changes``: relative path of this epoch's effective
+        DV-deleted keys (the changelog artifact ``read_changes`` streams).
 
         ``staged=True`` is the write-audit-publish (WAP) staging half: the
         manifest is written — with the same atomicity — into the staging
@@ -1676,13 +2155,20 @@ class SnapshotTable:
             buckets: dict[str, str | None] = {str(b): None for b in range(n)}
             bucket_counts: dict[str, int] = {str(b): 0 for b in range(n)}
             bucket_deltas: dict[str, list[str]] = {}
+            bucket_dvs: dict[str, str] = {}
         else:
             buckets = dict(parent["buckets"])
             bucket_counts = dict(parent["bucket_counts"])
             # sparse map: only buckets with a pending delta chain appear
             bucket_deltas = dict(parent.get("bucket_deltas") or {})
+            bucket_dvs = dict(parent.get("bucket_dvs") or {})
         new_counts = written_counts if written_counts is not None else self._bucket_counts(written)
         for b in touched_buckets:
+            # a REWRITTEN base (path differs from the parent's) spends the
+            # bucket's deletion vector: the new base holds live rows only.
+            # A CARRIED base (delta-mode / noop merge) keeps it.
+            if written.get(b) != buckets.get(str(b)):
+                bucket_dvs.pop(str(b), None)
             buckets[str(b)] = written.get(b)  # None → bucket emptied out
             bucket_counts[str(b)] = new_counts.get(b, 0)
             dl = (written_deltas or {}).get(b) or []
@@ -1690,6 +2176,8 @@ class SnapshotTable:
                 bucket_deltas[str(b)] = dl
             else:
                 bucket_deltas.pop(str(b), None)  # base rewrite clears the chain
+        for b, rel in (written_dvs or {}).items():
+            bucket_dvs[str(b)] = rel
 
         manifest = {
             "epoch": epoch,
@@ -1700,6 +2188,8 @@ class SnapshotTable:
             "n_buckets": rescale_to if rescale_to is not None else self.n_buckets,
             "buckets": buckets,
             "bucket_deltas": bucket_deltas,
+            "bucket_dvs": bucket_dvs,
+            "dv_changes": dv_changes,
             "bucket_counts": bucket_counts,
             "total_rows": sum(bucket_counts.values()),
             "touched_buckets": sorted(touched_buckets),
