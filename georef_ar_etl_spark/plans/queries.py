@@ -6818,3 +6818,60 @@ def q150(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# --------------- q151: DELETION-VECTOR REPLAY --------------------------------
+# The q24 replay interrupted mid-stream by a positional deletion-vector
+# commit (engine.delete_keys_dv): batches 0-1 apply, a compaction clears
+# the chains (so the bloom routing provably takes the positional path —
+# with live chains the erasure keys genuinely appear in the links and
+# correctly tombstone instead, the pytest-covered fallback), a
+# deterministic erasure list lands as per-file position masks, then
+# batches 12-13 (the original 2-3, id-shifted past the DV commit to keep
+# replay order monotonic) merge OVER the DV'd bases — delta-mode merges
+# must carry the mask, rewrites must spend it, and a re-inserted erased
+# key must come back. The oracle folds batches 0-1 onto init, removes the
+# erasure list, then overlays the latest valid event of batches 2-3 — if
+# any path resurrects a masked row or loses a carried one, the state hash
+# breaks.
+_Q151_KEYS = [f"{i:013d}" for i in range(0, 600, 7)]
+
+_Q151_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("01", "batch_id <= 1")},
+    {_q24_state_ctes("23", "batch_id >= 2")},
+    surv AS (
+      SELECT * FROM state01
+      WHERE doc_id NOT IN ({", ".join(f"'{k}'" for k in _Q151_KEYS)})),
+    final AS (
+      SELECT s.doc_id, s.tokens, s.n_tok, s.source FROM surv s
+      WHERE NOT EXISTS (SELECT 1 FROM latest23 l WHERE l.doc_id = s.doc_id)
+      UNION ALL
+      SELECT doc_id, tokens, n_tok, source FROM ups23)
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM final
+"""
+
+
+@query("q151_deletion_vector_replay", _Q151_SQL)
+def q151(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("dv_replay_q151", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    eng.compact(min_deltas=1)
+    rep = eng.delete_keys_dv(_Q151_KEYS, batch_id=5)
+    if not rep["metrics"]["dv_buckets"] or rep["metrics"]["tombstone_buckets"]:
+        raise RuntimeError(f"q151 routing unexpected: {rep['metrics']}")
+    late = events.filter(F.col("batch_id") >= 2).withColumn(
+        "batch_id", F.col("batch_id") + 10
+    )
+    eng.replay(late, batch_ids=[12, 13])
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )
