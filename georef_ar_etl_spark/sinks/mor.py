@@ -113,13 +113,22 @@ def _read_base_file(
         return pq.read_table([path], columns=columns, filters=filters).to_pandas()
     from georef_ar_etl_spark.sinks.deletion_vectors import mask_positions
 
-    pdf = pq.read_table([path], columns=columns).to_pandas()
-    pdf = pdf[mask_positions(len(pdf), pos)]
     if filters:
-        # only ever [(key, "in", values)] — see resolve_live
+        # point lookup on a masked file: a pushed filter renumbers rows, so
+        # translate positions → KEYS first with a key-column-only read
+        # (cheap — one narrow column), then keep the pushdown on the wide
+        # read and drop masked keys. Sound because base files are unique
+        # per key, so a masked key has no other (live) row in the base.
         col, _op, vals = filters[0]
-        pdf = pdf[pdf[col].isin(set(vals))]
-    return pdf.reset_index(drop=True)
+        kcol = pq.read_table([path], columns=[col]).column(col)
+        valid = pos[(pos >= 0) & (pos < len(kcol))]
+        masked_keys = set(kcol.take(valid).to_pylist())
+        pdf = pq.read_table([path], columns=columns, filters=filters).to_pandas()
+        if masked_keys:
+            pdf = pdf[~pdf[col].isin(masked_keys)]
+        return pdf.reset_index(drop=True)
+    pdf = pq.read_table([path], columns=columns).to_pandas()
+    return pdf[mask_positions(len(pdf), pos)].reset_index(drop=True)
 
 
 def _base_frames(
