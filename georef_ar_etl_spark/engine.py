@@ -194,15 +194,35 @@ class CdcEngine:
         epoch: int | None = None,
         where: list | None = None,
         stats: dict | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Current state, or a time-travel read of a retained epoch.
+        """Current state, or a time-travel read of a retained epoch / a
+        pinned ``tag`` (named snapshot ref — see ``create_tag``).
 
         ``where`` — conjunction of ``(col, op, literal)`` — plans the scan
         against zone-map sidecars so dirs whose bounds can't match never
         launch a task (sinks/zonemap.py), then filters exactly."""
-        return self.table.read_state(epoch=epoch, where=where, stats=stats).drop(
-            "bucket"
-        )
+        return self.table.read_state(
+            epoch=epoch, where=where, stats=stats, tag=tag
+        ).drop("bucket")
+
+    def create_tag(
+        self, name: str, epoch: int | None = None, description: str = ""
+    ) -> dict:
+        """Pin the head (or ``epoch``) under an immutable named ref
+        (Iceberg ``tag``): ``state(tag=name)`` reads exactly that snapshot
+        forever — ``vacuum`` retains the pinned manifest and all its files
+        until ``drop_tag`` — which is how a training run records the exact
+        table state it consumed. See SnapshotTable.create_tag."""
+        return self.table.create_tag(name, epoch=epoch, description=description)
+
+    def drop_tag(self, name: str) -> dict:
+        """Unpin a named snapshot ref; the next vacuum may reclaim it."""
+        return self.table.drop_tag(name)
+
+    def tags(self) -> dict:
+        """All named snapshot refs: name → {epoch, created_unix, description}."""
+        return self.table.tags()
 
     def vacuum(self, keep_last: int = 2) -> dict:
         """Expire old snapshots + remove unreferenced files (Iceberg

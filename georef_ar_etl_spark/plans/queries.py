@@ -6875,3 +6875,39 @@ def q151(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# --------------- q152: PINNED-TAG REPRODUCIBLE READ --------------------------
+# Snapshot refs (Iceberg tags): the q24 replay pins a tag after batches
+# 0-1, keeps replaying (2-3), compacts, and vacuums down to keep_last=1 —
+# then reads THROUGH THE TAG. The oracle folds only batches 0-1: the tag
+# must reproduce the mid-replay state byte-for-byte even though every
+# untagged intermediate epoch has been expired and the head has moved two
+# batches past it. This is the training-reproducibility contract — "the
+# run read exactly this table state" survives table maintenance.
+_Q152_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "batch_id <= 1")}
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state
+"""
+
+
+@query("q152_tagged_snapshot_read", _Q152_SQL)
+def q152(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("tag_read_q152", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    eng.create_tag("train-run", description="q152 pinned read")
+    eng.replay(events.filter(F.col("batch_id") >= 2), batch_ids=[2, 3])
+    eng.compact(min_deltas=1)
+    eng.vacuum(keep_last=1)
+    return eng.state(tag="train-run").select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

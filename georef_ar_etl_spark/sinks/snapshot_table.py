@@ -299,6 +299,73 @@ class SnapshotTable:
         # carries the target's count, nothing to sync here
         return m
 
+    # -------------------------------------------------------- tags (refs)
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, "refs.json")
+
+    def tags(self) -> dict[str, dict]:
+        """Named snapshot refs (Iceberg ``tags``): name → {epoch,
+        created_unix, description}. A tagged epoch is pinned — ``vacuum``
+        retains its manifest and every file it references until the tag is
+        dropped — which is how a training run records "I read exactly this
+        table state" reproducibly."""
+        p = self._refs_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_refs(self, refs: dict[str, dict]) -> None:
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._refs_path())
+
+    def create_tag(
+        self, name: str, epoch: int | None = None, description: str = ""
+    ) -> dict:
+        """Pin ``epoch`` (default: head) under ``name``. Idempotent for the
+        same (name, epoch); re-pointing an existing tag is a ConflictError —
+        drop it first (tags are immutable refs, the Iceberg contract)."""
+        if not name or "/" in name or name != name.strip():
+            raise ValueError(f"invalid tag name {name!r}")
+        # resolves only retained epochs — tagging an expired one is an error
+        m = self.latest_manifest() if epoch is None else self.manifest_for_epoch(epoch)
+        if m is None:
+            raise KeyError("no committed manifest to tag")
+        refs = self.tags()
+        ex = refs.get(name)
+        if ex is not None:
+            if int(ex["epoch"]) == int(m["epoch"]):
+                return ex
+            raise ConflictError(
+                f"tag {name!r} already pins epoch {ex['epoch']} — tags are "
+                f"immutable; drop_tag() it first"
+            )
+        refs[name] = {
+            "epoch": int(m["epoch"]),
+            "created_unix": time.time(),
+            "description": description,
+        }
+        self._write_refs(refs)
+        return refs[name]
+
+    def drop_tag(self, name: str) -> dict:
+        refs = self.tags()
+        if name not in refs:
+            raise KeyError(f"no tag {name!r}")
+        out = refs.pop(name)
+        self._write_refs(refs)
+        return out
+
+    def manifest_for_tag(self, name: str) -> dict:
+        refs = self.tags()
+        if name not in refs:
+            raise KeyError(f"no tag {name!r}")
+        return self.manifest_for_epoch(int(refs[name]["epoch"]))
+
     def _expired_path(self) -> str:
         return os.path.join(self.root, MANIFEST_DIR, "expired-batches.json")
 
@@ -355,7 +422,12 @@ class SnapshotTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         ms = self.manifests()
-        retained, expired = ms[-keep_last:], ms[:-keep_last]
+        # tagged epochs are PINNED (Iceberg ref retention): their manifests
+        # and every file they reference survive until the tag is dropped
+        tag_epochs = {int(v["epoch"]) for v in self.tags().values()}
+        recent = {m["epoch"] for m in ms[-keep_last:]}
+        retained = [m for m in ms if m["epoch"] in recent or m["epoch"] in tag_epochs]
+        expired = [m for m in ms if m["epoch"] not in recent and m["epoch"] not in tag_epochs]
 
         # 1. record expired batch ids BEFORE removing anything. Stubs are
         # manifest-SHAPED (metrics/total_rows/buckets keys present) so an
@@ -1210,6 +1282,7 @@ class SnapshotTable:
         epoch: int | None = None,
         where: list | None = None,
         stats: dict | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """State as a DataFrame (payload columns + ``bucket``).
 
@@ -1237,6 +1310,10 @@ class SnapshotTable:
         buckets stay on the native vectorized parquet scan with full
         pushdown/pruning, so a mostly-compacted table reads at COW speed.
         """
+        if tag is not None:
+            if epoch is not None or manifest is not None:
+                raise ValueError("pass exactly one of tag / epoch / manifest")
+            manifest = self.manifest_for_tag(tag)
         if epoch is not None and manifest is None:
             manifest = self.manifest_for_epoch(epoch)
         if where:
