@@ -239,6 +239,78 @@ def test_rewrite_diff_changelog_masks_old_side_dv(spark, tmp_path):
     assert not eng.table.latest_manifest().get("bucket_dvs")
 
 
+def test_changelog_consumer_crosses_dv_epoch(spark, tmp_path):
+    """A changelog-maintained rollup refreshed across a deletion-vector
+    epoch must equal a full recompute — the dvdel artifact rows are plain
+    idempotent deletes to every downstream consumer."""
+    from pyspark.sql import types as T
+
+    from georef_ar_etl_spark.operators.index_maintenance import (
+        ContinuousAggregate,
+    )
+
+    initial = datagen.gen_initial_state(150, seed=55, max_len=12)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=2)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    agg = ContinuousAggregate(
+        spark, str(tmp_path / "agg"),
+        group_exprs=lambda: [F.col("source")],
+        group_fields=[("source", T.StringType())],
+        value_expr=lambda: F.col("n_tok"),
+        value_type=T.IntegerType(),
+        n_buckets=2,
+    )
+    agg.bootstrap(eng.state(epoch=0), source_epoch=0)
+
+    def recompute():
+        return sorted(
+            (r["source"], r["n"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in eng.state().groupBy("source").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("sum_v"),
+                F.min("n_tok").alias("min_v"), F.max("n_tok").alias("max_v"),
+            ).collect()
+        )
+
+    # delete each source's current MIN-n_tok doc — forces the consumer's
+    # member-list recompute path, not just partial subtraction
+    mins = (
+        eng.state()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("source")
+                .orderBy("n_tok", "doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .collect()
+    )
+    rep = eng.delete_keys_dv([r["doc_id"] for r in mins], batch_id=1)
+    assert rep["metrics"]["deleted"] == len(mins)
+    agg.refresh(eng.changes(0, rep["epoch"]), rep["epoch"])
+    got = sorted(
+        (r["source"], r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in agg.aggregate().collect()
+    )
+    assert got == recompute()
+
+
+def test_tag_pins_dv_epoch_through_vacuum(spark, table):
+    """A tag on a DV-carrying epoch keeps its DV dirs through vacuum, so
+    the pinned read stays masked forever."""
+    live = sorted(_ids(table.state()))[:5]
+    rep = table.delete_keys_dv(live, batch_id=1)
+    pinned = _rows(table.state())
+    table.create_tag("dv-pin")
+    table.compact(min_deltas=1)  # head moves on, DV spent at head
+    table.table.vacuum(keep_last=1)
+    for rel in rep["bucket_dvs"].values():
+        assert os.path.isdir(os.path.join(table.table.root, rel)), rel
+    assert _rows(table.state(tag="dv-pin")) == pinned
+
+
 def _bucket_of(spark, key: str, nb: int) -> int:
     from georef_ar_etl_spark.sinks.snapshot_table import bucket_expr
 
