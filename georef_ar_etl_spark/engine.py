@@ -237,6 +237,7 @@ class CdcEngine:
         buckets: list[int] | None = None,
         cluster_by: list[str] | None = None,
         rows_per_file: int | None = None,
+        max_commit_retries: int = 0,
     ) -> dict | None:
         """Rewrite buckets carrying pending merge-on-read deltas into fresh
         base files (Iceberg rewrite_data_files analogue) — visible state
@@ -248,9 +249,12 @@ class CdcEngine:
         return self.table.compact(
             min_deltas=min_deltas, buckets=buckets,
             cluster_by=cluster_by, rows_per_file=rows_per_file,
+            max_commit_retries=max_commit_retries,
         )
 
-    def delete_keys_dv(self, keys: list, batch_id: int) -> dict:
+    def delete_keys_dv(
+        self, keys: list, batch_id: int, max_commit_retries: int = 0
+    ) -> dict:
         """Delete-only maintenance commit via positional **deletion
         vectors** (Iceberg v3 / Delta DVs): deleted rows are masked by
         (file, position) so subsequent reads of the touched buckets stay on
@@ -261,8 +265,12 @@ class CdcEngine:
         compact+vacuum (use ``purge_keys`` for hard GDPR erasure).
         Exactly-once via ``batch_id`` + keys digest; changelog consumers
         receive the effective deletes like any other change. See
-        SnapshotTable.delete_keys_dv for routing and cost model."""
-        return self.table.delete_keys_dv(keys, batch_id)
+        SnapshotTable.delete_keys_dv for routing and cost model.
+        ``max_commit_retries`` lets the erasure rebase over a concurrent
+        disjoint-bucket commit (snapshot isolation, write_manifest)."""
+        return self.table.delete_keys_dv(
+            keys, batch_id, max_commit_retries=max_commit_retries
+        )
 
     def purge_keys(self, keys: list, batch_id: int) -> dict:
         """HARD right-to-be-forgotten erasure — Delta Lake's documented GDPR

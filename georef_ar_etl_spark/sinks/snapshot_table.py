@@ -557,6 +557,7 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         cluster_by: list[str] | None = None,
         rows_per_file: int | None = None,
+        max_commit_retries: int = 0,
     ) -> dict | None:
         """Rewrite every bucket carrying >= ``min_deltas`` pending
         merge-on-read deltas into fresh base files and commit the result as a
@@ -615,6 +616,7 @@ class SnapshotTable:
             self.read_state(buckets=dirty, manifest=m),
             cluster_by=cluster_by,
             rows_per_file=rows_per_file,
+            only_buckets=dirty,
         )
         return self.write_manifest(
             epoch=epoch,
@@ -628,6 +630,7 @@ class SnapshotTable:
                 "compacted_buckets": dirty,
                 "wall_sec": round(time.time() - t0, 3),
             },
+            max_commit_retries=max_commit_retries,
         )
 
     # --------------------------------------------------------------- rescale
@@ -683,7 +686,9 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------ deletion vectors
-    def delete_keys_dv(self, keys: list, batch_id: int) -> dict:
+    def delete_keys_dv(
+        self, keys: list, batch_id: int, max_commit_retries: int = 0
+    ) -> dict:
         """Delete-only maintenance commit via **positional deletion vectors**
         (sinks/deletion_vectors.py) — the Iceberg-v3 / Delta DV move for
         erasure lists, moderation take-downs and retention sweeps: instead
@@ -862,13 +867,16 @@ class SnapshotTable:
                             DATA_DIR, f"epoch={epoch}", f"dv={b}"
                         )
                         eff_deleted[b] = per_bucket[b]
-                    # changelog artifact: the effective DV-deleted keys
-                    dvc = os.path.join(epoch_dir, "dv_changes")
+                    # changelog artifact: the effective DV-deleted keys.
+                    # batch_id-suffixed so a concurrent commit sharing this
+                    # epoch dir (optimistic rebase) can never clobber it
+                    dvc_name = f"dv_changes-{batch_id}"
+                    dvc = os.path.join(epoch_dir, dvc_name)
                     hits.select("bucket", key_col).write.mode(
                         "overwrite"
                     ).parquet(dvc)
                     dv_changes_rel = os.path.join(
-                        DATA_DIR, f"epoch={epoch}", "dv_changes"
+                        DATA_DIR, f"epoch={epoch}", dvc_name
                     )
             finally:
                 hits.unpersist()
@@ -919,6 +927,7 @@ class SnapshotTable:
             written_deltas=written_deltas,
             written_dvs=written_dvs,
             dv_changes=dv_changes_rel,
+            max_commit_retries=max_commit_retries,
         )
 
     def _write_tombstone_links(
@@ -1923,6 +1932,7 @@ class SnapshotTable:
         n_buckets: int | None = None,
         cluster_by: list[str] | None = None,
         rows_per_file: int | None = None,
+        only_buckets: list[int] | None = None,
     ) -> dict[int, str]:
         """Write (payload + bucket) rows under data/epoch=K, one directory per
         bucket, deterministically sorted within files by the payload columns
@@ -1945,15 +1955,28 @@ class SnapshotTable:
             df.repartition(n_buckets or self.n_buckets, F.col("bucket"))
             .sortWithinPartitions("bucket", *sort_cols)
             .write.mode("overwrite")
+            # DYNAMIC partition overwrite: replace only the bucket= dirs
+            # this frame carries. Static mode would wipe the whole epoch
+            # dir — under optimistic concurrency (write_manifest
+            # max_commit_retries) two disjoint-bucket commits may share an
+            # epoch-numbered dir, and neither may clobber the other's
+            # subdirs. Task-retry determinism is unchanged (the same
+            # partitions rewrite to the same bytes).
+            .option("partitionOverwriteMode", "dynamic")
         )
         if rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(rows_per_file))
         writer.partitionBy("bucket").parquet(epoch_dir)
         out: dict[int, str] = {}
+        keep = None if only_buckets is None else {int(b) for b in only_buckets}
         if os.path.isdir(epoch_dir):
             for name in os.listdir(epoch_dir):
                 if name.startswith("bucket="):
                     b = int(name.split("=", 1)[1])
+                    if keep is not None and b not in keep:
+                        # a concurrent commit's bucket dir sharing this
+                        # epoch dir — not ours to report
+                        continue
                     out[b] = os.path.join(DATA_DIR, f"epoch={epoch}", name)
                     # zone-map sidecar from the freshly written footers —
                     # kilobytes of metadata per file, no data pages; the
@@ -1986,14 +2009,18 @@ class SnapshotTable:
         n_buckets: int | None = None,
         cluster_by: list[str] | None = None,
         rows_per_file: int | None = None,
+        only_buckets: list[int] | None = None,
     ) -> dict[int, str]:
         """Write the epoch's touched-bucket data files (NOT yet committed —
-        an orphan epoch dir without a manifest is invisible and harmless)."""
+        an orphan epoch dir without a manifest is invisible and harmless).
+        ``only_buckets`` bounds the returned bucket map when a concurrent
+        commit may share the epoch dir (optimistic-rebase paths)."""
         if new_buckets_df is None:
             return {}
         return self._write_buckets(
             new_buckets_df, epoch, n_buckets,
             cluster_by=cluster_by, rows_per_file=rows_per_file,
+            only_buckets=only_buckets,
         )
 
     @staticmethod
@@ -2175,9 +2202,23 @@ class SnapshotTable:
         staged: bool = False,
         written_dvs: dict[int, str] | None = None,
         dv_changes: str | None = None,
+        max_commit_retries: int = 0,
     ) -> dict:
         """Atomically publish the manifest — THE commit point. Idempotent:
         same epoch + same digest returns the existing manifest.
+
+        ``max_commit_retries`` > 0 enables **optimistic concurrency** with
+        disjoint-bucket rebase (Iceberg's snapshot-isolation commit
+        protocol, the contract that lets a maintenance commit — compaction,
+        a deletion-vector erasure — race the single stream writer): when
+        another commit won our target epoch, the rebase re-reads the new
+        head and retries at head+1 — data files are untouched (manifests
+        reference them by path, not by epoch number) and the parent maps
+        are re-read inside the retry, so the interloper's buckets carry
+        correctly. The rebase REFUSES (ConflictError, like today) whenever
+        it cannot prove isolation: any interloper touching one of OUR
+        buckets, changing the schema or bucket count, a rescale/rollback in
+        between, or the same batch_id with different content.
 
         ``written_counts``: per-bucket row counts if the writer already knows
         them (the copartitioned merge returns them from the tasks); otherwise
@@ -2208,6 +2249,17 @@ class SnapshotTable:
                 existing = json.load(f)
             if existing.get("batch_digest") == batch_digest:
                 return existing  # already committed — no-op re-apply
+            if not staged and max_commit_retries > 0:
+                new_epoch = self._rebase_epoch(
+                    epoch, touched_buckets, schema, batch_id, batch_digest
+                )
+                return self.write_manifest(
+                    new_epoch, schema, written, touched_buckets, batch_id,
+                    batch_digest, {**metrics, "rebased_from_epoch": epoch},
+                    quarantine_path, quarantine_rows, written_counts,
+                    written_deltas, rescale_to, staged, written_dvs,
+                    dv_changes, max_commit_retries - 1,
+                )
             raise ConflictError(
                 f"epoch {epoch} already committed with a different digest"
             )
@@ -2291,6 +2343,17 @@ class SnapshotTable:
         if existing is not None:
             if existing.get("batch_digest") == batch_digest:
                 return existing  # duplicate writer committed the same batch
+            if max_commit_retries > 0:
+                new_epoch = self._rebase_epoch(
+                    epoch, touched_buckets, schema, batch_id, batch_digest
+                )
+                return self.write_manifest(
+                    new_epoch, schema, written, touched_buckets, batch_id,
+                    batch_digest, {**metrics, "rebased_from_epoch": epoch},
+                    quarantine_path, quarantine_rows, written_counts,
+                    written_deltas, rescale_to, staged, written_dvs,
+                    dv_changes, max_commit_retries - 1,
+                )
             raise ConflictError(
                 f"epoch {epoch} was committed concurrently with a different "
                 f"digest — two writers are applying different batches to one "
@@ -2304,6 +2367,60 @@ class SnapshotTable:
         self._latest_token = None
         self._log_commit_metrics(manifest)
         return manifest
+
+    def _rebase_epoch(
+        self,
+        epoch: int,
+        touched_buckets: list[int],
+        schema: T.StructType,
+        batch_id: int | None,
+        batch_digest: str | None,
+    ) -> int:
+        """Snapshot-isolation check for an optimistic commit rebase: every
+        commit that landed AT or AFTER our target epoch must be provably
+        isolated from ours — disjoint touched buckets, identical schema and
+        bucket count, no rescale/rollback, not our own batch id under
+        different content. Returns the next free epoch; raises
+        ConflictError when isolation cannot be proven (the safe default —
+        a refused rebase is exactly today's single-writer behavior)."""
+        # bypass the freshness cache: the whole point is that someone else
+        # just committed
+        self._latest_token = None
+        ours = set(touched_buckets)
+        ours_schema = schema.jsonValue()
+        head_epoch = epoch - 1
+        for m in self.manifests():
+            if m["epoch"] < epoch:
+                continue
+            head_epoch = max(head_epoch, m["epoch"])
+            kind = (m.get("metrics") or {}).get("kind")
+            if kind in ("rescale", "rollback"):
+                raise ConflictError(
+                    f"cannot rebase commit over a {kind} at epoch "
+                    f"{m['epoch']} — re-read the table and re-derive"
+                )
+            if m["batch_id"] is not None and m["batch_id"] == batch_id:
+                raise ConflictError(
+                    f"batch {batch_id} was committed concurrently at epoch "
+                    f"{m['epoch']} with a different digest"
+                )
+            if m["schema"] != ours_schema:
+                raise ConflictError(
+                    f"cannot rebase: epoch {m['epoch']} changed the schema"
+                )
+            if int(m["n_buckets"]) != self.n_buckets:
+                raise ConflictError(
+                    f"cannot rebase: epoch {m['epoch']} changed the bucket "
+                    f"count"
+                )
+            inter = ours & set(m["touched_buckets"])
+            if inter:
+                raise ConflictError(
+                    f"cannot rebase: epoch {m['epoch']} also touched "
+                    f"bucket(s) {sorted(inter)} — overlapping writes need "
+                    f"a re-read + re-apply"
+                )
+        return head_epoch + 1
 
     def commit(
         self,
