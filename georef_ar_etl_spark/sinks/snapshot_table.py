@@ -1593,7 +1593,7 @@ class SnapshotTable:
 
         deltas_map = m.get("bucket_deltas") or {}
         dvs_map = m.get("bucket_dvs") or {}
-        dirs, mor_specs, mor_keys = [], [], {}
+        dirs, mor_specs, mor_keys, dv_native = [], [], {}, []
         for b, bkeys in sorted(by_bucket.items()):
             d = m["buckets"].get(str(b))
             dl = deltas_map.get(str(b)) or []
@@ -1602,6 +1602,15 @@ class SnapshotTable:
                 if d is not None:
                     dirs.append(os.path.join(self.root, d))
                     stats["clean_buckets"] += 1
+                continue
+            if not dl and dvd and d is not None:
+                # chain-free DV bucket: native masked scan keeps the isin
+                # pushdown (row-group pruning on the sort-by-key layout);
+                # the anti-join drops any masked hit
+                dv_native.append((
+                    b, self._dir_files(d), os.path.join(self.root, dvd),
+                ))
+                stats["clean_buckets"] += 1
                 continue
             stats["mor_buckets"] += 1
             stats["delta_dirs_total"] += len(dl)
@@ -1635,6 +1644,8 @@ class SnapshotTable:
                 .parquet(*dirs)
                 .drop("epoch")
             )
+        if dv_native:
+            parts.append(self._read_dv_masked(dv_native, schema))
         if mor_specs:
             parts.append(self._read_mor(mor_specs, schema, bucket_keys=mor_keys))
         if not parts:
@@ -1643,8 +1654,9 @@ class SnapshotTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        # the isin lands as a PushedFilter on the clean-bucket scan; on the
-        # MOR side it is already enforced inside resolve_live
+        # the isin lands as a PushedFilter on the clean-bucket and
+        # DV-masked scans; on the MOR side it is already enforced inside
+        # resolve_live
         return df.filter(F.col(key_col).isin(keys))
 
     # ------------------------------------------------------------- changelog
