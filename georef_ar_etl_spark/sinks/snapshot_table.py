@@ -811,7 +811,6 @@ class SnapshotTable:
                     .add("bucket", T.IntegerType())
                 )
                 .parquet(*dv_base_files)
-                .filter(F.col(key_col).isin(dv_keys_flat))
                 .select(
                     "bucket",
                     F.col("_metadata.file_name").alias("file"),
@@ -819,6 +818,19 @@ class SnapshotTable:
                     F.col(key_col),
                 )
             )
+            if len(dv_keys_flat) <= 1024:
+                # small list: isin reaches the parquet scan as a pushed
+                # filter (row-group pruning on the sort-by-key layout)
+                scan = scan.filter(F.col(key_col).isin(dv_keys_flat))
+            else:
+                # big erasure list: a 100k-term In expression would bloat
+                # the plan — broadcast semi-join instead (the keys side is
+                # the small side by the erasure-list contract)
+                keys_df = self.spark.createDataFrame(
+                    [(k,) for k in dv_keys_flat],
+                    T.StructType([T.StructField(key_col, key_type, False)]),
+                )
+                scan = scan.join(F.broadcast(keys_df), key_col, "left_semi")
             old_dv_dirs = [
                 os.path.join(self.root, dvs_map[str(b)])
                 for b in dv_buckets
