@@ -195,15 +195,18 @@ class CdcEngine:
         where: list | None = None,
         stats: dict | None = None,
         tag: str | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
         """Current state, or a time-travel read of a retained epoch / a
-        pinned ``tag`` (named snapshot ref — see ``create_tag``).
+        pinned ``tag`` (named snapshot ref — see ``create_tag``) / the
+        latest snapshot committed at or before unix time ``as_of``
+        (Iceberg ``TIMESTAMP AS OF``).
 
         ``where`` — conjunction of ``(col, op, literal)`` — plans the scan
         against zone-map sidecars so dirs whose bounds can't match never
         launch a task (sinks/zonemap.py), then filters exactly."""
         return self.table.read_state(
-            epoch=epoch, where=where, stats=stats, tag=tag
+            epoch=epoch, where=where, stats=stats, tag=tag, as_of=as_of
         ).drop("bucket")
 
     def create_tag(

@@ -366,6 +366,23 @@ class SnapshotTable:
             raise KeyError(f"no tag {name!r}")
         return self.manifest_for_epoch(int(refs[name]["epoch"]))
 
+    def manifest_as_of(self, unix_ts: float) -> dict:
+        """Latest RETAINED manifest committed at or before ``unix_ts`` —
+        Iceberg's ``TIMESTAMP AS OF`` time travel. KeyError when every
+        retained snapshot is newer (the one you wanted has been vacuumed,
+        or the timestamp predates the table)."""
+        best = None
+        for m in self.manifests():
+            if m.get("committed_unix", float("inf")) <= unix_ts:
+                if best is None or m["epoch"] > best["epoch"]:
+                    best = m
+        if best is None:
+            raise KeyError(
+                f"no retained snapshot committed at or before {unix_ts} — "
+                f"it may have been vacuumed (pin with create_tag to retain)"
+            )
+        return best
+
     def _expired_path(self) -> str:
         return os.path.join(self.root, MANIFEST_DIR, "expired-batches.json")
 
@@ -1304,6 +1321,7 @@ class SnapshotTable:
         where: list | None = None,
         stats: dict | None = None,
         tag: str | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
         """State as a DataFrame (payload columns + ``bucket``).
 
@@ -1331,10 +1349,12 @@ class SnapshotTable:
         buckets stay on the native vectorized parquet scan with full
         pushdown/pruning, so a mostly-compacted table reads at COW speed.
         """
+        if sum(x is not None for x in (tag, epoch, manifest, as_of)) > 1:
+            raise ValueError("pass at most one of tag / epoch / manifest / as_of")
         if tag is not None:
-            if epoch is not None or manifest is not None:
-                raise ValueError("pass exactly one of tag / epoch / manifest")
             manifest = self.manifest_for_tag(tag)
+        if as_of is not None:
+            manifest = self.manifest_as_of(as_of)
         if epoch is not None and manifest is None:
             manifest = self.manifest_for_epoch(epoch)
         if where:

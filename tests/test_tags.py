@@ -86,6 +86,30 @@ def test_tag_immutability_and_validation(spark, eng):
         e.create_tag("late", epoch=ref["epoch"])
 
 
+def test_as_of_timestamp_time_travel(spark, eng):
+    e, events = eng
+    m1 = e.table.latest_manifest()
+    state1 = _rows(e.state())
+    e.replay(datagen.events_to_df(spark, events), batch_ids=[2, 3])
+    m2 = e.table.latest_manifest()
+
+    # between m1 and the NEXT commit → resolves to m1 exactly
+    m_next = e.table.manifest_for_epoch(m1["epoch"] + 1)
+    ts_mid = (m1["committed_unix"] + m_next["committed_unix"]) / 2
+    assert _rows(e.state(as_of=ts_mid)) == state1
+    # at/after head → head; before the table existed → KeyError
+    assert _rows(e.state(as_of=m2["committed_unix"] + 1)) == _rows(e.state())
+    first = e.table.manifest_for_epoch(0)["committed_unix"]
+    with pytest.raises(KeyError):
+        e.state(as_of=first - 10)
+    with pytest.raises(ValueError):
+        e.state(epoch=0, as_of=ts_mid)
+    # vacuum trims the resolvable range to retained snapshots
+    e.vacuum(keep_last=1)
+    with pytest.raises(KeyError):
+        e.state(as_of=ts_mid)
+
+
 def test_tagged_mor_epoch_keeps_its_delta_chain_through_vacuum(spark, eng):
     e, events = eng
     man = e.table.latest_manifest()
