@@ -1307,6 +1307,10 @@ class SnapshotTable:
         for b, chain in (m.get("bucket_deltas") or {}).items():
             for i, rel in enumerate(chain):
                 emit(b, rel, "delta", i + 1, None)
+        # deletion vectors ride at position -1: they mask the base (pos 0)
+        # rather than following the chain
+        for b, rel in (m.get("bucket_dvs") or {}).items():
+            emit(b, rel, "dv", -1, None)
         return spark.createDataFrame(
             rows,
             "bucket int, kind string, chain_pos int, rel_path string, "
