@@ -275,6 +275,19 @@ class CdcEngine:
             keys, batch_id, max_commit_retries=max_commit_retries
         )
 
+    def delete_where(
+        self, where: list, batch_id: int, max_commit_retries: int = 0
+    ) -> dict:
+        """Predicate delete (``DELETE FROM t WHERE …``) — the retention
+        sweep: zone-map-pruned position scan lands matching rows as
+        deletion vectors on chain-free buckets; chain-carrying buckets
+        tombstone their matching live rows distributively. Same
+        exactly-once, changelog and lifecycle contracts as
+        ``delete_keys_dv``. See SnapshotTable.delete_where."""
+        return self.table.delete_where(
+            where, batch_id, max_commit_retries=max_commit_retries
+        )
+
     def purge_keys(self, keys: list, batch_id: int) -> dict:
         """HARD right-to-be-forgotten erasure — Delta Lake's documented GDPR
         recipe (DELETE + VACUUM) on this table, in one maintenance call:

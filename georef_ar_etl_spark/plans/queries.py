@@ -6911,3 +6911,50 @@ def q152(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# --------------- q153: PREDICATE DELETE (RETENTION SWEEP) --------------------
+# DELETE FROM t WHERE source='click' dropped mid-replay: batches 0-1 fold
+# (leaving MOR chains on some buckets and clean bases on others, so BOTH
+# delete machineries participate — zone-map-pruned DV position scan on
+# chain-free buckets, distributed tombstone links on chain buckets), then
+# batches 12-13 (the original 2-3, id-shifted) merge over the swept
+# state — a re-inserted 'click' row must come back (the sweep is an
+# event in the log, not a standing filter). The oracle folds 0-1,
+# removes source='click' rows, overlays the latest valid event of 2-3.
+_Q153_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("01", "batch_id <= 1")},
+    {_q24_state_ctes("23", "batch_id >= 2")},
+    surv AS (SELECT * FROM state01 WHERE source <> 'click'),
+    final AS (
+      SELECT s.doc_id, s.tokens, s.n_tok, s.source FROM surv s
+      WHERE NOT EXISTS (SELECT 1 FROM latest23 l WHERE l.doc_id = s.doc_id)
+      UNION ALL
+      SELECT doc_id, tokens, n_tok, source FROM ups23)
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM final
+"""
+
+
+@query("q153_predicate_delete_replay", _Q153_SQL)
+def q153(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("dvwhere_replay_q153", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    rep = eng.delete_where([("source", "=", "click")], batch_id=5)
+    if not rep["metrics"]["deleted"]:
+        raise RuntimeError("q153 expected the sweep to delete rows")
+    late = events.filter(F.col("batch_id") >= 2).withColumn(
+        "batch_id", F.col("batch_id") + 10
+    )
+    eng.replay(late, batch_ids=[12, 13])
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

@@ -959,6 +959,278 @@ class SnapshotTable:
             max_commit_retries=max_commit_retries,
         )
 
+    def delete_where(
+        self, where: list, batch_id: int, max_commit_retries: int = 0
+    ) -> dict:
+        """Predicate delete (``DELETE FROM t WHERE …``, the retention-sweep
+        primitive: "drop everything where source='spam'"). ``where`` is the
+        same ``[(col, op, literal), …]`` conjunction ``read_state`` plans
+        with. Composes the table's two delete machineries:
+
+        * **chain-free buckets**: one position scan of the candidate bases
+          — zone-map sidecars prune dirs AND files whose bounds can't match
+          before the job launches, the residual predicate pushes into the
+          parquet scan — and the matching rows' positions land as merged
+          deletion vectors (sinks/deletion_vectors.py);
+        * **chain-carrying buckets**: the predicate-matching LIVE rows come
+          from the DV/chain-aware ``read_state(where=…)`` and are
+          tombstoned distributively, one equality-delete link per bucket —
+          no driver-side key collection, so a predicate matching millions
+          of rows stays a cluster-side plan.
+
+        Exactly-once via ``batch_id`` + a digest of the predicate;
+        re-delivery is a verified no-op. Matching nothing commits a no-op
+        epoch. Changelog consumers receive every effectively deleted key
+        exactly once (dvdel artifact for DV buckets, delta links for
+        chain buckets). Logical delete — bytes remain until
+        compact+vacuum."""
+        import hashlib
+
+        validate_where(where)
+        m = self.latest_manifest()
+        if m is None:
+            raise RuntimeError("bootstrap the table before deleting rows")
+        canon_where = json.dumps(
+            [[c, o, v] for c, o, v in where], sort_keys=True, default=str
+        )
+        digest = (
+            "dvwhere:"
+            + hashlib.md5(canon_where.encode()).hexdigest()
+        )
+        committed = self.committed_batches()
+        if batch_id in committed:
+            if committed[batch_id]["batch_digest"] != digest:
+                raise ConflictError(
+                    f"batch {batch_id} re-delivered with different content"
+                )
+            return committed[batch_id]
+        schema = T.StructType.fromJson(m["schema"])
+        key_col = schema.fields[0].name
+        deltas_map = m.get("bucket_deltas") or {}
+        dvs_map = m.get("bucket_dvs") or {}
+        t0 = time.time()
+        epoch = m["epoch"] + 1
+        epoch_dir = self.epoch_dir(epoch)
+
+        # plan: classify candidate buckets, zone-map-pruning chain-free
+        # dirs exactly like read_state(where=)
+        dv_files: list[str] = []   # chain-free candidate base files
+        dv_bucket_ids: list[int] = []
+        chain_buckets: list[int] = []
+        zstats = {"dirs_skipped": 0, "files_skipped": 0}
+        for b_str, d in m["buckets"].items():
+            dl = deltas_map.get(b_str) or []
+            if dl:
+                chain_buckets.append(int(b_str))  # resolve-side path
+                continue
+            if d is None:
+                continue
+            zm = read_zonemap(os.path.join(self.root, d))
+            if zone_excludes(zm, where):
+                zstats["dirs_skipped"] += 1
+                continue
+            files = self._dir_files(d)
+            fmaps = (zm or {}).get("files") or {}
+            kept = []
+            for f in files:
+                fzm = fmaps.get(os.path.basename(f))
+                if fzm is not None and zone_excludes(fzm, where):
+                    zstats["files_skipped"] += 1
+                else:
+                    kept.append(f)
+            if kept:
+                dv_files.extend(kept)
+                dv_bucket_ids.append(int(b_str))
+
+        written_dvs: dict[int, str] = {}
+        dv_changes_rel: str | None = None
+        eff_deleted: dict[int, int] = {}
+        n_new_positions = 0
+        if dv_files:
+            scan = (
+                self.spark.read.option(
+                    "basePath", os.path.join(self.root, DATA_DIR)
+                )
+                .schema(
+                    T.StructType(list(schema.fields))
+                    .add("epoch", T.IntegerType())
+                    .add("bucket", T.IntegerType())
+                )
+                .parquet(*dv_files)
+                .select(
+                    "bucket",
+                    F.col("_metadata.file_name").alias("file"),
+                    F.col("_metadata.row_index").alias("pos"),
+                    F.col(key_col),
+                    *[
+                        F.col(c)
+                        for c in {c for c, _o, _v in where}
+                        if c != key_col
+                    ],
+                )
+                .filter(residual_filter(where))
+                .select("bucket", "file", "pos", key_col)
+            )
+            old_dv_dirs = [
+                os.path.join(self.root, dvs_map[str(b)])
+                for b in dv_bucket_ids
+                if dvs_map.get(str(b))
+            ]
+            old_dv = None
+            if old_dv_dirs:
+                old_dv = (
+                    self.spark.read.schema("bucket int, file string, pos long")
+                    .parquet(*old_dv_dirs)
+                    .select("bucket", "file", "pos")
+                )
+                scan = scan.join(
+                    F.broadcast(old_dv), ["bucket", "file", "pos"], "left_anti"
+                )
+            hits = scan.persist()
+            try:
+                per_bucket = {
+                    int(r["bucket"]): int(r["n"])
+                    for r in hits.groupBy("bucket").agg(
+                        F.count(F.lit(1)).alias("n")
+                    ).collect()
+                }
+                n_new_positions = sum(per_bucket.values())
+                if n_new_positions:
+                    changed = sorted(per_bucket)
+                    merged = hits.select("bucket", "file", "pos")
+                    if old_dv is not None:
+                        merged = merged.unionByName(
+                            old_dv.filter(F.col("bucket").isin(changed))
+                        )
+                    (
+                        merged.withColumn("dv", F.col("bucket"))
+                        .repartition(len(changed), "dv")
+                        .sortWithinPartitions("dv", "file", "pos")
+                        .write.mode("append")
+                        .partitionBy("dv")
+                        .parquet(epoch_dir)
+                    )
+                    for b in changed:
+                        written_dvs[b] = os.path.join(
+                            DATA_DIR, f"epoch={epoch}", f"dv={b}"
+                        )
+                        eff_deleted[b] = per_bucket[b]
+                    dvc_name = f"dv_changes-{batch_id}"
+                    hits.select("bucket", key_col).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(epoch_dir, dvc_name))
+                    dv_changes_rel = os.path.join(
+                        DATA_DIR, f"epoch={epoch}", dvc_name
+                    )
+            finally:
+                hits.unpersist()
+
+        # chain buckets: matching LIVE rows via the DV/chain-aware filtered
+        # read, tombstoned distributively (one link per bucket)
+        written_deltas: dict[int, list[str]] = {}
+        if chain_buckets:
+            matching = self.read_state(
+                buckets=chain_buckets, manifest=m, where=where
+            ).select(key_col, "bucket")
+            tomb_counts = self._write_tombstone_links_distributed(
+                matching, m, schema, epoch, written_deltas
+            )
+            eff_deleted.update(
+                {b: eff_deleted.get(b, 0) + n for b, n in tomb_counts.items()}
+            )
+
+        touched = sorted(set(written_dvs) | set(written_deltas))
+        written = {b: m["buckets"].get(str(b)) for b in touched}
+        for b in touched:
+            if b not in written_deltas and deltas_map.get(str(b)):
+                written_deltas[b] = list(deltas_map[str(b)])
+        written_counts = {
+            b: int(m["bucket_counts"].get(str(b), 0)) - eff_deleted.get(b, 0)
+            for b in touched
+        }
+        deleted_total = sum(eff_deleted.values())
+        return self.write_manifest(
+            epoch=epoch,
+            schema=schema,
+            written=written,
+            touched_buckets=touched,
+            batch_id=batch_id,
+            batch_digest=digest,
+            metrics={
+                "kind": "dv_delete_where",
+                "where": canon_where,
+                "deleted": deleted_total,
+                "dv_positions_added": n_new_positions,
+                "dv_buckets": sorted(written_dvs),
+                "tombstone_buckets": sorted(
+                    b for b in written_deltas if b in eff_deleted
+                ),
+                "zonemap_dirs_skipped": zstats["dirs_skipped"],
+                "zonemap_files_skipped": zstats["files_skipped"],
+                "wall_sec": round(time.time() - t0, 3),
+            },
+            written_counts=written_counts,
+            written_deltas=written_deltas,
+            written_dvs=written_dvs,
+            dv_changes=dv_changes_rel,
+            max_commit_retries=max_commit_retries,
+        )
+
+    def _write_tombstone_links_distributed(
+        self,
+        matching: DataFrame,
+        m: dict,
+        schema: T.StructType,
+        epoch: int,
+        written_deltas: dict[int, list[str]],
+    ) -> dict[int, int]:
+        """Tombstone the (key, bucket) rows of ``matching`` — one delta
+        link per bucket, written INSIDE the tasks so a predicate matching
+        millions of rows never rides through the driver."""
+        from georef_ar_etl_spark.operators.copart_merge import _to_arrow
+        from georef_ar_etl_spark.sinks.mor import write_delta
+
+        key_col = schema.fields[0].name
+        payload_cols = [f.name for f in schema.fields]
+        arrow_schema = pa.schema(
+            [pa.field(f.name, _to_arrow(f.dataType)) for f in schema.fields]
+        )
+        epoch_dir = self.epoch_dir(epoch)
+        deltas_map = m.get("bucket_deltas") or {}
+        nb = int(m["n_buckets"])
+
+        def tomb(batches):
+            chunks = [c for c in batches if not c.empty]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            for b, grp in pdf.groupby("bucket", sort=True):
+                dels = sorted(set(grp[key_col]))
+                ddir = os.path.join(epoch_dir, f"delta={int(b)}")
+                os.makedirs(ddir, exist_ok=True)
+                path = os.path.join(ddir, "delta-00000.parquet")
+                write_delta(
+                    path, pd.DataFrame(columns=payload_cols), dels,
+                    payload_cols, arrow_schema, key=key_col,
+                )
+                yield pd.DataFrame(
+                    {"bucket": [int(b)], "deleted": [len(dels)]}
+                )
+
+        out: dict[int, int] = {}
+        rows = (
+            matching.repartition(nb, "bucket")
+            .mapInPandas(tomb, "bucket int, deleted long")
+            .collect()
+        )
+        for r in rows:
+            b = int(r["bucket"])
+            out[b] = int(r["deleted"])
+            written_deltas[b] = list(deltas_map.get(str(b)) or []) + [
+                os.path.join(DATA_DIR, f"epoch={epoch}", f"delta={b}")
+            ]
+        return out
+
     def _write_tombstone_links(
         self,
         tomb_buckets: dict[int, list],

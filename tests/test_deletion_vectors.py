@@ -311,6 +311,63 @@ def test_tag_pins_dv_epoch_through_vacuum(spark, table):
     assert _rows(table.state(tag="dv-pin")) == pinned
 
 
+def test_delete_where_predicate_sweep(spark, table):
+    """DELETE FROM WHERE over mixed clean/chain buckets: DV positions for
+    chain-free candidates (zone-map-pruned scan), distributed tombstones
+    for chain buckets; changelog emits each key once; exactly-once."""
+    before = _rows(table.state())
+    # dirty ONE bucket with a small update so both paths participate
+    some_key = sorted(k for k, *_ in before)[0]
+    ev = [{"batch_id": 1, "seq": 0, "op": "update", "doc_id": some_key,
+           "tokens": [2, 2, 2], "n_tok": None, "source": "sweepme"}]
+    table.apply_batch(datagen.events_to_df(spark, ev), batch_id=1)
+    cur = _rows(table.state())
+    expect_gone = {r[0] for r in cur if r[3] == "sweepme"}
+    assert some_key in expect_gone
+
+    rep = table.delete_where([("source", "=", "sweepme")], batch_id=2)
+    assert rep["metrics"]["kind"] == "dv_delete_where"
+    assert rep["metrics"]["deleted"] == len(expect_gone)
+
+    after = _rows(table.state())
+    assert after == {r for r in cur if r[3] != "sweepme"}
+    assert {r[0] for r in after} == {r[0] for r in cur} - expect_gone
+
+    # changelog: exactly one delete per swept key
+    ch = table.changes(rep["epoch"] - 1, rep["epoch"]).collect()
+    assert sorted(r["doc_id"] for r in ch) == sorted(expect_gone)
+    assert all(r["op"] == "delete" for r in ch)
+
+    # exactly-once redelivery; different predicate under same id conflicts
+    rep2 = table.delete_where([("source", "=", "sweepme")], batch_id=2)
+    assert rep2["epoch"] == rep["epoch"]
+    from georef_ar_etl_spark.sinks.snapshot_table import ConflictError
+
+    with pytest.raises(ConflictError):
+        table.delete_where([("source", "=", "other")], batch_id=2)
+
+    # no-op sweep (nothing matches) commits an empty epoch
+    rep3 = table.delete_where([("source", "=", "nosuch")], batch_id=3)
+    assert rep3["metrics"]["deleted"] == 0
+    assert _rows(table.state()) == after
+
+    # counts stay exact
+    assert table.table.latest_manifest()["total_rows"] == len(after)
+
+
+def test_delete_where_range_predicate_and_zone_pruning(spark, table):
+    cur = _rows(table.state())
+    hi = sorted({r[2] for r in cur})[-1]  # max n_tok value present
+    expect_gone = {r[0] for r in cur if r[2] >= hi}
+    rep = table.delete_where([("n_tok", ">=", hi)], batch_id=1)
+    assert rep["metrics"]["deleted"] == len(expect_gone)
+    after = _rows(table.state())
+    assert {r[0] for r in after} == {r[0] for r in cur} - expect_gone
+    # sweeping a range with no survivors-to-match skips every dir
+    rep2 = table.delete_where([("n_tok", ">=", hi)], batch_id=2)
+    assert rep2["metrics"]["deleted"] == 0
+
+
 def _bucket_of(spark, key: str, nb: int) -> int:
     from georef_ar_etl_spark.sinks.snapshot_table import bucket_expr
 
