@@ -154,10 +154,11 @@ HEADLINE = [
 # q149_replica_repair_plan drive full engine replays like q24 — the CDC
 # replay benchmark measures that path; their own deltas are A/B'd in
 # BENCH/zonemap_ab.py and the maintenance-op pytest suites
-# q150_wap_audited_replay, q151_deletion_vector_replay and
-# q152_tagged_snapshot_read are likewise full engine replays (WAP gate /
-# DV masks / tag pinning layered on the q24 fold); the deletion-vector
-# read/apply trade is A/B'd in BENCH/dv_ab.py
+# q150_wap_audited_replay, q151_deletion_vector_replay,
+# q152_tagged_snapshot_read and q153_predicate_delete_replay are likewise
+# full engine replays (WAP gate / DV masks / tag pinning / predicate
+# sweep layered on the q24 fold); the deletion-vector read/apply trade
+# is A/B'd in BENCH/dv_ab.py
 
 
 def run_cdc_replay(
