@@ -209,6 +209,36 @@ class CdcEngine:
             epoch=epoch, where=where, stats=stats, tag=tag, as_of=as_of
         ).drop("bucket")
 
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only rename of an EVOLVED payload column (``ALTER TABLE
+        … RENAME COLUMN``, SnapshotTable.rename_column). The north-rule
+        contract columns (doc_id/tokens/n_tok/source) are immutable — every
+        change event addresses them by name — so only columns that arrived
+        via additive schema evolution can be renamed. Post-rename batches
+        address the column by its new name; pre-rename batches re-deliver
+        idempotently; time travel shows each epoch under its own names."""
+        contract_cols = {f.name for f in STATE_SCHEMA.fields}
+        if old in contract_cols:
+            raise SchemaContractError(
+                f"contract column {old!r} cannot be renamed — change events "
+                f"address it by name"
+            )
+        if new in contract_cols:
+            raise SchemaContractError(
+                f"{new!r} collides with a contract column name"
+            )
+        return self.table.rename_column(old, new)
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only drop of an EVOLVED payload column (``ALTER TABLE …
+        DROP COLUMN``, SnapshotTable.drop_column). Re-adding the same name
+        later binds a fresh column — dropped values never resurrect."""
+        if name in {f.name for f in STATE_SCHEMA.fields}:
+            raise SchemaContractError(
+                f"contract column {name!r} cannot be dropped"
+            )
+        return self.table.drop_column(name)
+
     def create_tag(
         self, name: str, epoch: int | None = None, description: str = ""
     ) -> dict:
@@ -660,14 +690,40 @@ class CdcEngine:
                 f"intentional backfill"
             )
 
-        # 1. schema contract + additive evolution
+        # 1. schema contract + additive evolution. Events address columns by
+        # LOGICAL name; the table's files keep their immutable PHYSICAL
+        # names (snapshot_table colmap — metadata-only rename/drop), so the
+        # contract + evolution run in logical space and the merge runs in
+        # physical space, with exactly one rename between them.
         latest_schema = T.StructType.fromJson(latest["schema"])
+        colmap = dict(latest.get("colmap") or {})  # logical → physical
+        dropped = set(latest.get("dropped_cols") or [])
+        inv = {p: l for l, p in colmap.items()}
+        logical_latest = T.StructType([
+            T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+            for f in latest_schema.fields
+        ])
         contract = validate_contract(events.schema, STATE_SCHEMA)
         if not contract.ok:
             raise SchemaContractError("; ".join(contract.errors))
-        new_schema = evolved_state_schema(latest_schema, events.schema)
+        new_logical = evolved_state_schema(logical_latest, events.schema)
+        # allocate immutable physical names for newly added logical columns:
+        # a name that ever existed physically (live under another logical
+        # name, or dropped) binds a FRESH suffixed physical column, so
+        # dropped/renamed-away data can never resurrect under a re-add
+        live_phys = {f.name for f in latest_schema.fields}
+        logical_live = {f.name for f in logical_latest.fields}
+        for f in new_logical.fields:
+            if f.name in logical_live:
+                continue
+            if f.name in dropped or f.name in live_phys or f.name in colmap.values():
+                colmap[f.name] = f"{f.name}__e{latest['epoch'] + 1}"
+        new_schema = T.StructType([
+            T.StructField(colmap.get(f.name, f.name), f.dataType, f.nullable)
+            for f in new_logical.fields
+        ])
         state_schema = latest_schema
-        payload_cols = [f.name for f in new_schema.fields]
+        payload_cols = [f.name for f in new_schema.fields]  # physical
 
         # digest covers the batch's ORIGINAL columns — alignment below adds
         # evolution columns as nulls, and a legit redelivery of an old-shape
@@ -675,7 +731,7 @@ class CdcEngine:
         orig_cols = sorted(events.columns)
         # make older-shape batches mergeable after evolution (missing → null)
         events = align_columns(events, T.StructType(
-            [f for f in new_schema.fields if f.name not in EVENT_META_COLS]
+            [f for f in new_logical.fields if f.name not in EVENT_META_COLS]
         ).add("batch_id", "long").add("seq", "long").add("op", "string"))
 
         if self.spread_input:
@@ -795,6 +851,17 @@ class CdcEngine:
                     tagged.filter(F.col("reason").isNotNull()), epoch
                 )
             valid = tagged.filter(F.col("reason").isNull()).drop("reason")
+            if any(colmap.get(f.name, f.name) != f.name for f in new_logical.fields):
+                # one rename at the logical/physical boundary: the digest and
+                # quarantine above saw the as-delivered logical columns; the
+                # merge and every file below speak physical
+                valid = valid.select(
+                    "batch_id", "seq", "op",
+                    *[
+                        F.col(f.name).alias(colmap.get(f.name, f.name))
+                        for f in new_logical.fields
+                    ],
+                )
             t_quar_done = time.time()
 
             # hot-bucket auto-route: one bucket carrying most of a large batch
@@ -914,7 +981,10 @@ class CdcEngine:
                     deduped = latest_per_key(valid, strict=self.strict_dup)
                 normalized = with_normalized_tokens(deduped, impl=self.normalize_impl)
                 state_touched = align_columns(
-                    self.table.read_state(buckets=touched, manifest=latest), new_schema
+                    self.table.read_state(
+                        buckets=touched, manifest=latest, physical=True
+                    ),
+                    new_schema,
                 )
                 merged = merge_upsert(state_touched, normalized, payload_cols)
                 m_obs = Observation(f"merge-{batch_id}")
@@ -952,14 +1022,15 @@ class CdcEngine:
                 "merge_modes": merge_modes,
                 **({"merge_route": merge_route} if merge_route else {}),
                 "bucket_lineage": bucket_lineage,
+                # reported under LOGICAL names (what the batch delivered)
                 "schema_added_columns": [
-                    f.name for f in new_schema.fields
-                    if f.name not in {x.name for x in state_schema.fields}
+                    f.name for f in new_logical.fields
+                    if f.name not in logical_live
                 ],
                 "schema_widened_columns": sorted(
-                    f.name for f in new_schema.fields
+                    f.name for f in new_logical.fields
                     for old in (
-                        {x.name: x for x in state_schema.fields}.get(f.name),
+                        {x.name: x for x in logical_latest.fields}.get(f.name),
                     )
                     if old is not None
                     and old.dataType.simpleString() != f.dataType.simpleString()
@@ -987,6 +1058,7 @@ class CdcEngine:
                 written_counts=written_counts,
                 written_deltas=written_deltas,
                 staged=stage,
+                colmap=colmap,
             )
             return manifest
         finally:

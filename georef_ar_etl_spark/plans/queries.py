@@ -6958,3 +6958,74 @@ def q153(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# --------------- q154: METADATA-ONLY RENAME/DROP REPLAY ----------------------
+# Schema evolution beyond additive: batch 0 lands an evolved src_meta
+# column, a METADATA-ONLY rename flips it to origin_meta (no data file
+# moves — Iceberg field-ID mapping, snapshot_table.colmap), batch 1
+# addresses the NEW name and must bind to the SAME physical column, then
+# the column is DROPPED and batches 12-13 (the original 2-3, id-shifted)
+# RE-ADD the ORIGINAL spelling src_meta — whose physical name is retired
+# in dropped_cols, so the engine must bind a FRESH suffixed physical
+# column: any resurrection of pre-drop values surfaces as extra non-null
+# src_meta cells and breaks the hash. The oracle folds the log with
+# src_meta defined ONLY by the post-drop batches (survivors NULL).
+_Q154_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("01", "batch_id <= 1")},
+    {_q24_state_ctes("23", "batch_id >= 2")},
+    final AS (
+      SELECT s.doc_id, s.tokens, s.n_tok, s.source,
+             NULL::varchar AS src_meta
+      FROM state01 s
+      WHERE NOT EXISTS (SELECT 1 FROM latest23 l WHERE l.doc_id = s.doc_id)
+      UNION ALL
+      SELECT doc_id, tokens, n_tok, source,
+             'n' || substr(doc_id, 11, 3) AS src_meta
+      FROM ups23)
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok,
+           source, src_meta
+    FROM final
+"""
+
+
+@query("q154_rename_drop_replay", _Q154_SQL)
+def q154(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("rename_drop_q154", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    ev0 = events.filter(F.col("batch_id") == 0).withColumn(
+        "src_meta", F.concat(F.lit("m"), F.substring("doc_id", 12, 2))
+    )
+    m0 = eng.apply_batch(ev0, 0)
+    if m0["metrics"]["schema_added_columns"] != ["src_meta"]:
+        raise RuntimeError("q154 expected src_meta to evolve in")
+    eng.rename_column("src_meta", "origin_meta")
+    ev1 = events.filter(F.col("batch_id") == 1).withColumn(
+        "origin_meta", F.concat(F.lit("r"), F.substring("doc_id", 13, 1))
+    )
+    m1 = eng.apply_batch(ev1, 1)
+    if m1["metrics"]["schema_added_columns"]:
+        raise RuntimeError("q154: post-rename batch must bind, not add")
+    eng.drop_column("origin_meta")
+    late = (
+        events.filter(F.col("batch_id") >= 2)
+        .withColumn("batch_id", F.col("batch_id") + 10)
+        .withColumn(
+            "src_meta", F.concat(F.lit("n"), F.substring("doc_id", 11, 3))
+        )
+    )
+    eng.replay(late, batch_ids=[12, 13])
+    head = eng.table.latest_manifest()
+    if not head["colmap"].get("src_meta", "").startswith("src_meta__e"):
+        raise RuntimeError("q154: re-added column must bind a fresh physical")
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+        "src_meta",
+    )

@@ -383,6 +383,135 @@ class SnapshotTable:
             )
         return best
 
+    # ------------------------------------------- logical ↔ physical columns
+    # Metadata-only column rename/drop (the Iceberg field-ID analogue).
+    # PHYSICAL column names are immutable once written to parquet; the
+    # manifest's sparse ``colmap`` binds each non-identity LOGICAL name to
+    # its physical column, and ``dropped_cols`` records physical names that
+    # were retired (so a re-added logical name of the same spelling gets a
+    # FRESH physical column — dropped data can never resurrect, the classic
+    # name-based-mapping trap Iceberg's field IDs exist to prevent).
+    # Internal machinery (merges, deltas, DVs, zone maps, compaction)
+    # operates on physical names only; the public read surfaces project
+    # physical→logical as their last step, under the colmap of whichever
+    # manifest they read — so time travel shows each epoch under the column
+    # names it had then (schema-as-of).
+
+    @staticmethod
+    def colmap(manifest: dict) -> dict[str, str]:
+        """Sparse logical→physical mapping; empty ⇒ logical == physical."""
+        return dict(manifest.get("colmap") or {})
+
+    def _where_physical(self, where, manifest: dict):
+        cm = self.colmap(manifest)
+        if not where or not cm:
+            return where
+        return [(cm.get(c, c), op, lit) for (c, op, lit) in where]
+
+    def _to_logical(self, df: DataFrame, manifest: dict) -> DataFrame:
+        cm = self.colmap(manifest)
+        if not cm:
+            return df
+        return df.withColumnsRenamed({p: l for l, p in cm.items()})
+
+    def logical_schema(self, manifest: dict | None = None) -> T.StructType:
+        """The manifest's schema under its LOGICAL column names."""
+        m = manifest or self.latest_manifest()
+        inv = {p: l for l, p in self.colmap(m).items()}
+        phys = T.StructType.fromJson(m["schema"])
+        return T.StructType(
+            [
+                T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+                for f in phys.fields
+            ]
+        )
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column rename (``ALTER TABLE … RENAME COLUMN``):
+        commits a manifest whose colmap binds the new logical name to the
+        column's immutable physical name. No data file moves; pre-rename
+        batches re-deliver idempotently (the content digest hashes the
+        as-delivered logical columns, which the events still carry); reads
+        of OLD epochs keep showing the old name. The key column (payload
+        field 0) is the bucket/merge identity and cannot be renamed."""
+        m = self.latest_manifest()
+        if m is None:
+            raise RuntimeError("bootstrap the table before renaming columns")
+        cm = self.colmap(m)
+        inv = {p: l for l, p in cm.items()}
+        phys_schema = T.StructType.fromJson(m["schema"])
+        logical_names = [inv.get(f.name, f.name) for f in phys_schema.fields]
+        if old not in logical_names:
+            raise KeyError(f"no such column: {old!r} (have {logical_names})")
+        if new in logical_names:
+            raise ValueError(f"column {new!r} already exists")
+        if old == logical_names[0]:
+            raise ValueError(
+                f"key column {old!r} cannot be renamed — it is the bucket "
+                f"and merge identity every change event addresses"
+            )
+        if not new.isidentifier():
+            raise ValueError(f"invalid column name: {new!r}")
+        phys = cm.pop(old, old)
+        if new != phys:
+            cm[new] = phys
+        epoch = m["epoch"] + 1
+        return self.write_manifest(
+            epoch=epoch,
+            schema=phys_schema,
+            written={},
+            touched_buckets=[],
+            batch_id=None,
+            batch_digest=f"rename:{old}->{new}:{epoch}",
+            metrics={
+                "kind": "rename_column",
+                "from": old,
+                "to": new,
+                "physical": phys,
+            },
+            written_counts={},
+            colmap=cm,
+        )
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only column drop (``ALTER TABLE … DROP COLUMN``): the
+        physical column leaves the live schema — reads stop projecting it
+        instantly, merge/compaction rewrites physically shed it over time
+        (old untouched files keep the bytes until rewritten; explicit-schema
+        scans just never read them) — and its physical name is retired in
+        ``dropped_cols`` so a later re-add of the same logical name binds a
+        fresh physical column instead of resurrecting dropped values. Time
+        travel to a pre-drop epoch still shows the column."""
+        m = self.latest_manifest()
+        if m is None:
+            raise RuntimeError("bootstrap the table before dropping columns")
+        cm = self.colmap(m)
+        inv = {p: l for l, p in cm.items()}
+        phys_schema = T.StructType.fromJson(m["schema"])
+        logical_names = [inv.get(f.name, f.name) for f in phys_schema.fields]
+        if name not in logical_names:
+            raise KeyError(f"no such column: {name!r} (have {logical_names})")
+        if name == logical_names[0]:
+            raise ValueError(f"key column {name!r} cannot be dropped")
+        phys = cm.pop(name, name)
+        new_schema = T.StructType(
+            [f for f in phys_schema.fields if f.name != phys]
+        )
+        dropped = list(m.get("dropped_cols") or []) + [phys]
+        epoch = m["epoch"] + 1
+        return self.write_manifest(
+            epoch=epoch,
+            schema=new_schema,
+            written={},
+            touched_buckets=[],
+            batch_id=None,
+            batch_digest=f"drop:{name}:{epoch}",
+            metrics={"kind": "drop_column", "column": name, "physical": phys},
+            written_counts={},
+            colmap=cm,
+            dropped_cols=dropped,
+        )
+
     def _expired_path(self) -> str:
         return os.path.join(self.root, MANIFEST_DIR, "expired-batches.json")
 
@@ -600,6 +729,11 @@ class SnapshotTable:
         m = self.latest_manifest()
         if m is None:
             return None
+        if cluster_by:
+            # callers name cluster columns logically; the rewrite sorts the
+            # physical frame
+            cm = self.colmap(m)
+            cluster_by = [cm.get(c, c) for c in cluster_by]
         deltas_map = m.get("bucket_deltas") or {}
         dvs_map = m.get("bucket_dvs") or {}
         if cluster_by and min_deltas == 0:
@@ -630,7 +764,7 @@ class SnapshotTable:
         t0 = time.time()
         written = self.write_data(
             epoch,
-            self.read_state(buckets=dirty, manifest=m),
+            self.read_state(buckets=dirty, manifest=m, physical=True),
             cluster_by=cluster_by,
             rows_per_file=rows_per_file,
             only_buckets=dirty,
@@ -681,7 +815,7 @@ class SnapshotTable:
         epoch = m["epoch"] + 1
         t0 = time.time()
         df = (
-            self.read_state(manifest=m)
+            self.read_state(manifest=m, physical=True)
             .drop("bucket")
             .withColumn("bucket", bucket_expr(F.col("doc_id"), new_n_buckets))
         )
@@ -1011,6 +1145,9 @@ class SnapshotTable:
         t0 = time.time()
         epoch = m["epoch"] + 1
         epoch_dir = self.epoch_dir(epoch)
+        # the digest above hashes the LOGICAL predicate (what redelivery
+        # sends); files/zone maps speak physical — map exactly once here
+        where = self._where_physical(where, m)
 
         # plan: classify candidate buckets, zone-map-pruning chain-free
         # dirs exactly like read_state(where=)
@@ -1130,7 +1267,7 @@ class SnapshotTable:
         written_deltas: dict[int, list[str]] = {}
         if chain_buckets:
             matching = self.read_state(
-                buckets=chain_buckets, manifest=m, where=where
+                buckets=chain_buckets, manifest=m, where=where, physical=True
             ).select(key_col, "bucket")
             tomb_counts = self._write_tombstone_links_distributed(
                 matching, m, schema, epoch, written_deltas
@@ -1598,8 +1735,15 @@ class SnapshotTable:
         stats: dict | None = None,
         tag: str | None = None,
         as_of: float | None = None,
+        physical: bool = False,
     ) -> DataFrame:
         """State as a DataFrame (payload columns + ``bucket``).
+
+        Columns come back under the manifest's LOGICAL names (``where``
+        predicates are logical too); ``physical=True`` skips the rename —
+        the contract for internal rewrite paths (compaction, rescale,
+        delete_where, the join merge), which must read and write the
+        immutable physical layout.
 
         ``buckets`` prunes the read to the listed buckets — partition pruning
         on the change batch's key range, the Spark form of the reference's
@@ -1642,6 +1786,13 @@ class SnapshotTable:
             zonemap_files_skipped=0,
         )
         m = manifest or self.latest_manifest()
+        # zone maps, parquet files and the residual filter all speak
+        # PHYSICAL names — map the user's logical predicate once, up front.
+        # physical=True callers (compaction, delete_where) already mapped:
+        # mapping twice would mis-bind when a rename chain reuses a retired
+        # logical name as another column's physical name
+        if not physical:
+            where = self._where_physical(where, m)
         schema = T.StructType.fromJson(m["schema"])
         deltas_map = m.get("bucket_deltas") or {}
         dvs_map = m.get("bucket_dvs") or {}
@@ -1737,7 +1888,8 @@ class SnapshotTable:
             parts.append(self._read_mor(mor_specs, schema))
         if not parts:
             empty = self.spark.createDataFrame([], schema)
-            return empty.withColumn("bucket", F.lit(None).cast("int"))
+            empty = empty.withColumn("bucket", F.lit(None).cast("int"))
+            return empty if physical else self._to_logical(empty, m)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -1745,7 +1897,7 @@ class SnapshotTable:
             # exact semantics regardless of what pruned; on clean buckets
             # Catalyst additionally pushes this into the parquet scan
             df = df.filter(residual_filter(where))
-        return df
+        return df if physical else self._to_logical(df, m)
 
     def _dir_files(self, rel_dir: str) -> list[str]:
         full = os.path.join(self.root, rel_dir)
@@ -1881,7 +2033,9 @@ class SnapshotTable:
         )
         if not keys:
             empty = self.spark.createDataFrame([], schema)
-            return empty.withColumn("bucket", F.lit(None).cast("int"))
+            return self._to_logical(
+                empty.withColumn("bucket", F.lit(None).cast("int")), m
+            )
 
         from georef_ar_etl_spark.sinks.mor import (
             read_bloom_sidecar, sidecar_might_contain,
@@ -1958,14 +2112,16 @@ class SnapshotTable:
             parts.append(self._read_mor(mor_specs, schema, bucket_keys=mor_keys))
         if not parts:
             empty = self.spark.createDataFrame([], schema)
-            return empty.withColumn("bucket", F.lit(None).cast("int"))
+            return self._to_logical(
+                empty.withColumn("bucket", F.lit(None).cast("int")), m
+            )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         # the isin lands as a PushedFilter on the clean-bucket and
         # DV-masked scans; on the MOR side it is already enforced inside
         # resolve_live
-        return df.filter(F.col(key_col).isin(keys))
+        return self._to_logical(df.filter(F.col(key_col).isin(keys)), m)
 
     # ------------------------------------------------------------- changelog
     def read_changes(
@@ -2198,7 +2354,9 @@ class SnapshotTable:
             "nb array<string>, nc array<string>, ob array<string>, "
             "oc array<string>, ndv string, odv string",
         ).repartition(len(specs))
-        return spec_df.mapInPandas(emit, out_schema)
+        # payloads come back under the TO-EPOCH manifest's logical names
+        # (consistent with the schema alignment above: one frame, one view)
+        return self._to_logical(spec_df.mapInPandas(emit, out_schema), m_for(to_epoch))
 
     def bucket_file_paths(
         self, buckets: list[int], manifest: dict | None = None
@@ -2523,6 +2681,8 @@ class SnapshotTable:
         written_dvs: dict[int, str] | None = None,
         dv_changes: str | None = None,
         max_commit_retries: int = 0,
+        colmap: dict[str, str] | None = None,
+        dropped_cols: list[str] | None = None,
     ) -> dict:
         """Atomically publish the manifest — THE commit point. Idempotent:
         same epoch + same digest returns the existing manifest.
@@ -2578,7 +2738,7 @@ class SnapshotTable:
                     batch_digest, {**metrics, "rebased_from_epoch": epoch},
                     quarantine_path, quarantine_rows, written_counts,
                     written_deltas, rescale_to, staged, written_dvs,
-                    dv_changes, max_commit_retries - 1,
+                    dv_changes, max_commit_retries - 1, colmap, dropped_cols,
                 )
             raise ConflictError(
                 f"epoch {epoch} already committed with a different digest"
@@ -2628,6 +2788,13 @@ class SnapshotTable:
         for b, rel in (written_dvs or {}).items():
             bucket_dvs[str(b)] = rel
 
+        # logical↔physical mapping inherits unless this commit changes it
+        # (rename/drop, or apply_batch allocating a fresh physical name)
+        if colmap is None:
+            colmap = (parent or {}).get("colmap") or {}
+        if dropped_cols is None:
+            dropped_cols = (parent or {}).get("dropped_cols") or []
+
         manifest = {
             "epoch": epoch,
             "parent": parent["epoch"] if parent else None,
@@ -2647,6 +2814,10 @@ class SnapshotTable:
             "metrics": metrics,
             "committed_unix": time.time(),
         }
+        if colmap:
+            manifest["colmap"] = colmap
+        if dropped_cols:
+            manifest["dropped_cols"] = dropped_cols
         if staged:
             manifest["staged"] = True
             existing = self._link_manifest(self._staged_path(epoch), manifest)
@@ -2672,7 +2843,7 @@ class SnapshotTable:
                     batch_digest, {**metrics, "rebased_from_epoch": epoch},
                     quarantine_path, quarantine_rows, written_counts,
                     written_deltas, rescale_to, staged, written_dvs,
-                    dv_changes, max_commit_retries - 1,
+                    dv_changes, max_commit_retries - 1, colmap, dropped_cols,
                 )
             raise ConflictError(
                 f"epoch {epoch} was committed concurrently with a different "
@@ -2714,7 +2885,7 @@ class SnapshotTable:
                 continue
             head_epoch = max(head_epoch, m["epoch"])
             kind = (m.get("metrics") or {}).get("kind")
-            if kind in ("rescale", "rollback"):
+            if kind in ("rescale", "rollback", "rename_column", "drop_column"):
                 raise ConflictError(
                     f"cannot rebase commit over a {kind} at epoch "
                     f"{m['epoch']} — re-read the table and re-derive"
