@@ -14,10 +14,25 @@ from TWO layers, which makes redelivery safe in every failure interleaving:
 Ordering: within one streaming micro-batch, logical change batches are
 applied in ``batch_id`` order; the landing producer must not split one
 ``batch_id`` across files read by different triggers (one file per
-batch_id — the natural WAL-segment layout).
+batch_id — the natural WAL-segment layout). ACROSS triggers, file
+DISCOVERY order is not delivery order — same-mtime ties under
+``maxFilesPerTrigger`` and object-store listing inconsistency can surface
+segment N+1 a trigger before segment N — so both front-ends route every
+trigger through a persistent REORDER BUFFER (``_apply_batches_in_order``):
+contiguity is enforced upward, batches ahead of a gap spill to a
+generation-versioned parquet dir under the checkpoint and retry on every
+subsequent trigger until the gap fills. Crash-safe by layering: the spill
+generation is written before old ones are deleted, and a re-applied
+batch is a verified no-op, so any crash interleaving at worst re-verifies.
+A gap that never fills fails LOUDLY after ``max_stall_triggers`` (a
+silently-buffering tail that never advances is an outage, not a wait).
 """
 
 from __future__ import annotations
+
+import json
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +67,110 @@ def _refresh_consumers(engine: CdcEngine, consumers) -> None:
             c.refresh(engine.changes(last, head), head)
 
 
+def _read_pending(spark: SparkSession, pending_dir: str):
+    """Newest COMPLETE spill generation (marker present) → (df, gen, meta).
+    Older/torn generations are ignored here and swept after the next write."""
+    if not os.path.isdir(pending_dir):
+        return None, 0, {}
+    gens = sorted(
+        int(n.split("-")[1])
+        for n in os.listdir(pending_dir)
+        if n.startswith("gen-")
+        and os.path.exists(os.path.join(pending_dir, n, "_META.json"))
+    )
+    if not gens:
+        return None, 0, {}
+    g = gens[-1]
+    gdir = os.path.join(pending_dir, f"gen-{g}")
+    with open(os.path.join(gdir, "_META.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(gdir), g, meta
+
+
+def _apply_batches_in_order(
+    spark: SparkSession,
+    engine: CdcEngine,
+    df: DataFrame,
+    id_col: str,
+    pending_dir: str,
+    apply_fn,
+    max_stall_triggers: int = 1000,
+) -> None:
+    """Apply one trigger's logical change batches in ``id_col`` order with a
+    persistent reorder buffer (see the module doc). ``apply_fn(sub_df, b)``
+    does the per-batch work. Batches at or below the committed watermark
+    pass straight to the engine (idempotent redelivery verification / the
+    out-of-order refusal, both unchanged); the batch extending the
+    watermark and every contiguous successor apply; batches AHEAD of a gap
+    spill and retry next trigger.
+
+    Crash-safety layering: spill gen N+1 is fully written (files, then the
+    _META.json marker) BEFORE gens ≤ N are deleted, and before Spark's
+    checkpoint advances; a batch present in both a redelivered trigger file
+    and an old spill is taken from the trigger file (anti-join), so no
+    interleaving duplicates rows into a digest."""
+    pend, gen, meta = _read_pending(spark, pending_dir)
+    combined = df
+    if pend is not None:
+        # the redelivered trigger file wins over a stale spill of the same
+        # batch — unioning both would double the rows inside one digest
+        pend = pend.join(
+            df.select(id_col).distinct(), on=id_col, how="left_anti"
+        )
+        combined = df.unionByName(pend, allowMissingColumns=True)
+    committed = engine.table.committed_batches()
+    hi = max(committed) if committed else -1
+    ids = [
+        r[id_col]
+        for r in combined.select(id_col).distinct().orderBy(id_col).collect()
+    ]
+    nxt = hi + 1
+    if hi < 0:
+        non_null = [int(b) for b in ids if b is not None]
+        if non_null:
+            # no committed anchor yet: the stream's first VISIBLE id starts
+            # the sequence (WAL batch ids need not be 0-based). If the true
+            # first segment is still in flight when a later one surfaces
+            # alone in the first trigger, that ambiguity is unresolvable
+            # without producer metadata — the engine's replay-order guard
+            # then fails loudly rather than reorder silently.
+            nxt = min(non_null)
+    deferred: list[int] = []
+    for b in ids:
+        if b is None or int(b) <= hi:
+            apply_fn(combined.filter(F.col(id_col) == b), b)
+        elif int(b) == nxt:
+            apply_fn(combined.filter(F.col(id_col) == b), int(b))
+            nxt = int(b) + 1
+        else:
+            deferred.append(int(b))
+    if deferred:
+        stall = (
+            meta.get("stall", 0) + 1 if meta.get("waiting_for") == nxt else 0
+        )
+        if stall >= max_stall_triggers:
+            raise RuntimeError(
+                f"reorder buffer stalled: batches {deferred} have waited "
+                f"{stall} triggers for batch {nxt}, which never arrived — "
+                f"the WAL segment is lost or the producer skipped an id; "
+                f"re-ship it, or apply_batch(..., allow_out_of_order=True) "
+                f"deliberately and clear {pending_dir}"
+            )
+        new_gen = os.path.join(pending_dir, f"gen-{gen + 1}")
+        combined.filter(F.col(id_col).isin(deferred)).write.mode(
+            "overwrite"
+        ).parquet(new_gen)
+        with open(os.path.join(new_gen, "_META.json"), "w") as f:
+            json.dump(
+                {"deferred": deferred, "waiting_for": nxt, "stall": stall}, f
+            )
+    # sweep superseded generations (and everything, once nothing is deferred)
+    if os.path.isdir(pending_dir):
+        for n in os.listdir(pending_dir):
+            if n.startswith("gen-") and int(n.split("-")[1]) <= gen:
+                shutil.rmtree(os.path.join(pending_dir, n), ignore_errors=True)
+
+
 def stream_apply(
     spark: SparkSession,
     engine: CdcEngine,
@@ -61,6 +180,7 @@ def stream_apply(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     consumers=(),
+    max_stall_triggers: int = 1000,
 ):
     """Consume event parquet files from ``events_dir`` and apply them.
 
@@ -86,13 +206,14 @@ def stream_apply(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_dir)
 
+    pending_dir = os.path.join(checkpoint_dir, "reorder-pending")
+
     def handle(df: DataFrame, _epoch_id: int) -> None:
-        batch_ids = [
-            r["batch_id"]
-            for r in df.select("batch_id").distinct().orderBy("batch_id").collect()
-        ]
-        for b in batch_ids:
-            engine.apply_batch(df.filter(F.col("batch_id") == b), b)
+        _apply_batches_in_order(
+            spark, engine, df, "batch_id", pending_dir,
+            lambda sub, b: engine.apply_batch(sub, b),
+            max_stall_triggers=max_stall_triggers,
+        )
         _refresh_consumers(engine, consumers)
 
     writer = stream.writeStream.foreachBatch(handle).option(
@@ -115,6 +236,7 @@ def stream_apply_envelopes(
     consumers=(),
     malformed_dir: str | None = None,
     extra_cols=None,
+    max_stall_triggers: int = 1000,
 ):
     """``stream_apply`` for a Debezium-envelope NDJSON wire directory —
     the streaming twin of ``sources.cdc_envelope.parse_debezium``: tail
@@ -176,61 +298,63 @@ def stream_apply_envelopes(
         .alias("_wire_batch"),
     )
 
+    pending_dir = os.path.join(checkpoint_dir, "reorder-pending")
+
     def handle(df: DataFrame, _epoch_id: int) -> None:
-        batch_ids = [
-            r["_wire_batch"]
-            for r in df.select("_wire_batch").distinct().orderBy("_wire_batch").collect()
-        ]
-        if any(b is None for b in batch_ids):
+        _apply_batches_in_order(
+            spark, engine, df, "_wire_batch", pending_dir,
+            apply_segment, max_stall_triggers=max_stall_triggers,
+        )
+        _refresh_consumers(engine, consumers)
+
+    def apply_segment(seg: DataFrame, b) -> None:
+        if b is None:
             raise ValueError(
                 f"wire file in {wire_dir} has no trailing integer batch id "
                 f"in its name — the segment naming contract requires one"
             )
-        for b in batch_ids:
-            seg = df.filter(F.col("_wire_batch") == b)
-            ddl_lines = [
-                r["value"]
-                for r in seg.filter(schema_change_filter()).select("value").collect()
-            ]
-            if ddl_lines:
-                full = columns_from_schema_changes(ddl_lines)
-                for name, typ in full.items():
-                    have = base_types.get(name) or known.get(name)
-                    # simpleString: compare value shape, not containsNull /
-                    # nullable flags (the wire can't express those anyway)
-                    if have is not None and have.simpleString() != typ.simpleString():
-                        raise ValueError(
-                            f"wire schema change re-types column {name!r} "
-                            f"from {have} to {typ} — not additive; widen "
-                            f"deliberately via the engine's schema path"
-                        )
-                    if name not in base_types:
-                        known[name] = typ
-            # coalesce: NOT NULL is NULL — a null/garbled value must stay on
-            # the data path (where it quarantines), not vanish in the filter
-            raw = seg.filter(
-                ~F.coalesce(schema_change_filter(), F.lit(False))
-            ).select("value")
-            if ddl_lines and raw.isEmpty():
-                # pure-DDL segment (a migration with no data): nothing to
-                # apply — the widened decode schema is the whole effect
-                continue
-            events, malformed = parse_debezium(
-                raw, batch_id=int(b), extra_cols=known
-            )
-            if malformed_dir is not None:
-                malformed.withColumn(
-                    "batch_id", F.lit(int(b)).cast("long")
-                ).write.mode("append").parquet(malformed_dir)
-            else:
-                n_bad = malformed.count()
-                if n_bad:
+        ddl_lines = [
+            r["value"]
+            for r in seg.filter(schema_change_filter()).select("value").collect()
+        ]
+        if ddl_lines:
+            full = columns_from_schema_changes(ddl_lines)
+            for name, typ in full.items():
+                have = base_types.get(name) or known.get(name)
+                # simpleString: compare value shape, not containsNull /
+                # nullable flags (the wire can't express those anyway)
+                if have is not None and have.simpleString() != typ.simpleString():
                     raise ValueError(
-                        f"{n_bad} malformed wire lines in batch {b} and no "
-                        f"malformed_dir configured — refusing to drop them"
+                        f"wire schema change re-types column {name!r} "
+                        f"from {have} to {typ} — not additive; widen "
+                        f"deliberately via the engine's schema path"
                     )
-            engine.apply_batch(events, int(b))
-        _refresh_consumers(engine, consumers)
+                if name not in base_types:
+                    known[name] = typ
+        # coalesce: NOT NULL is NULL — a null/garbled value must stay on
+        # the data path (where it quarantines), not vanish in the filter
+        raw = seg.filter(
+            ~F.coalesce(schema_change_filter(), F.lit(False))
+        ).select("value")
+        if ddl_lines and raw.isEmpty():
+            # pure-DDL segment (a migration with no data): nothing to
+            # apply — the widened decode schema is the whole effect
+            return
+        events, malformed = parse_debezium(
+            raw, batch_id=int(b), extra_cols=known
+        )
+        if malformed_dir is not None:
+            malformed.withColumn(
+                "batch_id", F.lit(int(b)).cast("long")
+            ).write.mode("append").parquet(malformed_dir)
+        else:
+            n_bad = malformed.count()
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} malformed wire lines in batch {b} and no "
+                    f"malformed_dir configured — refusing to drop them"
+                )
+        engine.apply_batch(events, int(b))
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
