@@ -155,10 +155,11 @@ HEADLINE = [
 # replay benchmark measures that path; their own deltas are A/B'd in
 # BENCH/zonemap_ab.py and the maintenance-op pytest suites
 # q150_wap_audited_replay, q151_deletion_vector_replay,
-# q152_tagged_snapshot_read and q153_predicate_delete_replay are likewise
+# q152_tagged_snapshot_read, q153_predicate_delete_replay,
+# q154_rename_drop_replay and q155_predicate_update_replay are likewise
 # full engine replays (WAP gate / DV masks / tag pinning / predicate
-# sweep layered on the q24 fold); the deletion-vector read/apply trade
-# is A/B'd in BENCH/dv_ab.py
+# sweep-or-update / rename-drop binding layered on the q24 fold); the
+# deletion-vector read/apply trade is A/B'd in BENCH/dv_ab.py
 
 
 def run_cdc_replay(

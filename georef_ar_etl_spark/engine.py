@@ -318,6 +318,36 @@ class CdcEngine:
             where, batch_id, max_commit_retries=max_commit_retries
         )
 
+    def update_where(
+        self,
+        set_exprs: dict,
+        where: list,
+        batch_id: int,
+        max_commit_retries: int = 0,
+    ) -> dict:
+        """Predicate update (``UPDATE t SET col = expr WHERE …``) — the
+        row-level UPDATE companion of ``delete_where``: matching LIVE rows
+        are read through the zone-map-pruned DV/chain-aware scan and land
+        as one MOR upsert delta link per touched bucket (no driver-side row
+        collection; counts unchanged). Standard SQL UPDATE semantics (SET
+        expressions see the OLD row). Engine-level derived invariant: when
+        ``tokens`` is SET and ``n_tok`` isn't, ``n_tok`` is re-derived from
+        the POST-update tokens so the n_tok == size(tokens) contract the
+        ingest normalization maintains (operators/copart_merge.py) survives
+        updates too. Exactly-once via ``batch_id`` + (predicate, SET)
+        digest; changelog consumers see each updated key exactly once. See
+        SnapshotTable.update_where for the full cost model."""
+        derive = None
+        if "tokens" in set_exprs and "n_tok" not in set_exprs:
+            derive = {"n_tok": "size(tokens)"}
+        return self.table.update_where(
+            set_exprs,
+            where,
+            batch_id,
+            derive=derive,
+            max_commit_retries=max_commit_retries,
+        )
+
     def purge_keys(self, keys: list, batch_id: int) -> dict:
         """HARD right-to-be-forgotten erasure — Delta Lake's documented GDPR
         recipe (DELETE + VACUUM) on this table, in one maintenance call:

@@ -7029,3 +7029,63 @@ def q154(spark, sf_dir):
         "source",
         "src_meta",
     )
+
+
+# --------------- q155: PREDICATE UPDATE (ROW-LEVEL UPDATE) -------------------
+# UPDATE t SET tokens = tokens || [7,7], source = 'swept' WHERE
+# source='click', dropped mid-replay: batches 0-1 fold (MOR chains on some
+# buckets, clean bases on others — the update's read side composes the
+# DV/chain-aware resolve with zone-map pruning), the update lands as one
+# upsert delta link per touched bucket with the engine re-deriving
+# n_tok = size(tokens) from the POST-update array, then batches 12-13
+# (the original 2-3, id-shifted) merge over the updated state — a later
+# event on an updated doc must win (the update is an event in the log,
+# not a standing rule). The oracle folds 0-1, applies the SET to matching
+# rows, overlays the latest valid event of 2-3.
+_Q155_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("01", "batch_id <= 1")},
+    {_q24_state_ctes("23", "batch_id >= 2")},
+    upd AS (
+      SELECT doc_id,
+             CASE WHEN source = 'click'
+                  THEN tokens || [7, 7]::INT[] ELSE tokens END AS tokens,
+             CASE WHEN source = 'click'
+                  THEN (n_tok + 2)::INT ELSE n_tok END AS n_tok,
+             CASE WHEN source = 'click' THEN 'swept' ELSE source END AS source
+      FROM state01),
+    final AS (
+      SELECT u.doc_id, u.tokens, u.n_tok, u.source FROM upd u
+      WHERE NOT EXISTS (SELECT 1 FROM latest23 l WHERE l.doc_id = u.doc_id)
+      UNION ALL
+      SELECT doc_id, tokens, n_tok, source FROM ups23)
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM final
+"""
+
+
+@query("q155_predicate_update_replay", _Q155_SQL)
+def q155(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("update_where_q155", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    rep = eng.update_where(
+        {"tokens": "concat(tokens, array(7, 7))", "source": "'swept'"},
+        [("source", "=", "click")],
+        batch_id=5,
+    )
+    if not rep["metrics"]["updated"]:
+        raise RuntimeError("q155 expected the update to touch rows")
+    late = events.filter(F.col("batch_id") >= 2).withColumn(
+        "batch_id", F.col("batch_id") + 10
+    )
+    eng.replay(late, batch_ids=[12, 13])
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

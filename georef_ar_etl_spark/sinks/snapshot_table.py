@@ -1313,6 +1313,191 @@ class SnapshotTable:
             max_commit_retries=max_commit_retries,
         )
 
+    def update_where(
+        self,
+        set_exprs: dict,
+        where: list,
+        batch_id: int,
+        derive: dict | None = None,
+        max_commit_retries: int = 0,
+    ) -> dict:
+        """Predicate update (``UPDATE t SET col = expr WHERE …`` — Delta/
+        Iceberg row-level UPDATE, the companion of ``delete_where``).
+        ``set_exprs`` maps LOGICAL column names to Spark SQL expression
+        strings; standard SQL UPDATE semantics: every SET expression is
+        evaluated against the OLD row (``SET a = b, b = a`` swaps).
+        ``derive`` (optional) is a second map applied AFTER the SET, each
+        expression seeing the post-SET row — the hook engine-level derived
+        invariants (``n_tok = size(tokens)``) ride on.
+
+        Scale plan: the matching LIVE rows come from the zone-map-pruned,
+        DV/chain-aware ``read_state(where=…)`` — dirs and files whose
+        column bounds can't match never launch — and the updated rows land
+        as ONE merge-on-read upsert delta link per touched bucket, written
+        inside the tasks (no driver-side row collection, so an UPDATE
+        matching millions of rows stays a cluster-side plan; row counts are
+        unchanged so no count recompute either). Changelog consumers
+        receive every effectively updated key exactly once as a normal
+        delta-link UPDATE. Exactly-once via ``batch_id`` + a digest of
+        (predicate, SET map); re-delivery is a verified no-op; matching
+        nothing commits a no-op epoch. The key column is the bucket/merge
+        identity and cannot be SET (delete + insert instead). Expressions
+        are applied verbatim (cast to the column's declared type) — a
+        caller that wants the engine's full ingest normalization routes a
+        change batch through apply_batch.
+        """
+        import hashlib
+
+        validate_where(where)
+        if not set_exprs:
+            raise ValueError("update_where needs at least one SET expression")
+        m = self.latest_manifest()
+        if m is None:
+            raise RuntimeError("bootstrap the table before updating rows")
+        schema = T.StructType.fromJson(m["schema"])
+        cm = self.colmap(m)
+        inv = {p: l for l, p in cm.items()}
+        key_phys = schema.fields[0].name
+        key_col = inv.get(key_phys, key_phys)
+        logical_fields = {inv.get(f.name, f.name): f for f in schema.fields}
+        for c in list(set_exprs) + list(derive or {}):
+            if c == key_col:
+                raise ValueError(
+                    f"cannot SET the key column {c!r} — the key is the "
+                    "bucket/merge identity; delete + insert instead"
+                )
+            if c not in logical_fields:
+                raise KeyError(
+                    f"SET column {c!r} not in the table schema "
+                    f"{sorted(logical_fields)}"
+                )
+        canon = json.dumps(
+            {
+                "where": [[c, o, v] for c, o, v in where],
+                "set": {c: set_exprs[c] for c in sorted(set_exprs)},
+                "derive": {c: (derive or {})[c] for c in sorted(derive or {})},
+            },
+            sort_keys=True,
+            default=str,
+        )
+        digest = "updwhere:" + hashlib.md5(canon.encode()).hexdigest()
+        committed = self.committed_batches()
+        if batch_id in committed:
+            if committed[batch_id]["batch_digest"] != digest:
+                raise ConflictError(
+                    f"batch {batch_id} re-delivered with different content"
+                )
+            return committed[batch_id]
+        t0 = time.time()
+        epoch = m["epoch"] + 1
+        # matching LIVE rows under LOGICAL names (SET expressions are
+        # written against the user's schema) — zone-map pruned, DV/chain
+        # aware, so dead rows can never be resurrected by an update
+        zstats: dict = {}
+        matching = self.read_state(manifest=m, where=where, stats=zstats)
+        updated = matching.select(
+            *[
+                (
+                    F.expr(set_exprs[c]).cast(logical_fields[c].dataType)
+                    if c in set_exprs
+                    else F.col(c)
+                ).alias(c)
+                for c in logical_fields
+            ],
+            "bucket",
+        )
+        for c, expr in (derive or {}).items():
+            updated = updated.withColumn(
+                c, F.expr(expr).cast(logical_fields[c].dataType)
+            )
+        if cm:  # delta files speak the immutable PHYSICAL layout
+            updated = updated.withColumnsRenamed(dict(cm))
+
+        written_deltas: dict[int, list[str]] = {}
+        per_bucket = self._write_upsert_links_distributed(
+            updated, m, schema, epoch, written_deltas
+        )
+        n_updated = sum(per_bucket.values())
+        touched = sorted(written_deltas)
+        written = {b: m["buckets"].get(str(b)) for b in touched}
+        written_counts = {
+            b: int(m["bucket_counts"].get(str(b), 0)) for b in touched
+        }
+        return self.write_manifest(
+            epoch=epoch,
+            schema=schema,
+            written=written,
+            touched_buckets=touched,
+            batch_id=batch_id,
+            batch_digest=digest,
+            metrics={
+                "kind": "update_where",
+                "update": canon,
+                "updated": n_updated,
+                "update_buckets": touched,
+                "zonemap_dirs_skipped": zstats.get("zonemap_dirs_skipped", 0),
+                "zonemap_files_skipped": zstats.get("zonemap_files_skipped", 0),
+                "wall_sec": round(time.time() - t0, 3),
+            },
+            written_counts=written_counts,
+            written_deltas=written_deltas,
+            max_commit_retries=max_commit_retries,
+        )
+
+    def _write_upsert_links_distributed(
+        self,
+        rows: DataFrame,
+        m: dict,
+        schema: T.StructType,
+        epoch: int,
+        written_deltas: dict[int, list[str]],
+    ) -> dict[int, int]:
+        """Write the (physical-schema) payload rows of ``rows`` as one
+        upsert delta link per bucket, INSIDE the tasks — the update twin of
+        ``_write_tombstone_links_distributed``. Returns per-bucket row
+        counts and appends each new link to ``written_deltas``."""
+        from georef_ar_etl_spark.operators.copart_merge import _to_arrow
+        from georef_ar_etl_spark.sinks.mor import write_delta
+
+        key_col = schema.fields[0].name
+        payload_cols = [f.name for f in schema.fields]
+        arrow_schema = pa.schema(
+            [pa.field(f.name, _to_arrow(f.dataType)) for f in schema.fields]
+        )
+        epoch_dir = self.epoch_dir(epoch)
+        deltas_map = m.get("bucket_deltas") or {}
+        nb = int(m["n_buckets"])
+
+        def upd(batches):
+            chunks = [c for c in batches if not c.empty]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            for b, grp in pdf.groupby("bucket", sort=True):
+                ddir = os.path.join(epoch_dir, f"delta={int(b)}")
+                os.makedirs(ddir, exist_ok=True)
+                path = os.path.join(ddir, "delta-00000.parquet")
+                write_delta(
+                    path, grp, [], payload_cols, arrow_schema, key=key_col,
+                )
+                yield pd.DataFrame(
+                    {"bucket": [int(b)], "updated": [len(grp)]}
+                )
+
+        out: dict[int, int] = {}
+        res = (
+            rows.repartition(nb, "bucket")
+            .mapInPandas(upd, "bucket int, updated long")
+            .collect()
+        )
+        for r in res:
+            b = int(r["bucket"])
+            out[b] = int(r["updated"])
+            written_deltas[b] = list(deltas_map.get(str(b)) or []) + [
+                os.path.join(DATA_DIR, f"epoch={epoch}", f"delta={b}")
+            ]
+        return out
+
     def _write_tombstone_links_distributed(
         self,
         matching: DataFrame,
