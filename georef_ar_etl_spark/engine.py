@@ -348,6 +348,45 @@ class CdcEngine:
             max_commit_retries=max_commit_retries,
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        when_matched: list | None = None,
+        when_not_matched: list | None = None,
+        when_not_matched_by_source: list | None = None,
+        max_commit_retries: int = 0,
+    ) -> dict:
+        """Conditional MERGE (``MERGE INTO state USING source ON doc_id``
+        with the full Delta/Iceberg clause surface — ordered WHEN MATCHED
+        [AND cond] UPDATE/DELETE, WHEN NOT MATCHED [AND cond] INSERT, WHEN
+        NOT MATCHED BY SOURCE). Conditions/expressions are Spark SQL over
+        ``t_<col>`` / ``s_<col>``. This is the general-program sibling of
+        ``apply_batch`` (which is the fixed latest-event-wins upsert/delete
+        program tuned for CDC replay): use MERGE for reconciliation jobs
+        whose effect depends on BOTH sides' values. Engine invariant:
+        unless some clause SETs ``n_tok`` explicitly, ``n_tok`` is
+        re-derived as ``size(tokens)`` on every written row. See
+        SnapshotTable.merge_into for clause semantics and the cost model
+        (one bucket-pruned equi-join, Catalyst CASE program, one MOR link
+        per touched bucket; WHEN NOT MATCHED BY SOURCE forces a full
+        scan)."""
+        sets_n_tok = any(
+            a == "update" and setmap and "n_tok" in setmap
+            for _c, a, setmap in list(when_matched or [])
+            + list(when_not_matched_by_source or [])
+        ) or any(v and "n_tok" in v for _c, v in (when_not_matched or []))
+        derive = None if sets_n_tok else {"n_tok": "size(tokens)"}
+        return self.table.merge_into(
+            source,
+            batch_id,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            when_not_matched_by_source=when_not_matched_by_source,
+            derive=derive,
+            max_commit_retries=max_commit_retries,
+        )
+
     def purge_keys(self, keys: list, batch_id: int) -> dict:
         """HARD right-to-be-forgotten erasure — Delta Lake's documented GDPR
         recipe (DELETE + VACUUM) on this table, in one maintenance call:

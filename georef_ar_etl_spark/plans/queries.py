@@ -7089,3 +7089,130 @@ def q155(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# --------------- q156: CONDITIONAL MERGE INTO --------------------------------
+# MERGE INTO state USING source ON doc_id — the full ordered clause
+# program over the folded batches-0-1 state (MOR chains on some buckets):
+#   WHEN MATCHED AND size(s.tokens)=0    THEN DELETE        (clause order
+#   WHEN MATCHED AND t.source='click'    THEN UPDATE set      matters: an
+#        tokens=s.tokens, source='merged'                     empty-token
+#   WHEN MATCHED                         THEN UPDATE set      source row on
+#        tokens=t.tokens||s.tokens                            a click doc
+#   WHEN NOT MATCHED AND size(s.tokens)>=3 THEN INSERT        deletes)
+# with the engine re-deriving n_tok = size(tokens) on every written row.
+# Source = the latest batch-2 event per doc (row_number dedupe — MERGE
+# refuses ambiguous duplicate source keys). The oracle evaluates the same
+# clause program as one CASE over a FULL JOIN of the folded state and the
+# identically-derived source.
+_Q156_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("01", "batch_id <= 1")},
+    srcraw AS (
+      SELECT lpad((event_id % 700)::varchar, 13, '0') AS doc_id,
+             CASE WHEN event_id % 11 = 0 THEN []::INT[]
+                  WHEN event_id % 3 = 0 THEN
+                    [(event_id % 89)::INT, (user_id % 47 + 1)::INT,
+                     ((event_id % 13) + 1)::INT]
+                  ELSE [(event_id % 89)::INT, (user_id % 47 + 1)::INT]
+             END AS tokens,
+             event_type AS source, event_id
+      FROM events WHERE event_id % 4 = 2),
+    src AS (
+      SELECT doc_id, tokens, source FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM srcraw) WHERE rn = 1),
+    joined AS (
+      SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+             t.doc_id IS NOT NULL AS has_t, s.doc_id IS NOT NULL AS has_s,
+             t.tokens AS t_tokens, t.source AS t_source,
+             s.tokens AS s_tokens, s.source AS s_source
+      FROM state01 t FULL JOIN src s ON t.doc_id = s.doc_id),
+    eff AS (
+      SELECT doc_id,
+             CASE WHEN has_t AND has_s THEN
+                    CASE WHEN len(s_tokens) = 0 THEN NULL
+                         WHEN t_source = 'click' THEN s_tokens
+                         ELSE list_concat(t_tokens, s_tokens) END
+                  WHEN has_s THEN
+                    CASE WHEN len(s_tokens) >= 3 THEN s_tokens END
+                  ELSE t_tokens END AS tokens,
+             CASE WHEN has_t AND has_s THEN
+                    CASE WHEN len(s_tokens) = 0 THEN NULL
+                         WHEN t_source = 'click' THEN 'merged'
+                         ELSE t_source END
+                  WHEN has_s THEN
+                    CASE WHEN len(s_tokens) >= 3 THEN s_source END
+                  ELSE t_source END AS source,
+             (has_t AND has_s AND len(s_tokens) = 0)
+               OR (has_s AND NOT has_t AND len(s_tokens) < 3) AS gone
+      FROM joined)
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp,
+           len(tokens)::INT AS n_tok, source
+    FROM eff WHERE NOT gone
+"""
+
+
+@query("q156_merge_into_conditional", _Q156_SQL)
+def q156(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events_log = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("merge_into_q156", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events_log.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    src = (
+        ev.filter(eid % 4 == 2)
+        .select(
+            F.lpad((eid % 700).cast("string"), 13, "0").alias("doc_id"),
+            F.when(eid % 11 == 0, F.array().cast("array<int>"))
+            .when(
+                eid % 3 == 0,
+                F.array(
+                    (eid % 89).cast("int"),
+                    (uid % 47 + 1).cast("int"),
+                    ((eid % 13) + 1).cast("int"),
+                ),
+            )
+            .otherwise(
+                F.array((eid % 89).cast("int"), (uid % 47 + 1).cast("int"))
+            )
+            .alias("tokens"),
+            F.col("event_type").alias("source"),
+            eid.alias("event_id"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "event_id")
+    )
+    rep = eng.merge_into(
+        src,
+        batch_id=5,
+        when_matched=[
+            ("size(s_tokens) = 0", "delete", None),
+            (
+                "t_source = 'click'",
+                "update",
+                {"tokens": "s_tokens", "source": "'merged'"},
+            ),
+            (None, "update", {"tokens": "concat(t_tokens, s_tokens)"}),
+        ],
+        when_not_matched=[("size(s_tokens) >= 3", None)],
+    )
+    if not (rep["metrics"]["deleted"] and rep["metrics"]["inserted"]):
+        raise RuntimeError("q156 expected all clause families to fire")
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

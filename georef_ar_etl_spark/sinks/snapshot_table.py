@@ -1398,7 +1398,10 @@ class SnapshotTable:
         updated = matching.select(
             *[
                 (
-                    F.expr(set_exprs[c]).cast(logical_fields[c].dataType)
+                    # DDL-string cast: containsNull-widening must stay legal
+                    F.expr(set_exprs[c]).cast(
+                        logical_fields[c].dataType.simpleString()
+                    )
                     if c in set_exprs
                     else F.col(c)
                 ).alias(c)
@@ -1408,7 +1411,8 @@ class SnapshotTable:
         )
         for c, expr in (derive or {}).items():
             updated = updated.withColumn(
-                c, F.expr(expr).cast(logical_fields[c].dataType)
+                c,
+                F.expr(expr).cast(logical_fields[c].dataType.simpleString()),
             )
         if cm:  # delta files speak the immutable PHYSICAL layout
             updated = updated.withColumnsRenamed(dict(cm))
@@ -1444,6 +1448,348 @@ class SnapshotTable:
             max_commit_retries=max_commit_retries,
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        when_matched: list | None = None,
+        when_not_matched: list | None = None,
+        when_not_matched_by_source: list | None = None,
+        derive: dict | None = None,
+        max_commit_retries: int = 0,
+    ) -> dict:
+        """Conditional MERGE (SQL ``MERGE INTO target USING source ON key``
+        with the full Delta/Iceberg clause surface). Clauses are evaluated
+        IN ORDER — the first clause whose condition holds applies, matching
+        rows with no applicable clause are kept, unmatched source rows with
+        no applicable clause are ignored:
+
+        * ``when_matched``: ``[(cond | None, "update", {col: expr}),
+          (cond | None, "delete", None), …]``
+        * ``when_not_matched``: ``[(cond | None, {col: expr} | None), …]``
+          — insert; a ``None`` value map inserts the source row's columns
+          (schema columns the source lacks insert NULL)
+        * ``when_not_matched_by_source``: same shape as ``when_matched``
+          but conditions may reference target columns only — requires a
+          FULL table scan (documented Delta cost), so merges without it
+          read only the buckets the source keys hash to.
+
+        Conditions and expressions are Spark SQL strings over ``t_<col>``
+        (target) and ``s_<col>`` (source) — the explicit two-namespace
+        form of MERGE's ``target.col`` / ``source.col``. ``derive`` maps
+        columns to expressions over the POST-action row (plain column
+        names), applied to every written upsert — the engine's
+        ``n_tok = size(tokens)`` invariant hook.
+
+        Scale plan: ONE equi-join of the (bucket-pruned, zone-map/DV/chain
+        aware) target state against the source on the key; every clause is
+        a Catalyst CASE over the joined row (codegen'd, no Python); the
+        resulting inserts/updates/deletes land as ONE MOR delta link per
+        touched bucket written inside the tasks. Duplicate source keys are
+        refused (SQL MERGE's ambiguous-match error) via a pre-pass
+        aggregate whose output is one driver row. Exactly-once on
+        ``batch_id`` + (source content, clauses) digest; changelog
+        consumers see each effect exactly once."""
+        import hashlib
+
+        when_matched = list(when_matched or [])
+        when_not_matched = list(when_not_matched or [])
+        nmbs = list(when_not_matched_by_source or [])
+        if not (when_matched or when_not_matched or nmbs):
+            raise ValueError("merge_into needs at least one WHEN clause")
+        m = self.latest_manifest()
+        if m is None:
+            raise RuntimeError("bootstrap the table before merging")
+        schema = T.StructType.fromJson(m["schema"])
+        cm = self.colmap(m)
+        inv = {p: l for l, p in cm.items()}
+        key_phys = schema.fields[0].name
+        key_col = inv.get(key_phys, key_phys)
+        logical_fields = {inv.get(f.name, f.name): f for f in schema.fields}
+        if key_col not in source.columns:
+            raise ValueError(f"source must carry the key column {key_col!r}")
+        for cond, action, setmap in when_matched + nmbs:
+            if action not in ("update", "delete"):
+                raise ValueError(f"unknown clause action {action!r}")
+            if action == "update" and not setmap:
+                raise ValueError("update clause needs a SET map")
+            for c in setmap or {}:
+                if c == key_col:
+                    raise ValueError("cannot SET the key column")
+                if c not in logical_fields:
+                    raise KeyError(f"SET column {c!r} not in the schema")
+        for cond, values in when_not_matched:
+            for c in values or {}:
+                if c not in logical_fields:
+                    raise KeyError(f"INSERT column {c!r} not in the schema")
+        canon = json.dumps(
+            {
+                "matched": when_matched,
+                "not_matched": when_not_matched,
+                "nmbs": nmbs,
+                "derive": {c: (derive or {})[c] for c in sorted(derive or {})},
+            },
+            sort_keys=True,
+            default=str,
+        )
+        # content digest over the source rows + the clause program: the
+        # redelivery identity of a MERGE is (what arrived, what it asked)
+        scols = [F.col(c) for c in sorted(source.columns)]
+        nb = int(m["n_buckets"])
+        src = source.withColumn("bucket", bucket_expr(F.col(key_col), nb))
+        pre = (
+            src.groupBy(key_col, "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(
+                    f"bit_xor(xxhash64({', '.join(sorted(source.columns))}))"
+                ).alias("x"),
+            )
+            .agg(
+                F.max("n").alias("max_n"),
+                F.expr("bit_xor(x)").alias("xall"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.collect_set("bucket").alias("bks"),
+            )
+            .collect()[0]
+        )
+        digest = "mergeinto:" + hashlib.md5(
+            f"{canon}|{pre['xall']}:{pre['n_keys']}".encode()
+        ).hexdigest()
+        committed = self.committed_batches()
+        if batch_id in committed:
+            if committed[batch_id]["batch_digest"] != digest:
+                raise ConflictError(
+                    f"batch {batch_id} re-delivered with different content"
+                )
+            return committed[batch_id]
+        if pre["n_keys"] and pre["max_n"] > 1:
+            raise ValueError(
+                "duplicate source keys: a MERGE where multiple source rows "
+                "match one target row is ambiguous — dedupe the source first"
+            )
+        t0 = time.time()
+        epoch = m["epoch"] + 1
+
+        read_buckets = None if nmbs else sorted(int(b) for b in pre["bks"])
+        target = self.read_state(buckets=read_buckets, manifest=m)
+        t = target.select(
+            *[F.col(c).alias(f"t_{c}") for c in logical_fields],
+            F.col("bucket").alias("t_bucket"),
+        )
+        s = src.select(
+            *[F.col(c).alias(f"s_{c}") for c in source.columns],
+            F.col("bucket").alias("s_bucket"),
+        )
+        j = t.join(
+            s, F.col(f"t_{key_col}") == F.col(f"s_{key_col}"), "full_outer"
+        )
+
+        is_matched = (
+            F.col(f"t_{key_col}").isNotNull()
+            & F.col(f"s_{key_col}").isNotNull()
+        )
+        is_src_only = F.col(f"t_{key_col}").isNull()
+        is_tgt_only = F.col(f"s_{key_col}").isNull()
+
+        def first_match(base, clauses, tags):
+            """Nested first-clause-wins CASE under the ``base`` guard."""
+            expr = F.lit(None).cast("string")
+            for (cond, *_rest), tag in zip(reversed(clauses), reversed(tags)):
+                hit = F.lit(True) if cond is None else F.expr(cond)
+                expr = F.when(hit, F.lit(tag)).otherwise(expr)
+            return F.when(base, expr)
+
+        m_tags = [
+            f"m{i}:{a}" for i, (_c, a, _s) in enumerate(when_matched)
+        ]
+        i_tags = [f"i{i}" for i in range(len(when_not_matched))]
+        n_tags = [f"n{i}:{a}" for i, (_c, a, _s) in enumerate(nmbs)]
+        action = (
+            first_match(is_matched, when_matched, m_tags)
+            .when(
+                is_src_only,
+                first_match(
+                    F.lit(True),
+                    [(c, None, None) for c, _v in when_not_matched],
+                    i_tags,
+                ),
+            )
+            .when(is_tgt_only, first_match(F.lit(True), nmbs, n_tags))
+        )
+        j = j.withColumn("_action", action).filter(
+            # keep-rows (no clause fired) leave the table untouched: the
+            # MOR link carries only effects
+            F.col("_action").isNotNull()
+        )
+
+        def out_col(c):
+            """Post-action value of payload column ``c`` as one CASE.
+            Casts use the DDL string form: nullability-widening array
+            casts (containsNull false -> true) must stay legal."""
+            e = F.lit(None).cast(logical_fields[c].dataType.simpleString())
+            for tag, (_cond, action_, setmap) in list(
+                zip(m_tags, when_matched)
+            ) + list(zip(n_tags, nmbs)):
+                if action_ != "update":
+                    continue
+                v = (
+                    F.expr(setmap[c]) if c in setmap else F.col(f"t_{c}")
+                )
+                e = F.when(F.col("_action") == tag, v).otherwise(e)
+            for tag, (_cond, values) in zip(i_tags, when_not_matched):
+                if values and c in values:
+                    v = F.expr(values[c])
+                elif c in source.columns:
+                    v = F.col(f"s_{c}")
+                else:
+                    v = F.lit(None)
+                e = F.when(F.col("_action") == tag, v).otherwise(e)
+            return e.cast(logical_fields[c].dataType.simpleString()).alias(c)
+
+        is_del = F.col("_action").endswith(":delete")
+        eff = j.select(
+            F.when(is_del, F.lit("d"))
+            .when(F.col("_action").startswith("i"), F.lit("i"))
+            .otherwise(F.lit("u"))
+            .alias("_eff"),
+            F.coalesce(F.col("t_bucket"), F.col("s_bucket")).alias("bucket"),
+            F.when(
+                is_del, F.col(f"t_{key_col}")
+            ).alias("_del_key"),
+            *[out_col(c) for c in logical_fields],
+        )
+        for c, expr_ in (derive or {}).items():
+            eff = eff.withColumn(
+                c,
+                F.when(
+                    F.col("_eff") != "d",
+                    F.expr(expr_).cast(
+                        logical_fields[c].dataType.simpleString()
+                    ),
+                ),
+            )
+        eff = eff.withColumn(
+            key_col,
+            F.when(F.col("_eff") == "d", F.col("_del_key")).otherwise(
+                F.col(key_col)
+            ),
+        ).drop("_del_key")
+        if cm:  # delta files speak the immutable PHYSICAL layout
+            eff = eff.withColumnsRenamed(dict(cm))
+
+        written_deltas: dict[int, list[str]] = {}
+        per_bucket = self._write_merge_links_distributed(
+            eff, m, schema, epoch, written_deltas
+        )
+        touched = sorted(written_deltas)
+        written = {b: m["buckets"].get(str(b)) for b in touched}
+        written_counts = {
+            b: int(m["bucket_counts"].get(str(b), 0))
+            + per_bucket[b]["inserted"]
+            - per_bucket[b]["deleted"]
+            for b in touched
+        }
+        totals = {
+            k: sum(pb[k] for pb in per_bucket.values())
+            for k in ("inserted", "updated", "deleted")
+        }
+        return self.write_manifest(
+            epoch=epoch,
+            schema=schema,
+            written=written,
+            touched_buckets=touched,
+            batch_id=batch_id,
+            batch_digest=digest,
+            metrics={
+                "kind": "merge_into",
+                "clauses": canon,
+                "source_rows": int(pre["n_keys"]),
+                "full_scan": bool(nmbs),
+                **totals,
+                "wall_sec": round(time.time() - t0, 3),
+            },
+            written_counts=written_counts,
+            written_deltas=written_deltas,
+            max_commit_retries=max_commit_retries,
+        )
+
+    def _write_merge_links_distributed(
+        self,
+        eff: DataFrame,
+        m: dict,
+        schema: T.StructType,
+        epoch: int,
+        written_deltas: dict[int, list[str]],
+    ) -> dict[int, dict]:
+        """Write merge effects (``_eff`` ∈ i/u/d + physical payload +
+        bucket) as one combined upsert+tombstone delta link per bucket,
+        inside the tasks. Returns per-bucket {inserted, updated, deleted}
+        counts and appends each link to ``written_deltas``."""
+        from georef_ar_etl_spark.operators.copart_merge import _to_arrow
+        from georef_ar_etl_spark.sinks.mor import write_delta
+
+        key_col = schema.fields[0].name
+        payload_cols = [f.name for f in schema.fields]
+        arrow_schema = pa.schema(
+            [pa.field(f.name, _to_arrow(f.dataType)) for f in schema.fields]
+        )
+        epoch_dir = self.epoch_dir(epoch)
+        deltas_map = m.get("bucket_deltas") or {}
+        nb = int(m["n_buckets"])
+
+        nonnull = [f.name for f in schema.fields if not f.nullable]
+
+        def mrg(batches):
+            chunks = [c for c in batches if not c.empty]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            for b, grp in pdf.groupby("bucket", sort=True):
+                ups = grp[grp["_eff"] != "d"]
+                for c in nonnull:  # enforce the contract loudly here, not
+                    # as a codegen NPE three reads later
+                    if ups[c].isna().any():
+                        raise ValueError(
+                            f"MERGE produced NULL in non-nullable column "
+                            f"{c!r} — give the clause an explicit value"
+                        )
+                dels = sorted(set(grp.loc[grp["_eff"] == "d", key_col]))
+                ddir = os.path.join(epoch_dir, f"delta={int(b)}")
+                os.makedirs(ddir, exist_ok=True)
+                write_delta(
+                    os.path.join(ddir, "delta-00000.parquet"),
+                    ups, dels, payload_cols, arrow_schema, key=key_col,
+                )
+                yield pd.DataFrame(
+                    {
+                        "bucket": [int(b)],
+                        "inserted": [int((grp["_eff"] == "i").sum())],
+                        "updated": [int((grp["_eff"] == "u").sum())],
+                        "deleted": [len(dels)],
+                    }
+                )
+
+        out: dict[int, dict] = {}
+        res = (
+            eff.repartition(nb, "bucket")
+            .mapInPandas(
+                mrg, "bucket int, inserted long, updated long, deleted long"
+            )
+            .collect()
+        )
+        for r in res:
+            b = int(r["bucket"])
+            out[b] = {
+                "inserted": int(r["inserted"]),
+                "updated": int(r["updated"]),
+                "deleted": int(r["deleted"]),
+            }
+            written_deltas[b] = list(deltas_map.get(str(b)) or []) + [
+                os.path.join(DATA_DIR, f"epoch={epoch}", f"delta={b}")
+            ]
+        return out
+
     def _write_upsert_links_distributed(
         self,
         rows: DataFrame,
@@ -1468,11 +1814,18 @@ class SnapshotTable:
         deltas_map = m.get("bucket_deltas") or {}
         nb = int(m["n_buckets"])
 
+        nonnull = [f.name for f in schema.fields if not f.nullable]
+
         def upd(batches):
             chunks = [c for c in batches if not c.empty]
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
+            for c in nonnull:  # contract guard — loud, not a later NPE
+                if pdf[c].isna().any():
+                    raise ValueError(
+                        f"UPDATE produced NULL in non-nullable column {c!r}"
+                    )
             for b, grp in pdf.groupby("bucket", sort=True):
                 ddir = os.path.join(epoch_dir, f"delta={int(b)}")
                 os.makedirs(ddir, exist_ok=True)
