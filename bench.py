@@ -157,7 +157,7 @@ HEADLINE = [
 # q150_wap_audited_replay, q151_deletion_vector_replay,
 # q152_tagged_snapshot_read, q153_predicate_delete_replay,
 # q154_rename_drop_replay, q155_predicate_update_replay and
-# q156_merge_into_conditional are likewise
+# q156_merge_into_conditional and q157_clone_fork_replay are likewise
 # full engine replays (WAP gate / DV masks / tag pinning / predicate
 # sweep-or-update / rename-drop binding layered on the q24 fold); the
 # deletion-vector read/apply trade is A/B'd in BENCH/dv_ab.py

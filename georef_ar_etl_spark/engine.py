@@ -257,6 +257,30 @@ class CdcEngine:
         """All named snapshot refs: name → {epoch, created_unix, description}."""
         return self.table.tags()
 
+    def clone_to(
+        self,
+        dest_root: str,
+        epoch: int | None = None,
+        tag: str | None = None,
+        as_of: float | None = None,
+    ) -> "CdcEngine":
+        """Deep CLONE (Delta ``CLONE TABLE``) — fork the table at a snapshot
+        (head, ``epoch``, ``tag`` or ``as_of`` timestamp) into a standalone
+        table at ``dest_root`` and return an engine over it. Data dirs copy
+        in a distributed per-bucket-dir job; the exactly-once and rollback
+        ledgers carry so pre-fork batches redeliver on the clone exactly as
+        on the source; post-fork commits on either side are invisible to
+        the other. See SnapshotTable.clone_to."""
+        self.table.clone_to(dest_root, epoch=epoch, tag=tag, as_of=as_of)
+        return CdcEngine(
+            self.spark,
+            dest_root,
+            n_buckets=self.table.n_buckets,
+            merge_impl=self.merge_impl,
+            mor_max_deltas=self.mor_max_deltas,
+            mor_rewrite_ratio=self.mor_rewrite_ratio,
+        )
+
     def vacuum(self, keep_last: int = 2) -> dict:
         """Expire old snapshots + remove unreferenced files (Iceberg
         expire_snapshots/remove_orphan_files analogue); idempotent-redelivery

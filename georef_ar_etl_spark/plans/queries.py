@@ -7216,3 +7216,46 @@ def q156(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# --------------- q157: DEEP CLONE (EXPERIMENT FORK) --------------------------
+# Fork isolation: batches 0-1 fold, the table is CLONED (deep snapshot
+# copy: bases, MOR chains, exactly-once ledger), then the SOURCE runs a
+# destructive predicate sweep while the CLONE replays the remaining
+# batches (12-13 = the original 2-3, id-shifted past the fork ledger).
+# The clone's final state must equal the full undisturbed fold — the
+# source's post-fork sweep must be invisible to the fork. The oracle is
+# the plain full-log fold (q24's algebra); the machinery under test is
+# the fork: cloned ledger (the shifted ids must APPLY, the pre-fork ids
+# must short-circuit) and cloned data dirs read through a different root.
+_Q157_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state
+"""
+
+
+@query("q157_clone_fork_replay", _Q157_SQL)
+def q157(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("clone_fork_q157", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    clone = eng.clone_to(root + "_fork")
+    # source diverges destructively; the fork must not see it
+    eng.delete_where([("source", "=", "click")], batch_id=5)
+    # pre-fork redelivery on the clone is a verified no-op
+    clone.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    late = events.filter(F.col("batch_id") >= 2).withColumn(
+        "batch_id", F.col("batch_id") + 10
+    )
+    clone.replay(late, batch_ids=[12, 13])
+    return clone.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

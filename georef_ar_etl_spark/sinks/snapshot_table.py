@@ -540,6 +540,177 @@ class SnapshotTable:
         self._expired_token = None if recent else tok
         return self._expired_cache
 
+    # ---------------------------------------------------------------- clone
+    def clone_to(
+        self,
+        dest_root: str,
+        epoch: int | None = None,
+        tag: str | None = None,
+        as_of: float | None = None,
+    ) -> dict:
+        """Deep CLONE (Delta ``CLONE TABLE`` / snapshot export — the
+        experiment-fork primitive: branch a training table at a snapshot
+        and let both sides diverge independently). The clone is a fully
+        standalone table rooted at ``dest_root`` whose single retained
+        snapshot is the resolved source manifest — bases, MOR delta chains
+        and deletion vectors copied VERBATIM (the clone reads at the same
+        COW/MOR cost the source did), schema/colmap/dropped_cols carried in
+        the manifest, so applies, maintenance and time-travel-forward all
+        work immediately.
+
+        Exactly-once is cloned too: every batch committed at or before the
+        snapshot lands in the clone's expired-batches ledger (redelivering
+        a pre-fork batch to the clone short-circuits or conflicts exactly
+        like on the source), and rollback invalidations whose rollback
+        happened at or before the fork carry over — a batch the source had
+        rolled back before the fork re-applies on the clone just as it
+        would have on the source. Batches the SOURCE commits after the
+        fork do not exist on the clone — that is what forking means.
+
+        Scale plan: the copy is a distributed job — one task per
+        referenced data DIRECTORY (the same bucket granularity merge tasks
+        use), the DistCp shape; the driver moves only dir names and the
+        manifest. Source tags/metrics/quarantine are source-scoped
+        observability and deliberately NOT cloned.
+        """
+        import shutil
+
+        if sum(x is not None for x in (tag, epoch, as_of)) > 1:
+            raise ValueError("pass at most one of tag / epoch / as_of")
+        if tag is not None:
+            m = self.manifest_for_tag(tag)
+        elif as_of is not None:
+            m = self.manifest_as_of(as_of)
+        elif epoch is not None:
+            m = self.manifest_for_epoch(epoch)
+        else:
+            m = self.latest_manifest()
+        if m is None:
+            raise RuntimeError("bootstrap the table before cloning")
+        if os.path.isdir(os.path.join(dest_root, MANIFEST_DIR)) and any(
+            n.startswith("epoch-")
+            for n in os.listdir(os.path.join(dest_root, MANIFEST_DIR))
+        ):
+            raise ValueError(f"clone destination {dest_root!r} is already a table")
+        t0 = time.time()
+        snap_epoch = int(m["epoch"])
+
+        rel_dirs: set[str] = set()
+        for d in m["buckets"].values():
+            if d:
+                rel_dirs.add(d)
+        for links in (m.get("bucket_deltas") or {}).values():
+            rel_dirs.update(links or [])
+        for d in (m.get("bucket_dvs") or {}).values():
+            if d:
+                rel_dirs.add(d)
+
+        src_root, dst_root = self.root, dest_root
+        os.makedirs(os.path.join(dest_root, MANIFEST_DIR), exist_ok=True)
+
+        def copy_dirs(batches):
+            n = 0
+            nbytes = 0
+            for pdf in batches:
+                for rel in pdf["rel"]:
+                    src = os.path.join(src_root, rel)
+                    dst = os.path.join(dst_root, rel)
+                    if os.path.isdir(dst):
+                        shutil.rmtree(dst)  # crashed prior attempt
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copytree(src, dst)
+                    n += 1
+                    nbytes += sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _d, fs in os.walk(dst)
+                        for f in fs
+                    )
+            yield pd.DataFrame({"dirs": [n], "bytes": [nbytes]})
+
+        copied = {"dirs": 0, "bytes": 0}
+        if rel_dirs:
+            res = (
+                self.spark.createDataFrame(
+                    [(d,) for d in sorted(rel_dirs)], "rel string"
+                )
+                .repartition(min(len(rel_dirs), 64))
+                .mapInPandas(copy_dirs, "dirs long, bytes long")
+                .collect()
+            )
+            copied = {
+                "dirs": sum(int(r["dirs"]) for r in res),
+                "bytes": sum(int(r["bytes"]) for r in res),
+            }
+
+        # exactly-once ledger for the fork: every batch committed at or
+        # before the snapshot, except the snapshot's own (its retained
+        # manifest already carries it)
+        ledger: dict[int, dict] = {}
+        for bid, mm in self.committed_batches().items():
+            e = mm.get("epoch")
+            if e is None or e > snap_epoch or e == snap_epoch:
+                continue
+            ledger[int(bid)] = {
+                "batch_id": bid,
+                "batch_digest": mm["batch_digest"],
+                "epoch": e,
+                "expired": True,
+                "metrics": {"kind": "expired_redelivery"},
+                "total_rows": None,
+                "buckets": None,
+                "quarantine_rows": 0,
+            }
+        # rollback invalidations that happened at or before the fork
+        inv: dict[int, int] = {
+            b: e for b, e in self._invalidated_batches().items() if e <= snap_epoch
+        }
+        for mm in self.manifests():
+            if mm["epoch"] > snap_epoch:
+                continue
+            for bid in (mm.get("metrics") or {}).get("rolled_back_batch_ids", []):
+                inv[int(bid)] = max(inv.get(int(bid), -1), mm["epoch"])
+
+        def _fsync_json(path: str, obj) -> None:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(obj, f, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+
+        if ledger:
+            _fsync_json(
+                os.path.join(dest_root, MANIFEST_DIR, "expired-batches.json"),
+                {str(k): v for k, v in ledger.items()},
+            )
+        if inv:
+            _fsync_json(
+                os.path.join(dest_root, MANIFEST_DIR, "invalidated-batches.json"),
+                {str(k): v for k, v in inv.items()},
+            )
+        report = {
+            "kind": "clone",
+            "source_root": src_root,
+            "source_epoch": snap_epoch,
+            "dirs_copied": copied["dirs"],
+            "bytes_copied": copied["bytes"],
+            "ledger_batches": len(ledger),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        with open(os.path.join(dest_root, METRICS_LOG), "a") as f:
+            f.write(json.dumps({"epoch": snap_epoch, "metrics": report}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        # the manifest lands LAST — the clone's commit point, same crash
+        # invariant as write_manifest (data without a manifest is invisible)
+        _fsync_json(
+            os.path.join(
+                dest_root, MANIFEST_DIR, f"epoch-{snap_epoch:010d}.json"
+            ),
+            m,
+        )
+        return report
+
     # ---------------------------------------------------------------- vacuum
     def vacuum(self, keep_last: int = 2) -> dict:
         """Expire all but the last ``keep_last`` snapshots: delete manifests
