@@ -281,12 +281,22 @@ class CdcEngine:
             mor_rewrite_ratio=self.mor_rewrite_ratio,
         )
 
-    def vacuum(self, keep_last: int = 2) -> dict:
+    def vacuum(
+        self,
+        keep_last: int = 2,
+        older_than_s: float | None = None,
+        dry_run: bool = False,
+    ) -> dict:
         """Expire old snapshots + remove unreferenced files (Iceberg
         expire_snapshots/remove_orphan_files analogue); idempotent-redelivery
         protection for expired batch ids is preserved via the expired-batch
-        ledger (see SnapshotTable.vacuum)."""
-        return self.table.vacuum(keep_last)
+        ledger. ``older_than_s`` retains snapshots younger than the age
+        floor regardless of ``keep_last`` (Delta ``VACUUM … RETAIN``);
+        ``dry_run=True`` reports what would be expired/freed without
+        deleting (Delta ``VACUUM … DRY RUN``). See SnapshotTable.vacuum."""
+        return self.table.vacuum(
+            keep_last, older_than_s=older_than_s, dry_run=dry_run
+        )
 
     def compact(
         self,

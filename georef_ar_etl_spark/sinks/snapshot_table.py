@@ -712,12 +712,26 @@ class SnapshotTable:
         return report
 
     # ---------------------------------------------------------------- vacuum
-    def vacuum(self, keep_last: int = 2) -> dict:
+    def vacuum(
+        self,
+        keep_last: int = 2,
+        older_than_s: float | None = None,
+        dry_run: bool = False,
+    ) -> dict:
         """Expire all but the last ``keep_last`` snapshots: delete manifests
         older than the retained set and every data/quarantine directory no
         retained manifest references (the Iceberg expire_snapshots +
         remove_orphan_files maintenance pair — without it a CDC table's COW
         epochs accumulate forever).
+
+        ``older_than_s`` adds an AGE floor (Delta ``VACUUM … RETAIN N
+        HOURS``): a snapshot committed within the last ``older_than_s``
+        seconds is retained even when ``keep_last`` would expire it — the
+        guard that keeps a long-running reader's snapshot alive while
+        routine maintenance runs. ``dry_run=True`` (Delta ``VACUUM … DRY
+        RUN``) computes and returns the full report — expirable manifests,
+        sweepable dirs, reclaimable bytes — WITHOUT deleting anything or
+        touching the ledgers.
 
         Exactly-once is preserved across expiry: the (batch_id, digest)
         pairs of expired manifests move into an fsync'd ledger consulted by
@@ -743,8 +757,30 @@ class SnapshotTable:
         # and every file they reference survive until the tag is dropped
         tag_epochs = {int(v["epoch"]) for v in self.tags().values()}
         recent = {m["epoch"] for m in ms[-keep_last:]}
+        if older_than_s is not None:
+            cutoff = time.time() - older_than_s
+            recent |= {
+                m["epoch"]
+                for m in ms
+                if m.get("committed_unix", float("inf")) > cutoff
+            }
         retained = [m for m in ms if m["epoch"] in recent or m["epoch"] in tag_epochs]
         expired = [m for m in ms if m["epoch"] not in recent and m["epoch"] not in tag_epochs]
+
+        if dry_run:
+            retained_set = retained
+            referenced = self._referenced_dirs(retained_set)
+            max_retained_epoch = retained_set[-1]["epoch"]
+            would_dirs, would_bytes = self._sweepable_dirs(
+                referenced, max_retained_epoch
+            )
+            return {
+                "dry_run": True,
+                "removed_manifests": [m["epoch"] for m in expired],
+                "removed_dirs": would_dirs,
+                "freed_bytes": would_bytes,
+                "retained_epochs": [m["epoch"] for m in retained_set],
+            }
 
         # 1. record expired batch ids BEFORE removing anything. Stubs are
         # manifest-SHAPED (metrics/total_rows/buckets keys present) so an
@@ -795,6 +831,39 @@ class SnapshotTable:
             removed_manifests.append(m["epoch"])
 
         # 3. delete unreferenced data/quarantine dirs (orphans included)
+        referenced = self._referenced_dirs(retained)
+        max_retained_epoch = retained[-1]["epoch"]
+        removed_dirs, freed = self._sweepable_dirs(
+            referenced, max_retained_epoch
+        )
+        for rel in removed_dirs:
+            shutil.rmtree(os.path.join(self.root, rel))
+        # drop epoch dirs with nothing referenced left, whole (sweeps
+        # writer markers along)
+        data_root = os.path.join(self.root, DATA_DIR)
+        for edir in sorted(os.listdir(data_root)):
+            efull = os.path.join(data_root, edir)
+            if not os.path.isdir(efull):
+                continue
+            try:
+                if int(edir.split("=", 1)[1]) > max_retained_epoch:
+                    continue
+            except (IndexError, ValueError):
+                continue
+            prefix = os.path.join(DATA_DIR, edir) + os.sep
+            if not any(r.startswith(prefix) for r in referenced):
+                shutil.rmtree(efull, ignore_errors=True)
+
+        return {
+            "removed_manifests": removed_manifests,
+            "removed_dirs": removed_dirs,
+            "freed_bytes": freed,
+            "retained_epochs": [m["epoch"] for m in retained],
+        }
+
+    def _referenced_dirs(self, retained: list[dict]) -> set[str]:
+        """Every data/quarantine dir some retained manifest references —
+        bases, MOR delta chains, DV dirs, dv-change artifacts, quarantine."""
         referenced = {
             d for m in retained for d in m["buckets"].values() if d is not None
         }
@@ -817,15 +886,23 @@ class SnapshotTable:
         referenced |= {
             m["dv_changes"] for m in retained if m.get("dv_changes")
         }
-        max_retained_epoch = retained[-1]["epoch"]
-        removed_dirs, freed = [], 0
+        return referenced
+
+    def _sweepable_dirs(
+        self, referenced: set[str], max_retained_epoch: int
+    ) -> tuple[list[str], int]:
+        """Unreferenced data/quarantine dirs eligible for the orphan sweep
+        and their total bytes — the shared planner behind vacuum and its
+        dry run (computes, never deletes). Epoch dirs newer than the latest
+        retained manifest are never eligible: that is pre-commit data an
+        in-flight writer may be staging."""
+        removed_dirs: list[str] = []
+        freed = 0
         data_root = os.path.join(self.root, DATA_DIR)
         for edir in sorted(os.listdir(data_root)):
             efull = os.path.join(data_root, edir)
             if not os.path.isdir(efull):
                 continue
-            # never sweep epochs newer than the latest retained manifest:
-            # that's pre-commit data an in-flight writer may be staging
             try:
                 if int(edir.split("=", 1)[1]) > max_retained_epoch:
                     continue
@@ -845,27 +922,19 @@ class SnapshotTable:
                         os.path.getsize(os.path.join(dp, fn))
                         for dp, _d, fns in os.walk(full) for fn in fns
                     )
-                    shutil.rmtree(full)
                     removed_dirs.append(rel)
-            # if nothing in this epoch dir is referenced anymore, drop it
-            # whole (sweeps writer markers along)
-            prefix = os.path.join(DATA_DIR, edir) + os.sep
-            if not any(r.startswith(prefix) for r in referenced):
-                shutil.rmtree(efull, ignore_errors=True)
         qroot = os.path.join(self.root, QUARANTINE_DIR)
         if os.path.isdir(qroot):
             for edir in sorted(os.listdir(qroot)):
                 rel = os.path.join(QUARANTINE_DIR, edir)
                 if rel not in referenced:
-                    shutil.rmtree(os.path.join(self.root, rel))
+                    freed += sum(
+                        os.path.getsize(os.path.join(dp, fn))
+                        for dp, _d, fns in os.walk(os.path.join(self.root, rel))
+                        for fn in fns
+                    )
                     removed_dirs.append(rel)
-
-        return {
-            "removed_manifests": removed_manifests,
-            "removed_dirs": removed_dirs,
-            "freed_bytes": freed,
-            "retained_epochs": [m["epoch"] for m in retained],
-        }
+        return removed_dirs, freed
 
     # --------------------------------------------------------------- compact
     def compact(

@@ -124,3 +124,41 @@ def test_tagged_mor_epoch_keeps_its_delta_chain_through_vacuum(spark, eng):
         for d in chain:
             assert os.path.isdir(os.path.join(e.table.root, d)), d
     assert _rows(e.state(tag="dirty-pin")) == pinned
+
+
+def test_vacuum_dry_run_and_age_floor(spark, tmp_path):
+    """Delta VACUUM RETAIN/DRY RUN analogue: the dry run reports the exact
+    plan the real vacuum executes without deleting; an age floor retains
+    snapshots younger than it regardless of keep_last."""
+    import os
+
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial = datagen.gen_initial_state(150, seed=9, max_len=10)
+    ids = [d["doc_id"] for d in initial]
+    eng = CdcEngine(spark, str(tmp_path / "vac"), n_buckets=4, mor_max_deltas=2)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    evs = datagen.gen_events(ids, n_events=120, n_batches=3, seed=3)
+    for b in range(3):
+        eng.apply_batch(
+            datagen.events_to_df(spark, [e for e in evs if e["batch_id"] == b]), b
+        )
+    state = {r["doc_id"] for r in eng.state().collect()}
+    root = eng.table.root
+
+    dr = eng.vacuum(keep_last=1, dry_run=True)
+    assert dr["dry_run"] is True
+    assert dr["removed_dirs"] and dr["freed_bytes"] > 0
+    assert all(os.path.isdir(os.path.join(root, d)) for d in dr["removed_dirs"])
+    assert len(eng.table.manifests()) >= 4  # nothing expired
+
+    # everything committed seconds ago → the age floor retains all
+    r = eng.vacuum(keep_last=1, older_than_s=3600)
+    assert r["removed_manifests"] == [] and r["removed_dirs"] == []
+
+    # the real vacuum executes exactly the dry-run plan
+    r2 = eng.vacuum(keep_last=1)
+    assert sorted(r2["removed_dirs"]) == sorted(dr["removed_dirs"])
+    assert r2["freed_bytes"] == dr["freed_bytes"]
+    assert {x["doc_id"] for x in eng.state().collect()} == state
