@@ -229,6 +229,15 @@ class CdcEngine:
             )
         return self.table.rename_column(old, new)
 
+    def add_column(self, name: str, dtype, comment: str | None = None) -> dict:
+        """Metadata-only ``ALTER TABLE … ADD COLUMN`` (nullable; existing
+        rows read as NULL) — the explicit-DDL twin of apply_batch's
+        automatic additive evolution; the column is then addressable by
+        change batches, ``update_where`` SETs and ``merge_into`` clauses.
+        Contract columns can't be re-added (they always exist); see
+        SnapshotTable.add_column for the fresh-physical re-add rule."""
+        return self.table.add_column(name, dtype, comment=comment)
+
     def drop_column(self, name: str) -> dict:
         """Metadata-only drop of an EVOLVED payload column (``ALTER TABLE …
         DROP COLUMN``, SnapshotTable.drop_column). Re-adding the same name

@@ -473,6 +473,54 @@ class SnapshotTable:
             colmap=cm,
         )
 
+    def add_column(self, name: str, dtype, comment: str | None = None) -> dict:
+        """Metadata-only column add (``ALTER TABLE … ADD COLUMN``): commits
+        a manifest whose schema carries the new NULLABLE field — no data
+        file moves; existing rows read as NULL (explicit-schema parquet
+        scans fill missing columns), subsequent batches / UPDATEs / MERGEs
+        may address it by name. A logical name whose physical ever existed
+        (currently live under another logical name, or retired by a drop)
+        binds a FRESH ``__e{epoch}`` suffixed physical column so dropped or
+        renamed-away data can never resurrect (the same field-ID rule
+        apply_batch's additive evolution uses, engine.py). ``dtype`` is a
+        Spark DataType or DDL string. Time travel to pre-add epochs does
+        not show the column."""
+        m = self.latest_manifest()
+        if m is None:
+            raise RuntimeError("bootstrap the table before adding columns")
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        cm = self.colmap(m)
+        inv = {p: l for l, p in cm.items()}
+        phys_schema = T.StructType.fromJson(m["schema"])
+        logical_names = [inv.get(f.name, f.name) for f in phys_schema.fields]
+        if name in logical_names:
+            raise ValueError(f"column {name!r} already exists")
+        dropped = set(m.get("dropped_cols") or [])
+        live_phys = {f.name for f in phys_schema.fields}
+        epoch = m["epoch"] + 1
+        phys = name
+        if name in dropped or name in live_phys or name in cm.values():
+            phys = f"{name}__e{epoch}"
+            cm[name] = phys
+        new_schema = T.StructType(
+            list(phys_schema.fields) + [T.StructField(phys, dtype, nullable=True)]
+        )
+        metrics = {"kind": "add_column", "column": name, "physical": phys}
+        if comment:
+            metrics["comment"] = comment
+        return self.write_manifest(
+            epoch=epoch,
+            schema=new_schema,
+            written={},
+            touched_buckets=[],
+            batch_id=None,
+            batch_digest=f"add:{name}:{epoch}",
+            metrics=metrics,
+            written_counts={},
+            colmap=cm,
+        )
+
     def drop_column(self, name: str) -> dict:
         """Metadata-only column drop (``ALTER TABLE … DROP COLUMN``): the
         physical column leaves the live schema — reads stop projecting it

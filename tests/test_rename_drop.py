@@ -225,3 +225,50 @@ def test_drop_is_physically_shed_on_rewrite(spark, tmp_path):
     names = pq.read_schema(f).names
     assert "src_meta" not in names
     assert {"doc_id", "tokens", "n_tok", "source"} <= set(names)
+
+
+def test_add_column_ddl_and_interplay(spark, tmp_path):
+    """Explicit ALTER TABLE ADD COLUMN: metadata-only, NULL for existing
+    rows, addressable by update_where SETs and merge_into inserts; a
+    drop + re-add binds a fresh physical column (no resurrection)."""
+    from pyspark.sql import functions as F
+
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial = datagen.gen_initial_state(120, seed=3, max_len=10)
+    eng = CdcEngine(spark, str(tmp_path / "addcol"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    eng.add_column("priority", "int", comment="curation priority")
+    st = eng.state()
+    assert "priority" in st.columns
+    assert st.filter(F.col("priority").isNotNull()).count() == 0
+
+    rep = eng.update_where(
+        {"priority": "n_tok * 10"}, [("source", "=", "wal")], batch_id=1
+    )
+    assert rep["metrics"]["updated"] > 0
+    rows = eng.state().select("doc_id", "n_tok", "source", "priority").collect()
+    for r in rows:
+        want = r["n_tok"] * 10 if r["source"] == "wal" else None
+        assert r["priority"] == want
+
+    src = spark.createDataFrame(
+        [("NEWDOC0000001", [1, 2, 3], "new", 7)],
+        "doc_id string, tokens array<int>, source string, priority int",
+    )
+    eng.merge_into(src, batch_id=2, when_not_matched=[(None, None)])
+    row = eng.state().filter(F.col("doc_id") == "NEWDOC0000001").collect()[0]
+    assert row["priority"] == 7 and row["n_tok"] == 3
+
+    with pytest.raises(ValueError, match="already exists"):
+        eng.add_column("priority", "int")
+
+    eng.drop_column("priority")
+    eng.add_column("priority", "int")
+    assert eng.state().filter(F.col("priority").isNotNull()).count() == 0
+    m = eng.table.latest_manifest()
+    assert m["colmap"].get("priority", "").startswith("priority__e")
+    eng.compact(min_deltas=1)
+    assert eng.state().filter(F.col("priority").isNotNull()).count() == 0
