@@ -349,7 +349,11 @@ class CdcEngine:
         )
 
     def delete_where(
-        self, where: list, batch_id: int, max_commit_retries: int = 0
+        self,
+        where: list,
+        batch_id: int,
+        stage: bool = False,
+        max_commit_retries: int = 0,
     ) -> dict:
         """Predicate delete (``DELETE FROM t WHERE …``) — the retention
         sweep: zone-map-pruned position scan lands matching rows as
@@ -358,7 +362,7 @@ class CdcEngine:
         exactly-once, changelog and lifecycle contracts as
         ``delete_keys_dv``. See SnapshotTable.delete_where."""
         return self.table.delete_where(
-            where, batch_id, max_commit_retries=max_commit_retries
+            where, batch_id, stage=stage, max_commit_retries=max_commit_retries
         )
 
     def update_where(
@@ -366,6 +370,7 @@ class CdcEngine:
         set_exprs: dict,
         where: list,
         batch_id: int,
+        stage: bool = False,
         max_commit_retries: int = 0,
     ) -> dict:
         """Predicate update (``UPDATE t SET col = expr WHERE …``) — the
@@ -388,6 +393,7 @@ class CdcEngine:
             where,
             batch_id,
             derive=derive,
+            stage=stage,
             max_commit_retries=max_commit_retries,
         )
 
@@ -398,6 +404,7 @@ class CdcEngine:
         when_matched: list | None = None,
         when_not_matched: list | None = None,
         when_not_matched_by_source: list | None = None,
+        stage: bool = False,
         max_commit_retries: int = 0,
     ) -> dict:
         """Conditional MERGE (``MERGE INTO state USING source ON doc_id``
@@ -427,6 +434,7 @@ class CdcEngine:
             when_not_matched=when_not_matched,
             when_not_matched_by_source=when_not_matched_by_source,
             derive=derive,
+            stage=stage,
             max_commit_retries=max_commit_retries,
         )
 

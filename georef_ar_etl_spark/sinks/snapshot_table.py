@@ -1382,7 +1382,11 @@ class SnapshotTable:
         )
 
     def delete_where(
-        self, where: list, batch_id: int, max_commit_retries: int = 0
+        self,
+        where: list,
+        batch_id: int,
+        stage: bool = False,
+        max_commit_retries: int = 0,
     ) -> dict:
         """Predicate delete (``DELETE FROM t WHERE …``, the retention-sweep
         primitive: "drop everything where source='spam'"). ``where`` is the
@@ -1598,6 +1602,7 @@ class SnapshotTable:
             written_deltas=written_deltas,
             written_dvs=written_dvs,
             dv_changes=dv_changes_rel,
+            staged=stage,
             max_commit_retries=max_commit_retries,
         )
 
@@ -1607,6 +1612,7 @@ class SnapshotTable:
         where: list,
         batch_id: int,
         derive: dict | None = None,
+        stage: bool = False,
         max_commit_retries: int = 0,
     ) -> dict:
         """Predicate update (``UPDATE t SET col = expr WHERE …`` — Delta/
@@ -1733,6 +1739,7 @@ class SnapshotTable:
             },
             written_counts=written_counts,
             written_deltas=written_deltas,
+            staged=stage,
             max_commit_retries=max_commit_retries,
         )
 
@@ -1744,6 +1751,7 @@ class SnapshotTable:
         when_not_matched: list | None = None,
         when_not_matched_by_source: list | None = None,
         derive: dict | None = None,
+        stage: bool = False,
         max_commit_retries: int = 0,
     ) -> dict:
         """Conditional MERGE (SQL ``MERGE INTO target USING source ON key``
@@ -1999,6 +2007,7 @@ class SnapshotTable:
             },
             written_counts=written_counts,
             written_deltas=written_deltas,
+            staged=stage,
             max_commit_retries=max_commit_retries,
         )
 

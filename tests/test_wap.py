@@ -219,3 +219,60 @@ def test_staged_survives_process_restart(spark, tmp_path):
     m = eng2.publish_staged()
     assert m["epoch"] == staged["epoch"]
     assert eng.table.latest_manifest()["epoch"] == m["epoch"]
+
+
+def test_staged_row_level_ops(spark, tmp_path):
+    """UPDATE/MERGE/DELETE ride the same write-audit-publish machinery as
+    apply_batch: stage=True keeps the effect invisible to every reader
+    until publish; an audit failure abandons it with no trace."""
+    from georef_ar_etl_spark import datagen
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial = datagen.gen_initial_state(150, seed=5, max_len=10)
+    eng = CdcEngine(spark, str(tmp_path / "wapops"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    before = {
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in eng.state().collect()
+    }
+
+    # staged UPDATE: invisible until published
+    rep = eng.update_where(
+        {"source": "'swept'"}, [("source", "=", "wal")], batch_id=1, stage=True
+    )
+    assert {
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in eng.state().collect()
+    } == before
+    report = {r["expectation"]: r for r in eng.audit_staged(
+        [("not_null", "doc_id", {})]).collect()}
+    assert report["not_null"]["passed"] is True
+    eng.publish_staged()
+    after = {r["doc_id"]: r["source"] for r in eng.state().collect()}
+    assert "wal" not in set(after.values())
+    assert "swept" in set(after.values())
+
+    # staged MERGE whose audit FAILS: abandoned, no trace, re-usable id
+    src = spark.createDataFrame(
+        [("NEWDOC0000001", [1, 2], "bad", -5)],
+        "doc_id string, tokens array<int>, source string, n_tok int",
+    )
+    eng.merge_into(
+        src,
+        batch_id=2,
+        when_not_matched=[(None, {"n_tok": "-5"})],
+        stage=True,
+    )
+    report = {r["expectation"]: r for r in eng.audit_staged(
+        [("range", "n_tok", {"min": 0, "max": 50})]).collect()}
+    assert report["range"]["passed"] is False
+    eng.abandon_staged()
+    ids = {r["doc_id"] for r in eng.state().collect()}
+    assert "NEWDOC0000001" not in ids
+
+    # staged DELETE publishes like any commit
+    n_before = eng.state().count()
+    eng.delete_where([("source", "=", "swept")], batch_id=3, stage=True)
+    assert eng.state().count() == n_before
+    eng.publish_staged()
+    assert eng.state().filter("source = 'swept'").count() == 0
