@@ -290,6 +290,54 @@ class CdcEngine:
             mor_rewrite_ratio=self.mor_rewrite_ratio,
         )
 
+    def create_branch(
+        self,
+        name: str,
+        epoch: int | None = None,
+        tag: str | None = None,
+        as_of: float | None = None,
+        description: str = "",
+    ) -> "CdcEngine":
+        """Fork a ZERO-COPY named branch (Iceberg branch ref) at a snapshot
+        and return an engine over it. No data is copied — the branch reads
+        the parent's files in place (the fork epoch is auto-pinned with tag
+        ``branch:<name>`` so parent vacuum keeps them); branch commits
+        write only under ``<root>/branches/<name>/``. Validate the
+        experiment, then ``fast_forward(name)`` to publish it back, or
+        ``drop_branch(name, force=True)`` to discard.
+        See SnapshotTable.create_branch."""
+        self.table.create_branch(
+            name, epoch=epoch, tag=tag, as_of=as_of, description=description
+        )
+        return self.branch(name)
+
+    def branch(self, name: str) -> "CdcEngine":
+        """An engine over an existing branch (same merge/MOR settings)."""
+        bt = self.table.branch(name)
+        return CdcEngine(
+            self.spark,
+            bt.root,
+            n_buckets=bt.n_buckets,
+            merge_impl=self.merge_impl,
+            mor_max_deltas=self.mor_max_deltas,
+            mor_rewrite_ratio=self.mor_rewrite_ratio,
+        )
+
+    def branches(self) -> dict:
+        """Live branches: name → {fork_epoch, created_unix, description}."""
+        return self.table.branches()
+
+    def drop_branch(self, name: str, force: bool = False) -> dict:
+        """Delete a branch and its fork pin; refuses to discard unmerged
+        commits unless ``force``. See SnapshotTable.drop_branch."""
+        return self.table.drop_branch(name, force=force)
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch's commits onto this table (Iceberg
+        ``fast_forward``) and remove the branch; ConflictError if this
+        table advanced past the fork. See SnapshotTable.fast_forward."""
+        return self.table.fast_forward(name)
+
     def vacuum(
         self,
         keep_last: int = 2,

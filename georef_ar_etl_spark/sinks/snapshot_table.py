@@ -76,6 +76,8 @@ STAGED_DIR = "staged-manifests"  # write-audit-publish: invisible until publishe
 DATA_DIR = "data"
 QUARANTINE_DIR = "quarantine"
 METRICS_LOG = "metrics.jsonl"
+BRANCHES_DIR = "branches"  # zero-copy named branches live under the root
+PARENT_REF = "../../"  # branch-manifest prefix for parent-owned data dirs
 
 # Freshness-token distrust window (see latest_manifest): a dir mtime
 # younger than this is never trusted, because a second same-tick commit
@@ -589,6 +591,64 @@ class SnapshotTable:
         return self._expired_cache
 
     # ---------------------------------------------------------------- clone
+    def _resolve_snapshot(
+        self,
+        epoch: int | None = None,
+        tag: str | None = None,
+        as_of: float | None = None,
+    ) -> dict | None:
+        """Resolve at most one of epoch / tag / as_of to a retained
+        manifest (default: head). Shared by clone_to and create_branch."""
+        if sum(x is not None for x in (tag, epoch, as_of)) > 1:
+            raise ValueError("pass at most one of tag / epoch / as_of")
+        if tag is not None:
+            return self.manifest_for_tag(tag)
+        if as_of is not None:
+            return self.manifest_as_of(as_of)
+        if epoch is not None:
+            return self.manifest_for_epoch(epoch)
+        return self.latest_manifest()
+
+    def _fork_ledgers(self, snap_epoch: int) -> tuple[dict[int, dict], dict[int, int]]:
+        """Exactly-once state a fork (clone or branch) at ``snap_epoch``
+        must carry: (expired-batches ledger of every batch committed
+        STRICTLY BEFORE the snapshot, rollback invalidations at or before
+        it). The snapshot's own batch is excluded — its retained manifest
+        already carries it on the fork."""
+        ledger: dict[int, dict] = {}
+        for bid, mm in self.committed_batches().items():
+            e = mm.get("epoch")
+            if e is None or e >= snap_epoch:
+                continue
+            ledger[int(bid)] = {
+                "batch_id": bid,
+                "batch_digest": mm["batch_digest"],
+                "epoch": e,
+                "expired": True,
+                "metrics": {"kind": "expired_redelivery"},
+                "total_rows": None,
+                "buckets": None,
+                "quarantine_rows": 0,
+            }
+        inv: dict[int, int] = {
+            b: e for b, e in self._invalidated_batches().items() if e <= snap_epoch
+        }
+        for mm in self.manifests():
+            if mm["epoch"] > snap_epoch:
+                continue
+            for bid in (mm.get("metrics") or {}).get("rolled_back_batch_ids", []):
+                inv[int(bid)] = max(inv.get(int(bid), -1), mm["epoch"])
+        return ledger, inv
+
+    @staticmethod
+    def _fsync_json_at(path: str, obj) -> None:
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
     def clone_to(
         self,
         dest_root: str,
@@ -623,16 +683,7 @@ class SnapshotTable:
         """
         import shutil
 
-        if sum(x is not None for x in (tag, epoch, as_of)) > 1:
-            raise ValueError("pass at most one of tag / epoch / as_of")
-        if tag is not None:
-            m = self.manifest_for_tag(tag)
-        elif as_of is not None:
-            m = self.manifest_as_of(as_of)
-        elif epoch is not None:
-            m = self.manifest_for_epoch(epoch)
-        else:
-            m = self.latest_manifest()
+        m = self._resolve_snapshot(epoch, tag, as_of)
         if m is None:
             raise RuntimeError("bootstrap the table before cloning")
         if os.path.isdir(os.path.join(dest_root, MANIFEST_DIR)) and any(
@@ -690,41 +741,11 @@ class SnapshotTable:
                 "bytes": sum(int(r["bytes"]) for r in res),
             }
 
-        # exactly-once ledger for the fork: every batch committed at or
-        # before the snapshot, except the snapshot's own (its retained
-        # manifest already carries it)
-        ledger: dict[int, dict] = {}
-        for bid, mm in self.committed_batches().items():
-            e = mm.get("epoch")
-            if e is None or e > snap_epoch or e == snap_epoch:
-                continue
-            ledger[int(bid)] = {
-                "batch_id": bid,
-                "batch_digest": mm["batch_digest"],
-                "epoch": e,
-                "expired": True,
-                "metrics": {"kind": "expired_redelivery"},
-                "total_rows": None,
-                "buckets": None,
-                "quarantine_rows": 0,
-            }
-        # rollback invalidations that happened at or before the fork
-        inv: dict[int, int] = {
-            b: e for b, e in self._invalidated_batches().items() if e <= snap_epoch
-        }
-        for mm in self.manifests():
-            if mm["epoch"] > snap_epoch:
-                continue
-            for bid in (mm.get("metrics") or {}).get("rolled_back_batch_ids", []):
-                inv[int(bid)] = max(inv.get(int(bid), -1), mm["epoch"])
-
-        def _fsync_json(path: str, obj) -> None:
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(obj, f, sort_keys=True)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, path)
+        # exactly-once ledger for the fork: every batch committed before
+        # the snapshot, except the snapshot's own (its retained manifest
+        # already carries it), plus rollback invalidations at/before it
+        ledger, inv = self._fork_ledgers(snap_epoch)
+        _fsync_json = self._fsync_json_at
 
         if ledger:
             _fsync_json(
@@ -758,6 +779,486 @@ class SnapshotTable:
             m,
         )
         return report
+
+    # --------------------------------------------------------------- branches
+    # Zero-copy named branches (Iceberg branch refs / Nessie branches): a
+    # branch is a standalone child table rooted at
+    # ``<root>/branches/<name>/`` whose fork manifest references the
+    # parent's data directories through ``../../``-relative paths — ZERO
+    # bytes copied at fork time (clone_to is the deep-copy sibling). The
+    # fork epoch is pinned on the parent with an auto-tag
+    # ``branch:<name>`` so parent vacuum can never sweep files the branch
+    # still reads; commits on the branch write data under the branch root
+    # and never touch the parent. ``fast_forward`` publishes the branch's
+    # commits back onto a parent whose head has not moved past the fork —
+    # Iceberg's ``fast_forward('main', branch)`` — by MOVING (os.rename,
+    # same filesystem by construction) the branch-local data dirs into the
+    # parent and re-linking the manifests with parent-root-relative paths,
+    # oldest first, each link atomic. At object-store scale the rel paths
+    # become absolute URIs and the renames become metadata-only manifest
+    # rewrites — the protocol (pin at fork, publish oldest-first, digest
+    # idempotence) is unchanged.
+    #
+    # Reference analogue: the reference rebuilds each entity table in
+    # place and has no snapshot forks at all
+    # (georef_ar_etl/process.py:206-257); branches are what its
+    # "re-run the pipeline and eyeball the diff" workflow becomes when the
+    # table is a 10^10-row training corpus you cannot rebuild to try a
+    # change.
+
+    def _branches_root(self) -> str:
+        return os.path.join(self.root, BRANCHES_DIR)
+
+    def _branch_root(self, name: str) -> str:
+        return os.path.join(self._branches_root(), name)
+
+    @staticmethod
+    def _check_branch_name(name: str) -> None:
+        if (
+            not name
+            or name != name.strip()
+            or any(c in name for c in "/\\:")
+            or name in (".", "..")
+        ):
+            raise ValueError(f"invalid branch name {name!r}")
+
+    @staticmethod
+    def _manifest_rels(m: dict) -> set[str]:
+        """Every data/quarantine rel-path a manifest references (the same
+        surface _referenced_dirs walks, for one manifest)."""
+        rels = {d for d in m["buckets"].values() if d}
+        for chain in (m.get("bucket_deltas") or {}).values():
+            rels.update(chain or [])
+        rels.update(d for d in (m.get("bucket_dvs") or {}).values() if d)
+        if m.get("dv_changes"):
+            rels.add(m["dv_changes"])
+        if m.get("quarantine_path"):
+            rels.add(m["quarantine_path"])
+        return rels
+
+    @staticmethod
+    def _rewrite_manifest_rels(m: dict, fn) -> dict:
+        """A copy of ``m`` with every referenced rel-path mapped through
+        ``fn`` (fork: prefix ``../../``; fast-forward: strip it)."""
+        out = dict(m)
+        out["buckets"] = {
+            b: (fn(d) if d else d) for b, d in m["buckets"].items()
+        }
+        if m.get("bucket_deltas"):
+            out["bucket_deltas"] = {
+                b: [fn(d) for d in chain]
+                for b, chain in m["bucket_deltas"].items()
+            }
+        if m.get("bucket_dvs"):
+            out["bucket_dvs"] = {b: fn(d) for b, d in m["bucket_dvs"].items()}
+        if m.get("dv_changes"):
+            out["dv_changes"] = fn(m["dv_changes"])
+        if m.get("quarantine_path"):
+            out["quarantine_path"] = fn(m["quarantine_path"])
+        return out
+
+    def branches(self) -> dict[str, dict]:
+        """name → branch metadata ({fork_epoch, created_unix, description})
+        for every live branch of this table."""
+        broot = self._branches_root()
+        out: dict[str, dict] = {}
+        if os.path.isdir(broot):
+            for name in sorted(os.listdir(broot)):
+                meta_p = os.path.join(broot, name, "branch.json")
+                try:
+                    with open(meta_p) as f:
+                        out[name] = json.load(f)
+                except FileNotFoundError:
+                    continue  # half-created fork — invisible until complete
+        return out
+
+    def create_branch(
+        self,
+        name: str,
+        epoch: int | None = None,
+        tag: str | None = None,
+        as_of: float | None = None,
+        description: str = "",
+    ) -> dict:
+        """Fork a ZERO-COPY branch at a snapshot (default: head). Returns
+        the branch metadata. The branch is a fully standalone table (open
+        it with ``branch(name)``, point a CdcEngine at its root): applies,
+        MOR deltas, DVs, compaction, vacuum and time travel all work, and
+        exactly-once carries over exactly as in ``clone_to`` — but no data
+        is copied: the fork manifest reads the parent's files in place.
+
+        Crash-safe: the pin tag lands first (idempotent), the branch's
+        fork manifest lands LAST — a half-created branch has no manifest,
+        is invisible to ``branches()``, and a re-run completes it."""
+        self._check_branch_name(name)
+        m = self._resolve_snapshot(epoch, tag, as_of)
+        if m is None:
+            raise RuntimeError("bootstrap the table before branching")
+        snap_epoch = int(m["epoch"])
+        broot = self._branch_root(name)
+        fork_manifest_p = os.path.join(
+            broot, MANIFEST_DIR, f"epoch-{snap_epoch:010d}.json"
+        )
+        existing = self.branches().get(name)
+        if existing is not None:
+            if int(existing["fork_epoch"]) != snap_epoch:
+                raise ConflictError(
+                    f"branch {name!r} already exists (forked at epoch "
+                    f"{existing['fork_epoch']}) — drop_branch() it first"
+                )
+            if os.path.exists(fork_manifest_p):
+                return existing  # idempotent re-create at the same snapshot
+            # else: a crashed half-fork at this snapshot — finish it below
+
+        # 1) pin the fork epoch on the parent BEFORE any branch state
+        # exists: from this point parent vacuum retains every file the
+        # fork manifest references. create_tag is idempotent for the same
+        # (name, epoch); a stale pin from a crashed drop_branch (branch dir
+        # gone, tag left behind) is re-pointed here.
+        pin = f"branch:{name}"
+        if existing is None and pin in self.tags() and int(
+            self.tags()[pin]["epoch"]
+        ) != snap_epoch:
+            self.drop_tag(pin)
+        self.create_tag(
+            pin, epoch=snap_epoch, description=f"fork pin for branch {name!r}"
+        )
+
+        os.makedirs(os.path.join(broot, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(broot, DATA_DIR), exist_ok=True)
+
+        # 2) exactly-once carry (same contract as clone_to)
+        ledger, inv = self._fork_ledgers(snap_epoch)
+        if ledger:
+            self._fsync_json_at(
+                os.path.join(broot, MANIFEST_DIR, "expired-batches.json"),
+                {str(k): v for k, v in ledger.items()},
+            )
+        if inv:
+            self._fsync_json_at(
+                os.path.join(broot, MANIFEST_DIR, "invalidated-batches.json"),
+                {str(k): v for k, v in inv.items()},
+            )
+
+        meta = {
+            "name": name,
+            "fork_epoch": snap_epoch,
+            "created_unix": time.time(),
+            "description": description,
+        }
+        self._fsync_json_at(os.path.join(broot, "branch.json"), meta)
+
+        # 3) fork manifest LAST — the branch's commit point. Parent rels
+        # become ../../-relative (branch root is two levels below root).
+        fork = self._rewrite_manifest_rels(m, lambda r: PARENT_REF + r)
+        self._fsync_json_at(fork_manifest_p, fork)
+        return meta
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Open a branch as a standalone SnapshotTable."""
+        self._check_branch_name(name)
+        if name not in self.branches():
+            raise KeyError(f"no branch {name!r}")
+        return SnapshotTable(self.spark, self._branch_root(name))
+
+    def drop_branch(self, name: str, force: bool = False) -> dict:
+        """Delete a branch and its pin tag. Refuses (ConflictError) when
+        the branch has unmerged commits beyond the fork unless ``force``—
+        those commits' data lives only under the branch root and is gone
+        with it (that is what force means)."""
+        import shutil
+
+        meta = self.branches().get(name)
+        if meta is None:
+            raise KeyError(f"no branch {name!r}")
+        bt = self.branch(name)
+        head = bt.latest_manifest()
+        n_unmerged = sum(
+            1 for mm in bt.manifests() if mm["epoch"] > int(meta["fork_epoch"])
+        )
+        if n_unmerged and not force:
+            raise ConflictError(
+                f"branch {name!r} has {n_unmerged} unmerged commit(s) beyond "
+                f"fork epoch {meta['fork_epoch']} (head "
+                f"{head['epoch'] if head else None}) — fast_forward() them "
+                f"or drop_branch(force=True) to discard"
+            )
+        shutil.rmtree(self._branch_root(name))
+        try:
+            self.drop_tag(f"branch:{name}")
+        except KeyError:
+            pass  # pin already dropped (crashed prior drop) — idempotent
+        return {"name": name, "discarded_commits": n_unmerged}
+
+    # main commit kinds that preserve visible row state — a branch may be
+    # fast-forwarded OVER them (the rebase re-anchors untouched buckets on
+    # the maintained head): compaction rewrites files, never rows. Every
+    # other foreign commit (applies, deletes, updates, DV erasures,
+    # renames, rescales, rollbacks) changes state or layout contracts and
+    # conflicts.
+    _FF_PRESERVING_KINDS = frozenset({"compaction"})
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch's commits onto this table and remove the
+        branch — Iceberg's ``fast_forward('main', branch)``. The table's
+        post-fork history must be EMPTY or visible-state-preserving
+        maintenance (compaction): branch epochs are renumbered onto the
+        current head and REBASED — buckets a branch epoch touched take the
+        branch's bases/deltas/DVs, untouched buckets keep the (possibly
+        since-compacted) head's — so routine maintenance on a 10^10-row
+        table never blocks merging an experiment. Any foreign
+        state-changing commit after the fork is a ConflictError, resolved
+        on the branch side (re-fork and re-apply, the rebase protocol).
+
+        Crash-safe and idempotent: the whole chain is validated with ZERO
+        mutation first; then per epoch, branch-local data dirs are MOVED
+        into the parent under their assigned epoch number (atomic per-dir
+        rename; dirs without a manifest are invisible orphans the sweep
+        guard protects), and the manifest link is the commit point — each
+        published manifest records ``metrics.fast_forward`` provenance, so
+        a re-run after any crash skips the already-published prefix by
+        provenance + digest and finishes the rest (resume BEFORE running
+        further maintenance, so epoch assignment is stable)."""
+        import re as _re
+        import shutil
+
+        meta = self.branches().get(name)
+        if meta is None:
+            raise KeyError(f"no branch {name!r}")
+        bt = self.branch(name)
+        if bt.staged_manifests():
+            raise ConflictError(
+                f"branch {name!r} has staged (unpublished) snapshots — "
+                f"publish_staged() or abandon_staged() them first"
+            )
+        fork_epoch = int(meta["fork_epoch"])
+        bms = bt.manifests()
+        chain = sorted(
+            (mm for mm in bms if mm["epoch"] > fork_epoch),
+            key=lambda mm: mm["epoch"],
+        )
+
+        # ---- validate the fork point and classify post-fork table history
+        main_ms = self.manifests()
+        fork_here = next(
+            (mm for mm in main_ms if mm["epoch"] == fork_epoch), None
+        )
+        bfork = next((mm for mm in bms if mm["epoch"] == fork_epoch), None)
+        if (
+            fork_here is None
+            or bfork is None
+            or fork_here.get("batch_digest") != bfork.get("batch_digest")
+        ):
+            raise ConflictError(
+                f"fork epoch {fork_epoch} of branch {name!r} is no longer "
+                f"this table's history (rolled back or vacuumed) — re-fork "
+                f"and re-apply the branch work"
+            )
+        by_bepoch = {mm["epoch"]: mm for mm in chain}
+        mapping: dict[int, int] = {}  # branch epoch -> published table epoch
+        for mm in main_ms:
+            if mm["epoch"] <= fork_epoch:
+                continue
+            prov = (mm.get("metrics") or {}).get("fast_forward")
+            if prov and prov.get("branch") == name:
+                src_mm = by_bepoch.get(int(prov["branch_epoch"]))
+                if src_mm is None or src_mm.get("batch_digest") != mm.get(
+                    "batch_digest"
+                ):
+                    raise ConflictError(
+                        f"epoch {mm['epoch']} carries fast-forward "
+                        f"provenance for branch {name!r} but does not match "
+                        f"its chain — a different fork of the same name was "
+                        f"merged here; re-fork under a new name"
+                    )
+                mapping[int(prov["branch_epoch"])] = mm["epoch"]
+            elif (mm.get("metrics") or {}).get(
+                "kind"
+            ) in self._FF_PRESERVING_KINDS:
+                continue  # compaction: rows identical, rebase re-anchors on it
+            else:
+                raise ConflictError(
+                    f"table head {self.latest_manifest()['epoch']} is not on "
+                    f"branch {name!r} (fork {fork_epoch}): epoch "
+                    f"{mm['epoch']} "
+                    f"({(mm.get('metrics') or {}).get('kind')}) changed "
+                    f"state after the fork — the table advanced "
+                    f"independently; re-fork and re-apply the branch work"
+                )
+        remaining = [mm for mm in chain if mm["epoch"] not in mapping]
+        head = self.latest_manifest()
+        head_epoch = head["epoch"]
+        nxt = head_epoch + 1
+        for mm in remaining:
+            mapping[mm["epoch"]] = nxt
+            nxt += 1
+
+        ep_re = _re.compile(r"epoch=(\d+)")
+
+        def pub_rel(rel: str) -> str:
+            """Map a branch-manifest rel path into the table's namespace:
+            parent refs drop their ../../; branch-written dirs move to
+            their assigned epoch number."""
+            if rel.startswith(PARENT_REF):
+                return rel[len(PARENT_REF):]
+            hit = ep_re.search(rel)
+            if not hit or int(hit.group(1)) not in mapping:
+                raise RuntimeError(
+                    f"branch {name!r} references unmappable path {rel!r}"
+                )
+            k = int(hit.group(1))
+            return f"{rel[:hit.start()]}epoch={mapping[k]}{rel[hit.end():]}"
+
+        # ---- publish oldest-first, rebasing each epoch's maps onto the
+        # running head maps (sequential overlay)
+        published: list[int] = []
+        base_nb = int(head["n_buckets"])
+        base_buckets = dict(head["buckets"])
+        base_counts = dict(head["bucket_counts"])
+        base_deltas = dict(head.get("bucket_deltas") or {})
+        base_dvs = dict(head.get("bucket_dvs") or {})
+        prev_epoch = head_epoch
+        for mm in remaining:
+            # move this epoch's branch-local dirs into the table
+            for rel in sorted(self._manifest_rels(mm)):
+                if rel.startswith(PARENT_REF):
+                    continue
+                src = os.path.join(bt.root, rel)
+                dst = os.path.join(self.root, pub_rel(rel))
+                if os.path.isdir(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    if os.path.isdir(dst):
+                        # orphan at the target (a crashed writer's
+                        # pre-commit data) — the branch's dir is the one a
+                        # manifest is about to reference
+                        shutil.rmtree(dst)
+                    os.rename(src, dst)
+                elif not os.path.isdir(dst):
+                    raise RuntimeError(
+                        f"branch {name!r} epoch {mm['epoch']} references "
+                        f"{rel} which exists on neither side — branch "
+                        f"storage is corrupt"
+                    )
+
+            full_replace = (mm.get("metrics") or {}).get("kind") == (
+                "rescale"
+            ) or int(mm["n_buckets"]) != base_nb
+            if full_replace:
+                # rescale (or anything that re-cut the bucket space) wrote
+                # COMPLETE maps in its own numbering — they replace, never
+                # overlay
+                nb = {
+                    b: (pub_rel(d) if d else d)
+                    for b, d in mm["buckets"].items()
+                }
+                ncounts = dict(mm["bucket_counts"])
+                ndeltas = {
+                    b: [pub_rel(x) for x in ch]
+                    for b, ch in (mm.get("bucket_deltas") or {}).items()
+                }
+                ndvs = {
+                    b: pub_rel(d)
+                    for b, d in (mm.get("bucket_dvs") or {}).items()
+                }
+            else:
+                nb = dict(base_buckets)
+                ncounts = dict(base_counts)
+                ndeltas = dict(base_deltas)
+                ndvs = dict(base_dvs)
+                for b in mm["touched_buckets"]:
+                    sb = str(b)
+                    d = mm["buckets"].get(sb)
+                    nb[sb] = pub_rel(d) if d else d
+                    ncounts[sb] = mm["bucket_counts"].get(sb, 0)
+                    ch = (mm.get("bucket_deltas") or {}).get(sb)
+                    if ch:
+                        ndeltas[sb] = [pub_rel(x) for x in ch]
+                    else:
+                        ndeltas.pop(sb, None)
+                    dv = (mm.get("bucket_dvs") or {}).get(sb)
+                    if dv:
+                        ndvs[sb] = pub_rel(dv)
+                    else:
+                        ndvs.pop(sb, None)
+
+            pub = dict(mm)
+            pub["epoch"] = mapping[mm["epoch"]]
+            pub["parent"] = prev_epoch
+            pub["buckets"] = nb
+            pub["bucket_counts"] = ncounts
+            pub["bucket_deltas"] = ndeltas
+            pub["bucket_dvs"] = ndvs
+            pub["total_rows"] = sum(ncounts.values())
+            if mm.get("dv_changes"):
+                pub["dv_changes"] = pub_rel(mm["dv_changes"])
+            if mm.get("quarantine_path"):
+                pub["quarantine_path"] = pub_rel(mm["quarantine_path"])
+            pub["metrics"] = {
+                **(mm.get("metrics") or {}),
+                "fast_forward": {
+                    "branch": name,
+                    "branch_epoch": mm["epoch"],
+                    "fork_epoch": fork_epoch,
+                },
+            }
+            pub["committed_unix"] = time.time()
+
+            p = self._manifest_path(pub["epoch"])
+            ex = self._link_manifest(p, pub)
+            if ex is not None:
+                if ex.get("batch_digest") != pub.get("batch_digest"):
+                    raise ConflictError(
+                        f"epoch {pub['epoch']} was committed concurrently "
+                        f"with a different digest during fast-forward"
+                    )
+            else:
+                self._manifest_cache[os.path.basename(p)] = pub
+                self._latest_cache = pub
+                self._latest_token = None
+                self._log_commit_metrics(pub)
+            published.append(pub["epoch"])
+            prev_epoch = pub["epoch"]
+            base_nb = int(pub["n_buckets"])
+            base_buckets, base_counts = nb, ncounts
+            base_deltas, base_dvs = ndeltas, ndvs
+
+        # ---- merge post-fork exactly-once state the branch accrued
+        # (branch-side vacuum/rollback while diverged); fork-carried
+        # entries (epoch <= fork) are already the parent's own history
+        inv = {
+            b: e
+            for b, e in bt._invalidated_batches().items()
+            if e > fork_epoch
+        }
+        if inv:
+            self._merge_invalidated(inv)
+        b_expired = {
+            bid: rec
+            for bid, rec in bt._expired_batches().items()
+            if (rec.get("epoch") or -1) > fork_epoch
+        }
+        if b_expired:
+            cur = self._expired_batches()
+            for bid, rec in b_expired.items():
+                cur.setdefault(int(bid), rec)
+            self._fsync_json_at(
+                self._expired_path(), {str(k): v for k, v in cur.items()}
+            )
+            self._expired_cache = None
+            self._expired_token = None
+
+        # ---- the branch is merged: remove it and its pin
+        shutil.rmtree(self._branch_root(name))
+        try:
+            self.drop_tag(f"branch:{name}")
+        except KeyError:
+            pass
+        return {
+            "name": name,
+            "fork_epoch": fork_epoch,
+            "published_epochs": published,
+            "new_head": published[-1] if published else head_epoch,
+        }
 
     # ---------------------------------------------------------------- vacuum
     def vacuum(
