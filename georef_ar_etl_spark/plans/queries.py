@@ -7259,3 +7259,52 @@ def q157(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# --------------- q158: ZERO-COPY BRANCH + FAST-FORWARD ----------------------
+# Branch lifecycle end-to-end: batches 0-1 fold on the table, a ZERO-COPY
+# branch forks (no data copied — the branch reads the parent's files in
+# place under the fork pin), the PARENT runs routine maintenance
+# (compaction — visible-state-preserving, so it must NOT block the merge),
+# the branch replays the remaining batches (12-13 = the original 2-3,
+# id-shifted past the carried ledger; a pre-fork redelivery must
+# short-circuit on the branch), and fast_forward publishes the branch
+# chain back — renumbered past and REBASED over the interim compaction.
+# The PARENT's final state must equal the full undisturbed fold: same
+# oracle algebra as q24/q157; the machinery under test is the fork pin,
+# the carried exactly-once ledger, and the rebase publish.
+_Q158_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state
+"""
+
+
+@query("q158_branch_fast_forward", _Q158_SQL)
+def q158(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("branch_ff_q158", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    br = eng.create_branch("exp")
+    # routine parent maintenance while the experiment runs: rows
+    # identical, so the later fast-forward rebases over it
+    eng.compact(min_deltas=0)
+    # pre-fork redelivery on the branch is a verified no-op
+    br.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    late = events.filter(F.col("batch_id") >= 2).withColumn(
+        "batch_id", F.col("batch_id") + 10
+    )
+    br.replay(late, batch_ids=[12, 13])
+    rep = eng.fast_forward("exp")
+    if len(rep["published_epochs"]) != 2:
+        raise RuntimeError("q158 expected to publish exactly 2 branch epochs")
+    return eng.state().select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )
