@@ -362,6 +362,7 @@ class CdcEngine:
         cluster_by: list[str] | None = None,
         rows_per_file: int | None = None,
         max_commit_retries: int = 0,
+        bloom_cols: list[str] | None = None,
     ) -> dict | None:
         """Rewrite buckets carrying pending merge-on-read deltas into fresh
         base files (Iceberg rewrite_data_files analogue) — visible state
@@ -369,11 +370,14 @@ class CdcEngine:
         maintenance pair. ``cluster_by`` + ``rows_per_file`` = OPTIMIZE
         clustering: value-ordered multi-file buckets whose per-file zone
         maps make ``state(where=...)`` prune files, not just dirs; with
-        ``min_deltas=0`` it re-clusters clean buckets too."""
+        ``min_deltas=0`` it re-clusters clean buckets too. ``bloom_cols``
+        enables persistent per-column Bloom skipping for equality
+        predicates (sinks/zonemap.py) — set once, maintained by every
+        later write."""
         return self.table.compact(
             min_deltas=min_deltas, buckets=buckets,
             cluster_by=cluster_by, rows_per_file=rows_per_file,
-            max_commit_retries=max_commit_retries,
+            max_commit_retries=max_commit_retries, bloom_cols=bloom_cols,
         )
 
     def delete_keys_dv(
@@ -1082,6 +1086,7 @@ class CdcEngine:
                     mor_max_deltas=self.mor_max_deltas,
                     mor_rewrite_ratio=self.mor_rewrite_ratio,
                     bucket_dvs=bucket_dv_dirs,
+                    bloom_cols=latest.get("bloom_cols"),
                 ).collect()
                 parent_bases = latest["buckets"]
                 parent_deltas = latest.get("bucket_deltas") or {}
@@ -1168,7 +1173,9 @@ class CdcEngine:
                 ).drop("_key", "_action").withColumn(
                     "bucket", bucket_expr(F.col("doc_id"), nb)
                 )
-                written = self.table.write_data(epoch, new_buckets_df)
+                written = self.table.write_data(
+                    epoch, new_buckets_df, bloom_cols=latest.get("bloom_cols")
+                )
                 written_counts = None
                 bucket_lineage = None  # join path records counts only
                 merge_modes = {"delta": 0, "rewrite": len(written), "noop": 0}

@@ -140,6 +140,7 @@ def merge_copartitioned(
     mor_max_deltas: int = 4,
     mor_rewrite_ratio: float = 0.5,
     bucket_dvs: dict[int, str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """``batch``: validated change rows with ``op``, ``bucket`` and (when
     ``dedup_order``) the event-order column. ``bucket_files``: bucket →
@@ -324,7 +325,10 @@ def merge_copartitioned(
                     ddir = os.path.join(epoch_dir, f"delta={bucket}")
                     os.makedirs(ddir, exist_ok=True)
                     path = os.path.join(ddir, "delta-00000.parquet")
-                    write_delta(path, ups, eff_dels, payload_cols, arrow_schema, key)
+                    write_delta(
+                        path, ups, eff_dels, payload_cols, arrow_schema, key,
+                        bloom_cols=bloom_cols,
+                    )
                     mode = "delta"
             else:
                 keep = state[~state_keys.isin(dels) & ~state_keys.isin(ups[key])]
@@ -340,7 +344,7 @@ def merge_copartitioned(
                 # footer-derived map carries the per-file section the reader
                 # uses for file-level pruning (one file here, so it mirrors
                 # the dir rollup — cheap: one footer just written, in cache)
-                write_zonemap(bdir, zonemap_from_footers(bdir))
+                write_zonemap(bdir, zonemap_from_footers(bdir, bloom_cols=bloom_cols))
                 rows_after = len(merged)
                 mode = "rewrite"
             out.append((

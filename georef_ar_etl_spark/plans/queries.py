@@ -7308,3 +7308,49 @@ def q158(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+# ---------------- q159: BLOOM-FILTER PRUNED POINT PROBES --------------------
+# Column Bloom skipping (sinks/zonemap.py column blooms): equality / IN
+# probes on the HIGH-CARDINALITY key column, where min/max zone maps keep
+# every hash bucket because each spans the whole id domain. The q24 replay
+# builds real physical state, one indexing compact() persists
+# bloom_cols=[doc_id, source] in the manifest, and the remaining batches
+# fold as merge-on-read deltas whose sidecars must maintain the blooms
+# (a delta dropped by a stale bloom would resurrect superseded rows). The
+# probe set is every multiple-of-7 id under 600 — present keys, updated
+# keys, deleted keys and never-existing keys — and the oracle filters the
+# algebraic replay state with the equivalent predicate, so a wrong skip
+# anywhere in the base+delta chain breaks the value hash. Pruning
+# effectiveness (dirs actually skipped on point probes) is asserted in
+# tests/test_bloom_skipping.py; here the driver proves the bloom path
+# never changes answers.
+_Q159_SQL = f"""
+    WITH {_Q24_BASE_CTES},{_q24_state_ctes("", "TRUE")}
+    SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_fp, n_tok, source
+    FROM state
+    WHERE doc_id::BIGINT % 7 = 0 AND doc_id::BIGINT < 600
+"""
+
+
+@query("q159_bloom_pruned_probes", _Q159_SQL)
+def q159(spark, sf_dir):
+    from georef_ar_etl_spark.engine import CdcEngine
+
+    initial, events = _q24_inputs(spark, sf_dir)
+    root = _ephemeral_table_root("bloom_q159", sf_dir)
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.bootstrap(initial)
+    eng.replay(events.filter(F.col("batch_id") <= 1), batch_ids=[0, 1])
+    # one-time indexing rewrite; the column list persists in the manifest
+    eng.compact(min_deltas=0, bloom_cols=["doc_id", "source"])
+    # later batches land as MOR deltas — their sidecars carry blooms too
+    eng.replay(events.filter(F.col("batch_id") >= 2), batch_ids=[2, 3])
+    probe_ids = [f"{i:013d}" for i in range(0, 600, 7)]
+    st = eng.state(where=[("doc_id", "in", probe_ids)])
+    return st.select(
+        "doc_id",
+        _arr_fp(F.col("tokens")).alias("tokens_fp"),
+        "n_tok",
+        "source",
+    )

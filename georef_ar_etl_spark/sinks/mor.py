@@ -240,6 +240,7 @@ def write_delta(
     payload_cols: list[str],
     arrow_schema: pa.Schema,
     key: str = "doc_id",
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write one delta file (upserts + tombstones, sorted by key so task
     retries produce identical bytes). Returns the row count written."""
@@ -264,6 +265,10 @@ def write_delta(
     write_bloom_sidecar(os.path.dirname(path), full[key].astype(str))
     # column zone-map sidecar for value-predicate scan planning — same
     # lifecycle; computed over the full frame (tombstones' null payload
-    # lands in nulls_only, so an all-tombstone delta still excludes)
-    write_zonemap(os.path.dirname(path), zonemap_from_pandas(full))
+    # lands in nulls_only, so an all-tombstone delta still excludes).
+    # bloom_cols (the manifest's column-bloom list) keeps equality
+    # skipping alive on fresh deltas, not just compacted bases
+    write_zonemap(
+        os.path.dirname(path), zonemap_from_pandas(full, bloom_cols=bloom_cols)
+    )
     return len(full)

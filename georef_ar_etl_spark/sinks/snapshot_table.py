@@ -1493,6 +1493,7 @@ class SnapshotTable:
         cluster_by: list[str] | None = None,
         rows_per_file: int | None = None,
         max_commit_retries: int = 0,
+        bloom_cols: list[str] | None = None,
     ) -> dict | None:
         """Rewrite every bucket carrying >= ``min_deltas`` pending
         merge-on-read deltas into fresh base files and commit the result as a
@@ -1509,6 +1510,16 @@ class SnapshotTable:
         With cluster_by set, min_deltas=0 additionally rewrites CLEAN
         buckets — re-clustering is useful work even without pending deltas.
 
+        ``bloom_cols`` enables per-column Bloom-filter skipping (sinks/
+        zonemap.py column blooms) for EQUALITY predicates on the listed
+        columns — the Delta/Parquet bloom-index move for high-cardinality
+        UNCLUSTERED columns where min/max bounds prune nothing. The list
+        persists in the manifest (like colmap), so every later write —
+        merge rewrites, MOR deltas, row-op deltas, rescale, the next
+        compaction — maintains the blooms without re-passing it; pass
+        ``[]`` to disable. Pre-bloom dirs simply never skip, so enabling
+        is always safe.
+
         The rewrite reads through the MOR-resolving ``read_state`` so the
         visible state is unchanged by construction. Returns the committed
         manifest, or None when no bucket qualifies. Commit is the usual
@@ -1523,9 +1534,22 @@ class SnapshotTable:
             # physical frame
             cm = self.colmap(m)
             cluster_by = [cm.get(c, c) for c in cluster_by]
+        # an EXPLICIT non-empty bloom_cols is an indexing request: with
+        # min_deltas=0 it rewrites clean buckets too (like re-clustering),
+        # so enabling blooms on a quiet table is one compact() call.
+        # Inherited blooms don't widen the rewrite set — routine compaction
+        # maintains them on whatever it rewrites anyway.
+        explicit_index = bool(bloom_cols)
+        if bloom_cols is not None:
+            # caller names bloom columns logically too; the manifest (and
+            # the sidecars) speak physical names
+            cm = self.colmap(m)
+            bloom_cols = [cm.get(c, c) for c in bloom_cols]
+        else:
+            bloom_cols = m.get("bloom_cols")  # inherit the table's setting
         deltas_map = m.get("bucket_deltas") or {}
         dvs_map = m.get("bucket_dvs") or {}
-        if cluster_by and min_deltas == 0:
+        if (cluster_by or explicit_index) and min_deltas == 0:
             dirty = sorted(
                 int(b)
                 for b in m["buckets"]
@@ -1557,6 +1581,7 @@ class SnapshotTable:
             cluster_by=cluster_by,
             rows_per_file=rows_per_file,
             only_buckets=dirty,
+            bloom_cols=bloom_cols,
         )
         return self.write_manifest(
             epoch=epoch,
@@ -1571,6 +1596,7 @@ class SnapshotTable:
                 "wall_sec": round(time.time() - t0, 3),
             },
             max_commit_retries=max_commit_retries,
+            bloom_cols=bloom_cols,
         )
 
     # --------------------------------------------------------------- rescale
@@ -1608,7 +1634,9 @@ class SnapshotTable:
             .drop("bucket")
             .withColumn("bucket", bucket_expr(F.col("doc_id"), new_n_buckets))
         )
-        written = self.write_data(epoch, df, n_buckets=new_n_buckets)
+        written = self.write_data(
+            epoch, df, n_buckets=new_n_buckets, bloom_cols=m.get("bloom_cols")
+        )
         return self.write_manifest(
             epoch=epoch,
             schema=schema,
@@ -2529,6 +2557,7 @@ class SnapshotTable:
 
         key_col = schema.fields[0].name
         payload_cols = [f.name for f in schema.fields]
+        bloom_cols = m.get("bloom_cols")  # column-bloom upkeep on delta links
         arrow_schema = pa.schema(
             [pa.field(f.name, _to_arrow(f.dataType)) for f in schema.fields]
         )
@@ -2558,6 +2587,7 @@ class SnapshotTable:
                 write_delta(
                     os.path.join(ddir, "delta-00000.parquet"),
                     ups, dels, payload_cols, arrow_schema, key=key_col,
+                    bloom_cols=bloom_cols,
                 )
                 yield pd.DataFrame(
                     {
@@ -2605,6 +2635,7 @@ class SnapshotTable:
 
         key_col = schema.fields[0].name
         payload_cols = [f.name for f in schema.fields]
+        bloom_cols = m.get("bloom_cols")  # column-bloom upkeep on delta links
         arrow_schema = pa.schema(
             [pa.field(f.name, _to_arrow(f.dataType)) for f in schema.fields]
         )
@@ -2630,6 +2661,7 @@ class SnapshotTable:
                 path = os.path.join(ddir, "delta-00000.parquet")
                 write_delta(
                     path, grp, [], payload_cols, arrow_schema, key=key_col,
+                    bloom_cols=bloom_cols,
                 )
                 yield pd.DataFrame(
                     {"bucket": [int(b)], "updated": [len(grp)]}
@@ -2665,6 +2697,7 @@ class SnapshotTable:
 
         key_col = schema.fields[0].name
         payload_cols = [f.name for f in schema.fields]
+        bloom_cols = m.get("bloom_cols")  # column-bloom upkeep on delta links
         arrow_schema = pa.schema(
             [pa.field(f.name, _to_arrow(f.dataType)) for f in schema.fields]
         )
@@ -2685,6 +2718,7 @@ class SnapshotTable:
                 write_delta(
                     path, pd.DataFrame(columns=payload_cols), dels,
                     payload_cols, arrow_schema, key=key_col,
+                    bloom_cols=bloom_cols,
                 )
                 yield pd.DataFrame(
                     {"bucket": [int(b)], "deleted": [len(dels)]}
@@ -2724,6 +2758,7 @@ class SnapshotTable:
         dvs_map = m.get("bucket_dvs") or {}
         key_col = schema.fields[0].name
         payload_cols = [f.name for f in schema.fields]
+        bloom_cols = m.get("bloom_cols")  # column-bloom upkeep on delta links
         arrow_schema = pa.schema(
             [pa.field(f.name, _to_arrow(f.dataType)) for f in schema.fields]
         )
@@ -2771,6 +2806,7 @@ class SnapshotTable:
                         write_delta(
                             path, pd.DataFrame(columns=payload_cols),
                             dels, payload_cols, arrow_schema, key=key_col,
+                            bloom_cols=bloom_cols,
                         )
                     yield pd.DataFrame(
                         {
@@ -3747,6 +3783,7 @@ class SnapshotTable:
         cluster_by: list[str] | None = None,
         rows_per_file: int | None = None,
         only_buckets: list[int] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict[int, str]:
         """Write (payload + bucket) rows under data/epoch=K, one directory per
         bucket, deterministically sorted within files by the payload columns
@@ -3795,8 +3832,12 @@ class SnapshotTable:
                     # zone-map sidecar from the freshly written footers —
                     # kilobytes of metadata per file, no data pages; the
                     # same harvest Iceberg's add_files does at commit time
+                    # (bloom_cols additionally reads those columns back
+                    # while the files are page-cache warm)
                     full = os.path.join(epoch_dir, name)
-                    write_zonemap(full, zonemap_from_footers(full))
+                    write_zonemap(
+                        full, zonemap_from_footers(full, bloom_cols=bloom_cols)
+                    )
         return out
 
     def write_quarantine(self, df: DataFrame, epoch: int) -> str | None:
@@ -3824,6 +3865,7 @@ class SnapshotTable:
         cluster_by: list[str] | None = None,
         rows_per_file: int | None = None,
         only_buckets: list[int] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict[int, str]:
         """Write the epoch's touched-bucket data files (NOT yet committed —
         an orphan epoch dir without a manifest is invisible and harmless).
@@ -3834,7 +3876,7 @@ class SnapshotTable:
         return self._write_buckets(
             new_buckets_df, epoch, n_buckets,
             cluster_by=cluster_by, rows_per_file=rows_per_file,
-            only_buckets=only_buckets,
+            only_buckets=only_buckets, bloom_cols=bloom_cols,
         )
 
     @staticmethod
@@ -4019,6 +4061,7 @@ class SnapshotTable:
         max_commit_retries: int = 0,
         colmap: dict[str, str] | None = None,
         dropped_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict:
         """Atomically publish the manifest — THE commit point. Idempotent:
         same epoch + same digest returns the existing manifest.
@@ -4075,6 +4118,7 @@ class SnapshotTable:
                     quarantine_path, quarantine_rows, written_counts,
                     written_deltas, rescale_to, staged, written_dvs,
                     dv_changes, max_commit_retries - 1, colmap, dropped_cols,
+                    bloom_cols,
                 )
             raise ConflictError(
                 f"epoch {epoch} already committed with a different digest"
@@ -4130,6 +4174,10 @@ class SnapshotTable:
             colmap = (parent or {}).get("colmap") or {}
         if dropped_cols is None:
             dropped_cols = (parent or {}).get("dropped_cols") or []
+        # column-bloom list inherits the same way (compact(bloom_cols=…)
+        # sets it; [] explicitly clears it)
+        if bloom_cols is None:
+            bloom_cols = (parent or {}).get("bloom_cols") or []
 
         manifest = {
             "epoch": epoch,
@@ -4154,6 +4202,8 @@ class SnapshotTable:
             manifest["colmap"] = colmap
         if dropped_cols:
             manifest["dropped_cols"] = dropped_cols
+        if bloom_cols:
+            manifest["bloom_cols"] = list(bloom_cols)
         if staged:
             manifest["staged"] = True
             existing = self._link_manifest(self._staged_path(epoch), manifest)
@@ -4180,6 +4230,7 @@ class SnapshotTable:
                     quarantine_path, quarantine_rows, written_counts,
                     written_deltas, rescale_to, staged, written_dvs,
                     dv_changes, max_commit_retries - 1, colmap, dropped_cols,
+                    bloom_cols,
                 )
             raise ConflictError(
                 f"epoch {epoch} was committed concurrently with a different "

@@ -54,6 +54,7 @@ post-read ``.filter``.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -65,6 +66,152 @@ from pyspark.sql import functions as F
 ZONEMAP_SIDECAR = "_zonemap.json"
 
 _OPS = {"=", "<", "<=", ">", ">=", "in"}
+
+# ------------------------------------------------------------ column blooms
+# Per-column Bloom filters inside the zone-map sidecar — the Parquet/Delta
+# column-bloom-index idea at the table format's skipping granularity. Zone
+# maps answer range predicates; on a HIGH-CARDINALITY UNCLUSTERED column
+# every file's [min, max] spans the whole domain and an equality probe
+# (`trace_id = 'x'`) prunes nothing. The bloom answers exactly that probe:
+# bit-absent proves the value absent from the file/dir, so `=` / `in`
+# predicates skip the same way range predicates do — conservatively, never
+# wrongly (a bloom has false POSITIVES only: a kept dir may still miss, an
+# excluded dir provably cannot match).
+#
+# Enabled per table via ``SnapshotTable.compact(bloom_cols=[...])`` — the
+# column list persists in the manifest (like colmap) and every later write
+# path maintains it: bulk writes/compaction/rescale harvest from the
+# freshly written parquet (one column read per file), merge tasks and
+# row-op delta writers build it from the pandas frame they already hold.
+# Dir absent a bloom (pre-bloom epochs, unsupported value type) is always
+# kept. Only string and integer columns carry blooms: float equality is
+# representation-fragile across engines, and a bloom that misses one value
+# would exclude WRONGLY — unsupported types drop the whole column's bloom.
+BLOOM_COL_BITS = 131072  # 16 KiB/column/file; ~0.1% fp at 10k distinct, k=5
+BLOOM_COL_K = 5
+
+
+def _bloom_encode(v) -> str | None:
+    """Type-tagged canonical encoding shared by build and probe. None =>
+    unsupported (a build drops the column's bloom; a probe never excludes).
+    Tags keep int 5 and str '5' distinct — a cross-type probe must not
+    alias into a present value's bits."""
+    if v is None:
+        return None
+    if hasattr(v, "item"):  # numpy scalar from pandas/arrow
+        v = v.item()
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return None
+
+
+def _bloom_positions(enc: str, n_bits: int, k: int) -> list[int]:
+    """Kirsch–Mitzenmacher double hashing: ONE md5 per value, k derived
+    probes — same positions at build and probe time by construction."""
+    d = hashlib.md5(enc.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd step → full period
+    return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+def column_bloom(values, n_bits: int = BLOOM_COL_BITS, k: int = BLOOM_COL_K):
+    """Bloom dict over an iterable of (deduped) column values, or None when
+    any value fails to encode — a partial bloom would exclude wrongly.
+    ``vt`` records which type tags the column holds so a CROSS-TYPE probe
+    (str literal against an int column — Spark's implicit cast can still
+    match it) keeps instead of wrong-skipping, mirroring the range check's
+    mixed-type never-excludes rule."""
+    bits = bytearray(n_bits // 8)
+    tags = set()
+    for v in values:
+        enc = _bloom_encode(v)
+        if enc is None:
+            return None
+        tags.add(enc[0])
+        for p in _bloom_positions(enc, n_bits, k):
+            bits[p >> 3] |= 0x80 >> (p & 7)
+    return {
+        "n_bits": n_bits, "k": k, "vt": sorted(tags),
+        "bits": bytes(bits).hex(),
+    }
+
+
+def bloom_might_contain(bloom: dict, lit) -> bool:
+    """False only when the literal is PROVABLY absent. Unsupported literal
+    types, and cross-type probes (tag not among the column's ``vt``), can't
+    be proven absent → True (keep)."""
+    enc = _bloom_encode(lit)
+    if enc is None:
+        return True
+    try:
+        if enc[0] not in bloom["vt"]:
+            return True  # cross-type: implicit casts could still match
+        bits = bytes.fromhex(bloom["bits"])
+        n_bits, k = int(bloom["n_bits"]), int(bloom["k"])
+    except (KeyError, ValueError, TypeError):
+        return True  # corrupt sidecar section: keep, never wrong-skip
+    return all(
+        bits[p >> 3] & (0x80 >> (p & 7))
+        for p in _bloom_positions(enc, n_bits, k)
+    )
+
+
+def _bloom_excludes(bloom: dict, op: str, lit) -> bool:
+    """True iff the bloom proves no row can satisfy ``col op lit``."""
+    if op == "=":
+        return lit is not None and not bloom_might_contain(bloom, lit)
+    if op == "in":
+        vals = [v for v in lit if v is not None]
+        return bool(vals) and all(
+            not bloom_might_contain(bloom, v) for v in vals
+        )
+    return False
+
+
+def _merge_blooms(maps: list[dict]) -> dict:
+    """Dir-level rollup: bitwise OR of per-file blooms, a column kept only
+    when EVERY member file carries a same-shape bloom for it (a missing
+    member could exclude wrongly). The union stays a valid bloom of the
+    dir's value set because all files share n_bits/k/seedless hashing."""
+    out: dict = {}
+    if not maps:
+        return out
+    shared = set(maps[0].get("blooms") or {})
+    for m in maps[1:]:
+        shared &= set(m.get("blooms") or {})
+    for c in shared:
+        bls = [m["blooms"][c] for m in maps]
+        n_bits, k = bls[0]["n_bits"], bls[0]["k"]
+        if any(b["n_bits"] != n_bits or b["k"] != k for b in bls):
+            continue
+        acc = bytearray(bytes.fromhex(bls[0]["bits"]))
+        for b in bls[1:]:
+            for i, byte in enumerate(bytes.fromhex(b["bits"])):
+                acc[i] |= byte
+        vt = sorted({t for b in bls for t in (b.get("vt") or [])})
+        out[c] = {
+            "n_bits": n_bits, "k": k, "vt": vt, "bits": bytes(acc).hex(),
+        }
+    return out
+
+
+def _bloom_from_parquet(path: str, col: str):
+    """Column bloom of one parquet file from a single-column read — the
+    only write path that doesn't already hold the rows (driver-side bulk
+    writes harvest footers; blooms need the values). One column, distinct
+    values only: kilobytes moved for a 16 KiB index."""
+    import pyarrow.compute as pc
+
+    pf = pq.ParquetFile(path)
+    if col not in pf.schema_arrow.names:
+        return None
+    tbl = pq.read_table(path, columns=[col])
+    uniq = pc.unique(tbl.column(0))
+    return column_bloom(v for v in uniq.to_pylist() if v is not None)
 
 # column types the sidecar keeps bounds for; everything else (arrays,
 # structs, binary) is simply absent → never excludes
@@ -85,11 +232,22 @@ def _json_safe(v):
     return None
 
 
-def zonemap_from_pandas(pdf, cols=None) -> dict:
+def zonemap_from_pandas(pdf, cols=None, bloom_cols=None) -> dict:
     """Zone map of a pandas frame (the rows a merge/delta task is about to
     write). ``cols`` limits which columns are mapped (default: all supported).
-    """
+    ``bloom_cols`` additionally builds per-column Bloom filters (see the
+    column-bloom block above) from the frame's distinct values."""
     out: dict = {"rows": int(len(pdf)), "cols": {}, "nulls_only": {}}
+    if bloom_cols:
+        blooms = {}
+        for c in bloom_cols:
+            if c not in pdf.columns:
+                continue
+            bl = column_bloom(pdf[c].dropna().unique())
+            if bl is not None:
+                blooms[c] = bl
+        if blooms:
+            out["blooms"] = blooms
     for c in cols if cols is not None else pdf.columns:
         if c not in pdf.columns:
             continue
@@ -181,21 +339,35 @@ def _merge_zonemaps(maps: list[dict]) -> dict:
         no_shared &= set(m.get("nulls_only") or {})
     for c in no_shared:
         out["nulls_only"][c] = sum(int(m["nulls_only"][c]) for m in maps)
+    blooms = _merge_blooms(maps)
+    if blooms:
+        out["blooms"] = blooms
     return out
 
 
-def zonemap_from_footers(dir_path: str) -> dict:
+def zonemap_from_footers(dir_path: str, bloom_cols=None) -> dict:
     """Zone map of a data dir from parquet footer statistics only: the
     dir-level rollup PLUS a per-file ``files`` section, so the reader can
     prune individual files inside a kept dir (the Iceberg per-data-file
     stats granularity — what makes skipping bite after a clustered
-    compaction splits a bucket into value-ordered files)."""
+    compaction splits a bucket into value-ordered files). ``bloom_cols``
+    additionally reads JUST those columns back from each freshly written
+    file (page cache warm — the writer just produced them) to build the
+    per-file and dir-rollup Bloom filters."""
     per_file: dict = {}
     for name in sorted(os.listdir(dir_path)):
         if name.endswith(".parquet"):
-            per_file[name] = _zonemap_from_one_footer(
-                os.path.join(dir_path, name)
-            )
+            path = os.path.join(dir_path, name)
+            zm = _zonemap_from_one_footer(path)
+            if bloom_cols:
+                blooms = {}
+                for c in bloom_cols:
+                    bl = _bloom_from_parquet(path, c)
+                    if bl is not None:
+                        blooms[c] = bl
+                if blooms:
+                    zm["blooms"] = blooms
+            per_file[name] = zm
     rolled = _merge_zonemaps(list(per_file.values()))
     rolled["files"] = per_file
     return rolled
@@ -264,7 +436,14 @@ def zone_excludes(zm: dict | None, where) -> bool:
     if zm.get("rows", 1) == 0:
         return True
     cols = zm.get("cols") or {}
+    blooms = zm.get("blooms") or {}
     for col, op, lit in where:
+        # bloom check first: it can exclude even when min/max keeps (the
+        # high-cardinality-equality case blooms exist for) and is
+        # independent of the bounds section
+        bl = blooms.get(col)
+        if bl is not None and op in ("=", "in") and _bloom_excludes(bl, op, lit):
+            return True
         st = cols.get(col)
         if st is None:
             # column has no bounds in this dir: either unsupported type
