@@ -184,6 +184,7 @@ def fs_classify(
     upper_milli: int,
     lower_milli: int,
     out_col: str = "fs_milli",
+    guard: Column | None = None,
 ) -> DataFrame:
     """Fellegi–Sunter record-linkage decision over candidate pairs: each
     rule is (agreement predicate over the pair row, agree weight,
@@ -201,6 +202,22 @@ def fs_classify(
     Scale posture: a pure projection over the candidate-pair stream —
     no shuffle, no Python; whatever partitioning the blocker produced
     flows through.
+
+    ``guard`` (optional) is the expensive-rule short-circuit: order the
+    rules cheapest-first and pass the predicate every row the CALLER
+    ultimately keeps must satisfy (e.g. the pair-dedup ``id_a < id_b``
+    that is already in the join condition). The LAST rule — the expensive
+    one, typically an edit distance — is then only evaluated on rows
+    passing ``guard`` whose partial score over the cheap rules can still
+    reach ``lower_milli``; every other row gets the clamped score
+    ``partial + min(aw, dw, 0)``, which is provably below ``lower_milli``
+    when the clamp came from the reachability bound. Contract: with
+    ``guard`` set, scores and verdicts are exact for every row that
+    satisfies ``guard`` — rows failing it may carry a clamped score and
+    MUST be dropped by the caller (they already are, by construction of
+    the guard). This is what makes a blocked Fellegi–Sunter pass scale:
+    the O(pairs) levenshtein only runs on the fraction of the candidate
+    stream whose cheap fields leave the verdict undecided.
     """
     if lower_milli > upper_milli:
         raise ValueError(
@@ -214,9 +231,29 @@ def fs_classify(
         .otherwise(F.lit(0))  # NULL predicate → abstain
         for cond, aw, dw in rules
     ]
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
+    if guard is not None and len(rules) >= 2:
+        lcond, law, ldw = rules[-1]
+        partial = terms[0]
+        for t in terms[1:-1]:
+            partial = partial + t
+        max_last = max(int(law), int(ldw), 0)
+        clamp = F.lit(int(min(int(law), int(ldw), 0)))
+        # arithmetic form so the (expensive) predicate is referenced ONCE:
+        # true → aw, false → dw, NULL → abstain 0 — the WHEN/WHEN shape
+        # would re-evaluate the predicate in its second branch
+        last = F.coalesce(
+            F.lit(int(ldw))
+            + F.lit(int(law) - int(ldw)) * lcond.cast("int"),
+            F.lit(0),
+        )
+        total = partial + F.when(
+            guard & (partial >= F.lit(int(lower_milli) - max_last)),
+            last,
+        ).otherwise(clamp)
+    else:
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
     score = total.cast("bigint").alias(out_col)
     return pairs.select("*", score).withColumn(
         "verdict",

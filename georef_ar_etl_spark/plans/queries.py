@@ -5483,19 +5483,35 @@ def q126(spark, sf_dir):
     ).select(
         F.col("a.c_custkey").alias("id_a"),
         F.col("b.c_custkey").alias("id_b"),
-        F.levenshtein("a.c_name", "b.c_name").alias("nd"),
+        # bounded levenshtein (guide §1.2 "per-task work"): the name rule
+        # only asks nd<=3, and levenshtein(l, r, 3) answers that with a
+        # banded O(3·n) scan + early exit instead of the full O(n²) matrix
+        # (returns -1 when the distance exceeds the bound, so nd>=0 ⇔
+        # nd<=3, NULL names still abstain)
+        F.levenshtein("a.c_name", "b.c_name", 3).alias("nd"),
         (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("seg"),
         (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 500).alias(
             "bal"
         ),
     )
+    # cheap rules first, the levenshtein rule LAST so fs_classify's guard
+    # only evaluates it when the seg/bal partial score can still reach the
+    # 'possible' threshold AND the pair is id-ordered (weights: any verdict
+    # ≥ 2500 needs seg_term + bal_term ≥ 2500 - 4170, i.e. seg OR bal —
+    # ~27% of the candidate stream pays the edit distance)
     rules = [
-        (F.col("nd") <= 3, *fs_weights(0.9, 0.05)),
         (F.col("seg"), *fs_weights(0.7, 0.2)),
         (F.col("bal"), *fs_weights(0.8, 0.1)),
+        (F.col("nd") >= 0, *fs_weights(0.9, 0.05)),
     ]
     return (
-        fs_classify(pairs, rules, upper_milli=6000, lower_milli=2500)
+        fs_classify(
+            pairs,
+            rules,
+            upper_milli=6000,
+            lower_milli=2500,
+            guard=F.col("id_a") < F.col("id_b"),
+        )
         .filter(F.col("fs_milli") >= 2500)
         .select("id_a", "id_b", "fs_milli", "verdict")
     )
