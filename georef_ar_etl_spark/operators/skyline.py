@@ -65,12 +65,27 @@ def skyline(df: DataFrame, dims: dict[str, str]) -> DataFrame:
         raise ValueError(f"directions must be 'min' or 'max', got {bad}")
     cols = list(dims)
     # negate max-dims once: everything below is pure MINIMIZE
-    pts = df.select(
+    raw = df.select(
         *[
             (F.col(c) if d == "min" else (-F.col(c))).alias(c)
             for c, d in dims.items()
         ]
-    ).dropna().distinct()
+    ).dropna()
+    # exact dominance-preserving pre-reduction in pure Catalyst (guide
+    # §4.1: built-ins before any Python boundary): among points equal on
+    # every dim but the last, only the one with the minimal last dim can
+    # be skyline (the others are dominated by it — equal elsewhere,
+    # strictly worse on the last). group-by + min is map-side combinable,
+    # subsumes the old distinct() (one shuffle on FEWER columns), and
+    # shrinks the frame crossing into the pandas prune from the full
+    # distinct point set to one row per dims[:-1] prefix — at sf1.0 that
+    # is 6M lineitem rows → 50 rows before Arrow ever moves a byte.
+    last = cols[-1]
+    pts = (
+        raw.groupBy(*cols[:-1]).agg(F.min(last).alias(last))
+        if len(cols) > 1
+        else raw.groupBy().agg(F.min(last).alias(last))
+    ).select(*cols)
 
     schema = pts.schema
 
