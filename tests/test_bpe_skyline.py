@@ -202,6 +202,57 @@ def test_set_similarity_join_exactness_vs_bruteforce(spark):
     assert fast == brute and len(brute) > 0
 
 
+def test_set_similarity_join_verify_paths_agree(spark, monkeypatch):
+    """The vectorized kernel verify (token sets broadcast, searchsorted
+    membership) and the array_intersect join fallback (cap=0 forces it)
+    must emit the identical pair set WITH identical rounded jaccards —
+    the two paths are the same operator at different scales."""
+    from georef_ar_etl_spark.operators.doc_dedup import set_similarity_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base[: 12 + (i * 5) % 40] + f" t{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    kernel = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in set_similarity_join(df, min_jaccard_pct=40, shingle_k=3).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_SIMJOIN_BCAST_BYTES", "0")
+    joinp = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in set_similarity_join(df, min_jaccard_pct=40, shingle_k=3).collect()
+    }
+    assert kernel == joinp and len(kernel) > 0
+
+
+def test_char_shingles_multibyte_matches_char_semantics(spark):
+    """The ASCII byte-slice fast path must leave multibyte rows on the
+    exact char-walk path: grams of a string with multibyte chars are
+    CHARACTER k-grams, never byte k-grams."""
+    from georef_ar_etl_spark.operators.text import char_shingles
+
+    df = spark.createDataFrame(
+        [(1, "añejo café"), (2, "plain ascii")], "id: long, t: string"
+    )
+    out = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id", char_shingles(F.col("t"), 3, pre_normalized=True).alias("g")
+        ).collect()
+    }
+
+    def ref(s, k=3):
+        grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
+        seen, outl = set(), []
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                outl.append(g)
+        return outl
+
+    assert out[1] == ref("añejo café")
+    assert out[2] == ref("plain ascii")
+
+
 def test_triangles_known_graph(spark):
     from georef_ar_etl_spark.operators.graph import triangles
 
