@@ -823,44 +823,43 @@ class CdcEngine:
         return n
 
     # ------------------------------------------------------------ apply batch
-    def apply_batch(
-        self,
-        events: DataFrame,
-        batch_id: int,
-        allow_out_of_order: bool = False,
-        stage: bool = False,
-    ) -> dict:
+    @staticmethod
+    def _schema_fp(manifest: dict) -> str:
+        """Fingerprint of the manifest surface the pre-pass depends on: the
+        physical schema, the logical→physical colmap and the dropped set.
+        Everything else a pre-pass hint carries (aligned/tagged frame,
+        digest, quarantine histogram, touched buckets) is a pure function
+        of (events, this surface, dim) — so a hint computed against an
+        OLDER manifest is valid for apply exactly when the fingerprints
+        match and the hint allocated nothing new."""
+        return json.dumps(
+            [
+                manifest["schema"],
+                manifest.get("colmap") or {},
+                sorted(manifest.get("dropped_cols") or []),
+            ],
+            sort_keys=True,
+        )
+
+    def prepass(self, events: DataFrame) -> dict:
+        """Run the state-independent half of ``apply_batch`` — schema
+        contract + alignment + invalid tagging + the ONE codegen'd digest
+        aggregate — and return it as a hint dict for
+        ``apply_batch(..., prepass_hint=...)``. Thread-safe: submit it for
+        batch N+1 while batch N's merge runs (guide §2.6 — the digest job
+        back-fills executor cores the merge's task tail leaves idle), which
+        removes the pre-pass from the serial per-batch critical path.
+        ``apply_batch`` validates the hint against the LIVE manifest and
+        silently recomputes when the table's schema surface moved (e.g. the
+        previous batch evolved the schema), so a stale hint can never
+        corrupt a commit."""
+        return self._prepass(events)
+
+    def _prepass(self, events: DataFrame) -> dict:
         t0 = time.time()
         latest = self.table.latest_manifest()
         if latest is None:
             raise RuntimeError("bootstrap() the table before applying batches")
-
-        # Driver round-trips per micro-batch are the serial cost that caps
-        # scaling efficiency: this pipeline runs exactly TWO Spark jobs per
-        # fresh batch — the codegen'd pre-pass aggregate (digest, quarantine
-        # histogram, touched buckets; doubles as idempotent-redelivery
-        # verification) and the merge+write — plus a quarantine side-output
-        # write only when something was actually quarantined. (A one-job
-        # variant via .observe() was measured 20% slower: CollectMetrics
-        # evaluates interpreted, per row, inside the merge stage.)
-        committed = self.table.committed_batches()
-
-        # replay-order guard: a late-arriving LOWER batch_id applied on top of
-        # later batches silently violates the (batch_id, seq) replay order the
-        # oracle defines (streaming foreachBatch only orders within one
-        # trigger). Idempotent re-delivery of a committed id is exempt —
-        # it proceeds to the digest verification below and returns a no-op.
-        if (
-            not allow_out_of_order
-            and batch_id not in committed
-            and committed
-            and batch_id < max(committed)
-        ):
-            raise OutOfOrderBatchError(
-                f"batch {batch_id} arrives after committed batch "
-                f"{max(committed)}; pass allow_out_of_order=True for an "
-                f"intentional backfill"
-            )
 
         # 1. schema contract + additive evolution. Events address columns by
         # LOGICAL name; the table's files keep their immutable PHYSICAL
@@ -987,6 +986,102 @@ class CdcEngine:
             if x >= 1 << 63:
                 x -= 1 << 64  # two's complement, matching Spark's signed bit_xor
             digest = f"{x if pre_rows else None}:{events_in}"
+        except BaseException:
+            if self.cache_batch:
+                tagged.unpersist()
+            raise
+        return {
+            "fp": self._schema_fp(latest),
+            # evolution allocated something (new logical column or fresh
+            # physical name) — the allocation embedded the epoch number, so
+            # such a hint is only valid inline, never across an overlap
+            "evolved": new_logical != logical_latest
+            or colmap != dict(latest.get("colmap") or {}),
+            "colmap": colmap,
+            "logical_latest": logical_latest,
+            "new_logical": new_logical,
+            "new_schema": new_schema,
+            "payload_cols": payload_cols,
+            "tagged": tagged,
+            "digest": digest,
+            "events_in": events_in,
+            "patch_rows": patch_rows,
+            "q_counts": q_counts,
+            "bucket_events": bucket_events,
+            "prepass_sec": round(time.time() - t0, 2),
+        }
+
+    def apply_batch(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        allow_out_of_order: bool = False,
+        stage: bool = False,
+        prepass_hint: dict | None = None,
+    ) -> dict:
+        t0 = time.time()
+        latest = self.table.latest_manifest()
+        if latest is None:
+            raise RuntimeError("bootstrap() the table before applying batches")
+
+        # Driver round-trips per micro-batch are the serial cost that caps
+        # scaling efficiency: this pipeline runs exactly TWO Spark jobs per
+        # fresh batch — the codegen'd pre-pass aggregate (digest, quarantine
+        # histogram, touched buckets; doubles as idempotent-redelivery
+        # verification) and the merge+write — plus a quarantine side-output
+        # write only when something was actually quarantined. (A one-job
+        # variant via .observe() was measured 20% slower: CollectMetrics
+        # evaluates interpreted, per row, inside the merge stage.) With a
+        # ``prepass_hint`` (replay_segments overlap, guide §2.6) the
+        # pre-pass job leaves this batch's critical path entirely.
+        committed = self.table.committed_batches()
+
+        # replay-order guard: a late-arriving LOWER batch_id applied on top of
+        # later batches silently violates the (batch_id, seq) replay order the
+        # oracle defines (streaming foreachBatch only orders within one
+        # trigger). Idempotent re-delivery of a committed id is exempt —
+        # it proceeds to the digest verification below and returns a no-op.
+        if (
+            not allow_out_of_order
+            and batch_id not in committed
+            and committed
+            and batch_id < max(committed)
+        ):
+            raise OutOfOrderBatchError(
+                f"batch {batch_id} arrives after committed batch "
+                f"{max(committed)}; pass allow_out_of_order=True for an "
+                f"intentional backfill"
+            )
+
+        pre = None
+        pre_overlapped = False
+        if prepass_hint is not None:
+            if (
+                not prepass_hint.get("evolved")
+                and prepass_hint["fp"] == self._schema_fp(latest)
+            ):
+                pre = prepass_hint
+                pre_overlapped = True
+            elif self.cache_batch:
+                # stale hint (schema surface moved since it was computed):
+                # recompute inline below; release its cached frame
+                prepass_hint["tagged"].unpersist()
+        if pre is None:
+            pre = self._prepass(events)
+        colmap = pre["colmap"]
+        logical_latest = pre["logical_latest"]
+        new_logical = pre["new_logical"]
+        new_schema = pre["new_schema"]
+        payload_cols = pre["payload_cols"]
+        tagged = pre["tagged"]
+        digest = pre["digest"]
+        events_in = pre["events_in"]
+        patch_rows = pre["patch_rows"]
+        q_counts = dict(pre["q_counts"])
+        bucket_events = dict(pre["bucket_events"])
+        logical_live = {f.name for f in logical_latest.fields}
+        nb = self.table.n_buckets
+        try:
             if batch_id in committed:
                 if committed[batch_id]["batch_digest"] != digest:
                     raise ConflictError(
@@ -1183,10 +1278,16 @@ class CdcEngine:
                 action_counts = {a: int(m_got[a]) for a in ACTIONS if m_got[a]}
 
             phases = {
+                # inline: schema+digest time; overlapped: the hint ran
+                # concurrently with the previous batch's merge, so only its
+                # validation lands on this batch's critical path — the
+                # hint's own duration is reported separately
                 "prepass": round(t_pre_done - t0, 2),
                 "quarantine_write": round(t_quar_done - t_pre_done, 2),
                 "merge_write": round(time.time() - t_quar_done, 2),
             }
+            if pre_overlapped:
+                phases["prepass_overlapped_sec"] = pre["prepass_sec"]
             wall = time.time() - t0
             metrics = {
                 "kind": "stage" if stage else "apply",
@@ -1332,12 +1433,25 @@ class CdcEngine:
             out.append(self.apply_batch(events.filter(F.col("batch_id") == b), b))
         return out
 
-    def replay_segments(self, segment_dir: str) -> list[dict]:
+    def replay_segments(
+        self, segment_dir: str, overlap_prepass: bool = True
+    ) -> list[dict]:
         """Replay WAL-segment files named ``batch-<id>.parquet`` (one file per
         batch_id — the layout streaming/apply.py documents and benchgen
         writes). Each batch reads ONLY its own file: no discovery scan, no
-        row-group pruning over the whole log."""
+        row-group pruning over the whole log.
+
+        ``overlap_prepass`` (default on): batch N+1's state-independent
+        pre-pass — schema contract, invalid tagging and the digest
+        aggregate — runs on a driver thread WHILE batch N merges and
+        commits (guide §2.6: concurrent jobs back-fill the cores the merge
+        stage's task tail frees), removing the pre-pass from the serial
+        per-batch critical path. Correctness never depends on the overlap:
+        ``apply_batch`` re-validates every hint against the live manifest
+        and recomputes inline if the previous batch moved the schema
+        surface."""
         import os as _os
+        from concurrent.futures import ThreadPoolExecutor
 
         segs = sorted(
             (int(n.split("-")[1].split(".")[0]), _os.path.join(segment_dir, n))
@@ -1345,6 +1459,29 @@ class CdcEngine:
             if n.startswith("batch-") and n.endswith(".parquet")
         )
         out = []
-        for batch_id, path in segs:
-            out.append(self.apply_batch(self.spark.read.parquet(path), batch_id))
+        if not overlap_prepass or len(segs) <= 1:
+            for batch_id, path in segs:
+                out.append(self.apply_batch(self.spark.read.parquet(path), batch_id))
+            return out
+        dfs = [(b, self.spark.read.parquet(p)) for b, p in segs]
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            try:
+                for i, (batch_id, ev) in enumerate(dfs):
+                    hint = fut.result() if fut is not None else None
+                    fut = (
+                        pool.submit(self.prepass, dfs[i + 1][1])
+                        if i + 1 < len(dfs)
+                        else None
+                    )
+                    out.append(self.apply_batch(ev, batch_id, prepass_hint=hint))
+            except BaseException:
+                # drain the in-flight hint so a failed apply doesn't leak
+                # its cached frame (persist only happens under cache_batch)
+                if fut is not None and self.cache_batch:
+                    try:
+                        fut.result()["tagged"].unpersist()
+                    except Exception:
+                        pass
+                raise
         return out

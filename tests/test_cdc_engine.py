@@ -339,3 +339,106 @@ def test_spread_input_matches_oracle(spark, tmp_path, smoke_data):
     eng.replay(datagen.events_to_df(spark, events))
     oracle_state, _ = apply_events({r["doc_id"]: dict(r) for r in initial}, events)
     assert_state_equals_oracle(eng, oracle_state)
+
+
+def _write_wal(spark, tmp_path, batches):
+    import os
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal, exist_ok=True)
+    for b, evs in batches:
+        d = str(tmp_path / f"seg{b}")
+        datagen.events_to_df(spark, evs).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.replace(os.path.join(d, part), os.path.join(wal, f"batch-{b}.parquet"))
+    return wal
+
+
+def test_replay_segments_overlap_matches_sequential_across_evolution(
+    spark, tmp_path
+):
+    """The overlapped pre-pass (batch N+1's digest running during batch N's
+    merge) must be invisible to the result — including when a mid-stream
+    batch EVOLVES the schema, which invalidates the in-flight hint and
+    forces the inline recompute path."""
+    initial = datagen.gen_initial_state(40, seed=91, max_len=6)
+    ids = [r["doc_id"] for r in initial]
+
+    def ev(b, s, i, tokens, **kw):
+        return {
+            "batch_id": b, "seq": s, "op": "update", "doc_id": ids[i % len(ids)],
+            "tokens": tokens, "n_tok": len(tokens), "source": "s", **kw,
+        }
+
+    batches = [
+        (0, [ev(0, i, i, [1 + i, 2]) for i in range(10)]),
+        # src_meta appears here -> additive evolution at THIS batch's commit
+        (1, [ev(1, 100 + i, 10 + i, [3, 4 + i], src_meta=f"m{i}") for i in range(10)]),
+        (2, [ev(2, 200 + i, 20 + i, [5, 6 + i]) for i in range(10)]),
+    ]
+    wal = _write_wal(spark, tmp_path, batches)
+
+    states = []
+    for ov in (True, False):
+        eng = CdcEngine(spark, str(tmp_path / f"t_{ov}"), n_buckets=4)
+        eng.bootstrap(datagen.state_to_df(spark, initial))
+        eng.replay_segments(wal, overlap_prepass=ov)
+        cols, rows = collect_state(eng)
+        assert "src_meta" in cols  # evolution actually happened
+        states.append((cols, rows))
+    assert states[0] == states[1]
+
+
+def test_stale_prepass_hint_recomputed_after_evolution(spark, tmp_path):
+    """A hint computed BEFORE another batch evolved the schema must be
+    rejected by the fp check and recomputed inline — the apply still
+    commits the correct rows (deterministic unit-level version of the
+    overlap race)."""
+    initial = datagen.gen_initial_state(20, seed=92, max_len=6)
+    ids = [r["doc_id"] for r in initial]
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+
+    later = datagen.events_to_df(spark, [{
+        "batch_id": 1, "seq": 10, "op": "update", "doc_id": ids[0],
+        "tokens": [9, 9], "n_tok": 2, "source": "s",
+    }])
+    hint = eng.prepass(later)
+    # another batch evolves the schema between hint and apply
+    evolving = datagen.events_to_df(spark, [{
+        "batch_id": 0, "seq": 1, "op": "update", "doc_id": ids[1],
+        "tokens": [7], "n_tok": 1, "source": "s", "src_meta": "m0",
+    }])
+    m0 = eng.apply_batch(evolving, 0)
+    assert m0["metrics"]["schema_added_columns"] == ["src_meta"]
+    m1 = eng.apply_batch(later, 1, prepass_hint=hint)
+    # stale hint -> inline prepass -> no overlap marker in the phases
+    assert "prepass_overlapped_sec" not in m1["metrics"]["phase_sec"]
+    rows = {
+        r["doc_id"]: list(r["tokens"])
+        for r in eng.state().select("doc_id", "tokens").collect()
+    }
+    assert rows[ids[0]] == [9, 9] and rows[ids[1]] == [7]
+
+
+def test_valid_prepass_hint_is_used(spark, tmp_path):
+    """With an unchanged schema surface the hint IS consumed: the apply
+    records the overlapped pre-pass duration instead of paying it inline."""
+    initial = datagen.gen_initial_state(20, seed=93, max_len=6)
+    ids = [r["doc_id"] for r in initial]
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.bootstrap(datagen.state_to_df(spark, initial))
+    ev = datagen.events_to_df(spark, [{
+        "batch_id": 0, "seq": 1, "op": "update", "doc_id": ids[0],
+        "tokens": [5, 5], "n_tok": 2, "source": "s",
+    }])
+    hint = eng.prepass(ev)
+    m = eng.apply_batch(ev, 0, prepass_hint=hint)
+    assert "prepass_overlapped_sec" in m["metrics"]["phase_sec"]
+    rows = {
+        r["doc_id"]: list(r["tokens"])
+        for r in eng.state().select("doc_id", "tokens").collect()
+    }
+    assert rows[ids[0]] == [5, 5]
