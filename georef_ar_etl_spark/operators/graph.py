@@ -52,12 +52,24 @@ def pagerank(
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # contract parallel edges ONCE: Σ over parallel (src,dst) links of
+    # (r div deg) is exactly m · (r div deg), so every iteration can run on
+    # the contracted (src, dst, multiplicity) frame instead of re-scanning
+    # and re-joining the raw edge list (1M event-derived rows → ≤ |V|²
+    # rows here; and even for simple graphs the raw scan now happens once,
+    # not once per iteration). Integer arithmetic is untouched — the
+    # multiplication distributes over the already-divided per-link share.
+    em = (
+        e.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        em.select(F.col("src").alias("node"))
+        .union(em.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = em.groupBy("src").agg(F.sum("m").alias("deg"))
     # static frames reused every iteration — evaluate once
     nodes = nodes.localCheckpoint(eager=True)
     deg = deg.localCheckpoint(eager=True)
@@ -80,10 +92,10 @@ def pagerank(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
         )
         inflow = (
-            e.join(r.withColumnRenamed("node", "src"), "src")
+            em.join(r.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("r div deg")).cast("long").alias("inflow"))
+            .agg(F.sum(F.expr("m * (r div deg)")).cast("long").alias("inflow"))
         )
         r = (
             nodes.join(inflow, "node", "left")
