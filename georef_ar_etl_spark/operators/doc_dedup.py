@@ -335,22 +335,51 @@ def set_similarity_join(
     normed = df.select(
         F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("t")
     )
+
     # shingle strings → 60-bit ints up front (md5-derived so an oracle can
     # reproduce them): every downstream explode/join/sort/intersect moves
-    # 8-byte longs instead of k-char strings — measured 4x on the whole
-    # operator at sf0.1. Re-distinct after hashing: a collision must
-    # collapse identically on both engines so intersect/size stay equal.
-    sets_ = normed.select(
-        "id",
-        F.array_distinct(
-            F.transform(
-                char_shingles(F.col("t"), shingle_k, pre_normalized=True),
-                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
-                    "long"
-                ),
-            )
-        ).alias("sh"),
-    ).persist()
+    # 8-byte longs instead of k-char strings. The shingle+hash pass runs
+    # as a pandas kernel (guide §4.2 — only (id, t) crosses the boundary):
+    # python char slicing is O(k) where the JVM substring walks UTF8 from
+    # offset 0, grams dedup BEFORE hashing, and
+    # int.from_bytes(md5(g).digest()[:8]) >> 4 IS int(hexdigest[:15], 16)
+    # — the identical 60-bit value the oracle's conv(substr(md5,1,15))
+    # computes, for any input (md5 runs over UTF8 bytes in both engines).
+    # Measured ~4× over the md5+conv expression chain on the sf1.0 corpus.
+    # Hash collisions collapse identically on both engines (np.unique ≡
+    # the old post-hash array_distinct; downstream only uses the SET).
+    k_ = int(shingle_k)
+
+    def _shingle_hash(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5, fb = hashlib.md5, int.from_bytes
+        for pdf in it:
+            out = []
+            for t in pdf["t"]:
+                if t is None:
+                    out.append(None)
+                    continue
+                n = len(t) - (k_ - 1)
+                grams = (
+                    {t[i : i + k_] for i in range(n)} if n >= 1 else {t}
+                )
+                vals = np.fromiter(
+                    (fb(md5(g.encode()).digest()[:8], "big") >> 4 for g in grams),
+                    np.uint64,
+                    count=len(grams),
+                )
+                out.append(np.unique(vals.astype(np.int64)))
+            yield pd.DataFrame({"id": pdf["id"], "sh": out})
+
+    sets_ = (
+        spread_for_compute(normed)
+        .mapInPandas(_shingle_hash, "id long, sh array<long>")
+        .persist()
+    )
     toks = sets_.select("id", F.explode("sh").alias("tok"))
     tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # ascending-(df, token) global order, realized per doc by array_sort
@@ -464,48 +493,102 @@ def set_similarity_join(
         import pandas as pd
 
         # Arrow path (toPandas), not collect(): list<long> columns land as
-        # numpy arrays directly — 0.5 s vs 5.6 s of Row/int boxing at sf1.0
+        # numpy arrays directly — 0.5 s vs 5.6 s of Row/int boxing at sf1.0.
+        # The broadcast is ONE flat value-sorted token buffer + offsets +
+        # a sorted id index (searchsorted id → slice), not a dict of
+        # arrays: the verify kernel then never touches per-pair python
+        # objects — every gather is a vectorized fancy-index.
         opdf = ordered.select("id", "toks").toPandas()
-        tok_map = {
-            int(i): np.sort(np.asarray(t, dtype=np.int64))
-            for i, t in zip(opdf["id"].to_numpy(), opdf["toks"].to_numpy())
-        }
-        btm = df.sparkSession.sparkContext.broadcast(tok_map)
+        _ids = opdf["id"].to_numpy().astype(np.int64)
+        _ord = np.argsort(_ids, kind="stable")
+        _ids = _ids[_ord]
+        _arrs = [
+            np.sort(np.asarray(t, dtype=np.int64))
+            for t in opdf["toks"].to_numpy()[_ord]
+        ]
+        _lens = np.fromiter((len(x) for x in _arrs), np.int64, count=len(_arrs))
+        _off = np.zeros(len(_arrs) + 1, dtype=np.int64)
+        np.cumsum(_lens, out=_off[1:])
+        _flat = (
+            np.concatenate(_arrs) if _arrs else np.empty(0, np.int64)
+        )
+        btm = df.sparkSession.sparkContext.broadcast((_ids, _off, _flat))
+
+        def _counts(flat, A, starts_, lens_):
+            """Exact |B_slice ∩ A| per pair, fully vectorized: gather the
+            per-pair slices of the flat buffer with one fancy-index, one
+            searchsorted against the group's sorted A, one reduceat."""
+            total = int(lens_.sum())
+            cum = np.zeros(len(lens_), dtype=np.int64)
+            np.cumsum(lens_[:-1], out=cum[1:])
+            gi = np.arange(total, dtype=np.int64) + np.repeat(
+                starts_ - cum, lens_
+            )
+            conc = flat[gi]
+            pos = np.searchsorted(A, conc)
+            np.minimum(pos, len(A) - 1, out=pos)
+            hit = (A[pos] == conc).astype(np.int64)
+            bounds = np.zeros(len(lens_), dtype=np.int64)
+            np.cumsum(lens_[:-1], out=bounds[1:])
+            return np.add.reduceat(hit, bounds)
+
+        M = 64  # first-pass slice: I <= cnt(B[:M] ∩ A) + (lb - M), exact
 
         def verify(it):
-            tm = btm.value
-            # drain the task's whole iterator first: one concat + one
-            # groupby per TASK, not per 2048-row Arrow batch — the
-            # per-group python overhead amortizes over the task's full
-            # partner lists
+            ids_s, off, flat = btm.value
+            # drain the task's whole iterator first (one pass per TASK, not
+            # per 2048-row Arrow batch), then group by id_a with a numpy
+            # argsort + boundary scan — a pandas groupby iteration costs
+            # ~150 µs/group in pure overhead, which at ~50k groups/task was
+            # most of the verify wall. Two passes (guide §1.2): pass 1
+            # counts only each partner's first M sorted tokens (4× fewer
+            # gathered bytes — the kernel is memory-bandwidth-bound) and
+            # prunes pairs whose exact upper bound cnt + (lb − M) cannot
+            # reach the integer threshold; only survivors pay the full
+            # count. Zero false negatives: the bound over-counts, never
+            # under.
             frames = list(it)
             if not frames:
                 return
             allp = pd.concat(frames, ignore_index=True)
+            ia = allp["id_a"].to_numpy()
+            ib = allp["id_b"].to_numpy()
+            if len(ia) == 0:
+                return
+            order = np.argsort(ia, kind="stable")
+            ia, ib = ia[order], ib[order]
+            ib_idx = np.searchsorted(ids_s, ib)
+            lens_b = off[ib_idx + 1] - off[ib_idx]
+            starts_b = off[ib_idx]
+            bnd = np.flatnonzero(np.diff(ia)) + 1
+            gstarts = np.concatenate([np.zeros(1, np.int64), bnd])
+            gends = np.concatenate([bnd, np.array([len(ia)], np.int64)])
             oa, ob, oi, ola, olb = [], [], [], [], []
-            for ida, sub in allp.groupby("id_a", sort=False):
-                A = tm[ida]
+            for s0, e0 in zip(gstarts, gends):
+                ida = ia[s0]
+                ai = int(np.searchsorted(ids_s, ida))
+                A = flat[off[ai] : off[ai + 1]]
                 la_ = len(A)
-                ids_b = sub["id_b"].to_numpy()
-                arrs = [tm[i] for i in ids_b]
-                lens = np.fromiter(
-                    (len(x) for x in arrs), np.int64, count=len(arrs)
-                )
-                conc = np.concatenate(arrs)
-                pos = np.searchsorted(A, conc)
-                np.minimum(pos, la_ - 1, out=pos)
-                hit = (A[pos] == conc).astype(np.int64)
-                bounds = np.zeros(len(arrs) + 1, dtype=np.int64)
-                np.cumsum(lens, out=bounds[1:])
-                inters = np.add.reduceat(hit, bounds[:-1])
-                keep = 100 * inters >= pct * (la_ + lens - inters)
+                lb_g = lens_b[s0:e0]
+                st_g = starts_b[s0:e0]
+                # ceil(pct*(la+lb)/(100+pct)) — the integer Jaccard
+                # threshold rewritten as a bound on I alone
+                t_pair = -(-(pct * (la_ + lb_g)) // (100 + pct))
+                lsl = np.minimum(lb_g, M)
+                cnt = _counts(flat, A, st_g, lsl)
+                surv = cnt + (lb_g - lsl) >= t_pair
+                if not surv.any():
+                    continue
+                sv = np.flatnonzero(surv)
+                inters = _counts(flat, A, st_g[sv], lb_g[sv])
+                keep = 100 * inters >= pct * (la_ + lb_g[sv] - inters)
                 if keep.any():
                     nk = int(keep.sum())
                     oa.append(np.full(nk, ida, np.int64))
-                    ob.append(ids_b[keep])
+                    ob.append(ib[s0:e0][sv][keep])
                     oi.append(inters[keep])
                     ola.append(np.full(nk, la_, np.int64))
-                    olb.append(lens[keep])
+                    olb.append(lb_g[sv][keep])
             yield pd.DataFrame(
                 {
                     "id_a": np.concatenate(oa) if oa else np.empty(0, np.int64),
