@@ -694,6 +694,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 15,
     stats: dict | None = None,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components of a near-duplicate pair graph — the step that
     turns pairwise findings (MinHash/SimHash/winnowing candidates) into
@@ -731,6 +732,54 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size-adaptive local fast path (the verify-broadcast pattern): near-dup
+    # pair graphs are usually output-sized — a handful of cliques — while
+    # the distributed loop costs ~2 fixed Spark jobs per round. When the
+    # symmetrized edge set (already materialized above; the count is free)
+    # fits the cap, solve it with driver-side union-find in milliseconds
+    # and return the identical min-label components. Corpus-scale graphs
+    # (or ``local_max_edges=0``) take the unchanged iterative path.
+    if local_max_edges is None:
+        local_max_edges = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", str(1_000_000))
+        )
+    n_sym = sym.count()
+    if n_sym <= local_max_edges:
+        pdf = sym.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rd] = rs
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            m = comp_min.get(r)
+            if m is None or v < m:
+                comp_min[r] = v
+        from pyspark.sql import types as T
+
+        vt = sym.schema["src"].dataType
+        out_schema = T.StructType(
+            [T.StructField("v", vt), T.StructField("component", vt)]
+        )
+        rows = [(v, comp_min[find(v)]) for v in parent]
+        if stats is not None:
+            stats["rounds"] = 0  # local union-find, no Spark rounds
+        return edges.sparkSession.createDataFrame(rows, out_schema)
     labels = sym.select(F.col("src").alias("v")).distinct().withColumn(
         "label", F.col("v")
     ).localCheckpoint(eager=True)

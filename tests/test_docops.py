@@ -501,7 +501,10 @@ def test_connected_components_adversarial_long_chain(spark):
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
     stats = {}
-    comp = connected_components(edges, max_iter=15, stats=stats)
+    # local_max_edges=0 pins the DISTRIBUTED loop — this test exists to
+    # measure its pointer-jump round count, which the small-graph
+    # union-find fast path would otherwise bypass
+    comp = connected_components(edges, max_iter=15, stats=stats, local_max_edges=0)
     assert comp.filter(F.col("component") != 0).count() == 0  # one component
     assert comp.count() == n
     # measured: 14 rounds for diameter 10^4 (11 for 2^10) — O(log d), far
@@ -509,7 +512,26 @@ def test_connected_components_adversarial_long_chain(spark):
     assert stats["rounds"] <= 15
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=5)
+        connected_components(edges, max_iter=5, local_max_edges=0)
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """The size-adaptive union-find fast path must emit the identical
+    (v, component) labeling as the iterative min-label loop — mixed
+    components, string ids, and a cluster minimum ordering check."""
+    from georef_ar_etl_spark.operators.doc_dedup import connected_components
+
+    rows = [("d03", "d01"), ("d01", "d07"), ("b2", "b9"), ("z5", "z5")]
+    edges = spark.createDataFrame(rows, "id_a string, id_b string")
+    local = {
+        (r["v"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["v"], r["component"])
+        for r in connected_components(edges, local_max_edges=0).collect()
+    }
+    assert local == dist and ("d03", "d01") in local and ("z5", "z5") in local
 
 
 def test_count_min_shard_merge_equals_whole(spark):
