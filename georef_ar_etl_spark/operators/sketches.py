@@ -192,16 +192,24 @@ def bloom_might_contain(
 ) -> Column:
     """Membership predicate (true = maybe present, false = DEFINITELY
     absent): all k bits set. Pure Catalyst — the packed-word array rides
-    the plan as one literal; each probe costs k md5+affine evaluations
-    plus k shift-and-mask tests; no UDF, no join, no shuffle. Null inputs
-    yield null (filtered like any null predicate)."""
+    the plan as one literal; each probe costs ONE md5 word-hash (bound as
+    a lambda variable via the 1-element-array let-binding, so the k
+    affine remixes reuse it instead of re-evaluating md5 per bit — guide
+    §1.2 per-task work, 4× fewer md5 calls per probed row) plus k
+    shift-and-mask tests; no UDF, no join, no shuffle. Null inputs yield
+    null (filtered like any null predicate)."""
     arr = F.array(*[F.lit(w).cast("long") for w in words])
-    pred = F.lit(True)
-    for j in range(k):
-        b = cm_bucket(col, j, k, n_bits, seed).cast("int")
-        word = F.element_at(arr, (b / 64).cast("int") + 1)
-        pred = pred & (F.getbit(word, b % 64) == 1)
-    return pred
+    A, B = minhash_affine_params(k, seed=seed)
+
+    def probe(h: Column) -> Column:
+        pred = F.lit(True)
+        for j in range(k):
+            b = (((h * int(A[j]) + int(B[j])) % P31) % n_bits).cast("int")
+            word = F.element_at(arr, (b / 64).cast("int") + 1)
+            pred = pred & (F.getbit(word, b % 64) == 1)
+        return pred
+
+    return F.exists(F.array(_word_hash(col)), probe)
 
 
 def group_numeric_profile(

@@ -297,3 +297,73 @@ class TestStratifiedSample:
         assert s1 == s2  # stable under partitioning
         with pytest.raises(ValueError):
             stratified_sample(df, 0)
+
+
+def test_q126_decomposed_enumeration_matches_naive(spark, tmp_path):
+    """q126's three-path candidate enumeration (seg equi-join + acctbal
+    band join + NULL-field path) must emit exactly the rows the naive
+    all-nation-pairs formulation keeps — including NULL mktsegment /
+    acctbal / name abstain cases the sf fixtures never exercise."""
+    import random
+
+    from georef_ar_etl_spark.plans.queries import QUERY_FNS
+
+    rng = random.Random(17)
+    segs = ["AUTO", "HOME", "SHIP", None]
+    names = ["Customer#%03d", "Custmr#%03d", "zz-%03d"]
+    rows = []
+    for i in range(220):
+        rows.append(
+            (
+                i,
+                None if i % 37 == 0 else names[rng.randrange(3)] % (i % 19),
+                rng.randrange(3),
+                None if i % 23 == 5 else round(rng.uniform(-999.0, 9999.0), 2),
+                segs[rng.randrange(4)],
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/customer.parquet")
+
+    got = {
+        (r["id_a"], r["id_b"], r["fs_milli"], r["verdict"])
+        for r in QUERY_FNS["q126_fellegi_sunter"](spark, sf).collect()
+    }
+
+    a, b = df.alias("a"), df.alias("b")
+    naive_pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("id_a"),
+        F.col("b.c_custkey").alias("id_b"),
+        F.levenshtein("a.c_name", "b.c_name").alias("nd"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("seg"),
+        (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 500).alias("bal"),
+    )
+    t1 = (
+        F.when(F.col("nd") <= 3, 4170).when(F.col("nd") > 3, -3248).otherwise(0)
+    )
+    t2 = F.when(F.col("seg"), 1807).when(~F.col("seg"), -1415).otherwise(0)
+    t3 = F.when(F.col("bal"), 3000).when(~F.col("bal"), -2170).otherwise(0)
+    naive = (
+        naive_pairs.withColumn("fs_milli", (t1 + t2 + t3).cast("bigint"))
+        .withColumn(
+            "verdict",
+            F.when(F.col("fs_milli") >= 6000, "match")
+            .when(F.col("fs_milli") >= 2500, "possible")
+            .otherwise("non_match"),
+        )
+        .filter(F.col("fs_milli") >= 2500)
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["fs_milli"], r["verdict"])
+        for r in naive.collect()
+    }
+    assert got == want and len(want) > 0
